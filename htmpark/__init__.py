@@ -1,0 +1,57 @@
+"""htmpark — PySpark-native HTML5 extraction engine.
+
+A from-scratch reimplementation of the zadean/htmerl parsing pipeline
+(reference read-only at /root/reference) re-expressed Spark-first: the
+per-document HTML5 tokenizer + tree builder run inside vectorized
+``mapInPandas`` UDFs over Arrow batches of html bytes; everything relational
+(scan, repartition, metrics, checkpoint/resume) is declarative DataFrame
+code optimized by Catalyst.
+
+Public API:
+    parse_events(html)          -> list of xmerl-style SAX events
+    parse_simple(html)          -> nested simple-form tree (dict)
+    extract_text(html)          -> (text, meta) byte-parity extracted text
+    parse_nodes(html)           -> flat DOM rows (parent-pointer table)
+    job.extract_pages(df, ...)  -> the distributed extraction pipeline
+"""
+
+from .parser import Parser, TreeBuilder, norm_whitespaces
+from .sinks import EventListSink, SimpleTreeSink, TextSink, NodeTableSink
+
+__version__ = "0.1.0"
+
+
+def parse_events(html, preserve_ws: bool = False):
+    """htmerl:sax/1 equivalent (reference src/htmerl.erl:23-24)."""
+    sink = EventListSink()
+    tb = Parser().parse(html, sink, preserve_ws)
+    return sink.events, tb
+
+
+def parse_simple(html, preserve_ws: bool = False):
+    """htmerl:simple/1 equivalent (reference src/htmerl.erl:16-17)."""
+    sink = SimpleTreeSink()
+    tb = Parser().parse(html, sink, preserve_ws)
+    return sink.result, tb
+
+
+def extract_text(html, preserve_ws: bool = False):
+    """Byte-parity extracted text: concatenated characters events outside
+    script/style.  Returns (text, meta dict with error counters/flags)."""
+    sink = TextSink()
+    p = Parser()
+    tb = p.parse(html, sink, preserve_ws)
+    meta = {
+        "finished": tb.finished,
+        "crashed_after_finish": tb.crashed_after_finish,
+        "tok_errors": p.tok_errors,
+        "tree_errors": tb.tree_errors,
+    }
+    return sink.text, meta
+
+
+def parse_nodes(html, preserve_ws: bool = False):
+    """Flat DOM rows (FIXTURES.md §4)."""
+    sink = NodeTableSink()
+    tb = Parser().parse(html, sink, preserve_ws)
+    return sink.rows, tb

@@ -1,0 +1,183 @@
+"""SAX-event sinks: the engine's analogues of the reference's user folds.
+
+The reference exposes a single-pass fold over xmerl-style events
+(/root/reference/src/htmerl.erl:33-41, README.md:68-133).  Our engine drives
+the same event stream into pluggable sinks:
+
+* EventListSink   — full event tuples, shaped like htmerl:sax/1 output
+                    (htmerl_sax_utf8.erl:114-119); used by parity tests.
+* SimpleTreeSink  — nested dict tree matching htmerl_simple:string/1
+                    (htmerl_simple.erl:10-97); used by tree goldens.
+* TextSink        — extracted-text fast path: concatenates characters events
+                    outside script/style subtrees (the byte-parity surface).
+* NodeTableSink   — flat Arrow-friendly DOM: one row per SAX-visible node
+                    with parent pointers (FIXTURES.md §4); feeds the Spark
+                    node-table output.
+"""
+
+from __future__ import annotations
+
+from .parser import HTML_NS
+
+
+class BaseSink:
+    def start_document(self): pass
+    def end_document(self): pass
+    def start_dtd(self, name, public, system): pass
+    def end_dtd(self): pass
+    def start_prefix_mapping(self, prefix, uri): pass
+    def end_prefix_mapping(self, prefix): pass
+    def start_element(self, uri, local, attrs): pass
+    def end_element(self, uri, local): pass
+    def characters(self, text): pass
+    def comment(self, text): pass
+
+
+class EventListSink(BaseSink):
+    """Accumulates events as tuples mirroring htmerl:sax/1 exactly."""
+
+    def __init__(self):
+        self.events = []
+
+    def start_document(self):
+        self.events.append("startDocument")
+
+    def end_document(self):
+        self.events.append("endDocument")
+
+    def start_dtd(self, name, public, system):
+        self.events.append(("startDTD", name, public, system))
+
+    def end_dtd(self):
+        self.events.append("endDTD")
+
+    def start_prefix_mapping(self, prefix, uri):
+        self.events.append(("startPrefixMapping", prefix, uri))
+
+    def end_prefix_mapping(self, prefix):
+        self.events.append(("endPrefixMapping", prefix))
+
+    def start_element(self, uri, local, attrs):
+        self.events.append(("startElement", uri, local, ("", local), list(attrs)))
+
+    def end_element(self, uri, local):
+        self.events.append(("endElement", uri, local, ("", local)))
+
+    def characters(self, text):
+        self.events.append(("characters", text))
+
+    def comment(self, text):
+        self.events.append(("comment", text))
+
+
+class SimpleTreeSink(BaseSink):
+    """Builds the simple-form tree (htmerl_simple.erl:21-97) as dicts.
+
+    Document: {kind:'document', name, public, system, content:[...]}
+    Element:  {kind:'element', name, ns, attrs:[(uri,prefix,local,value)],
+               content:[...]}
+    Text:     {kind:'text', value} / Comment: {kind:'comment', value}
+    """
+
+    def __init__(self):
+        self.stack = []
+        self.result = None
+
+    def start_document(self):
+        self.stack = [{"kind": "document", "name": "", "public": "",
+                       "system": "", "content": []}]
+
+    def start_dtd(self, name, public, system):
+        d = self.stack[0]
+        d["name"], d["public"], d["system"] = name, public, system
+
+    def start_element(self, uri, local, attrs):
+        self.stack.append({"kind": "element", "name": local, "ns": uri,
+                           "attrs": list(attrs), "content": []})
+
+    def end_element(self, uri, local):
+        e = self.stack.pop()
+        self.stack[-1]["content"].append(e)
+
+    def characters(self, text):
+        self.stack[-1]["content"].append({"kind": "text", "value": text})
+
+    def comment(self, text):
+        self.stack[-1]["content"].append({"kind": "comment", "value": text})
+
+    def end_document(self):
+        self.result = self.stack[0]
+
+
+# tags whose subtree text is excluded from the extracted-text surface
+# (FIXTURES.md P11: script/style content is parsed into the tree but must
+# not contribute to the text column).
+TEXT_EXCLUDE = frozenset(("script", "style"))
+
+
+class TextSink(BaseSink):
+    """Concatenates characters events outside script/style (byte-parity)."""
+
+    __slots__ = ("parts", "_skip")
+
+    def __init__(self):
+        self.parts = []
+        self._skip = 0
+
+    def start_element(self, uri, local, attrs):
+        if local in TEXT_EXCLUDE and uri == HTML_NS:
+            self._skip += 1
+
+    def end_element(self, uri, local):
+        if local in TEXT_EXCLUDE and uri == HTML_NS:
+            self._skip -= 1
+
+    def characters(self, text):
+        if not self._skip:
+            self.parts.append(text)
+
+    @property
+    def text(self) -> str:
+        return "".join(self.parts)
+
+
+class NodeTableSink(BaseSink):
+    """Flat DOM: rows (node_id, parent_id, kind, name, ns, attrs, text, depth).
+
+    Pre-order: parent_id < node_id always (FIXTURES.md §4 invariant).  The
+    nested simple-form tree is reconstructible from parent pointers, which is
+    what makes the representation Arrow/columnar-friendly (no recursive
+    struct types).
+    """
+
+    __slots__ = ("rows", "stack", "next_id")
+
+    def __init__(self):
+        self.rows = []  # [node_id, parent_id, kind, name, ns, attrs, text, depth]
+        self.stack = [-1]
+        self.next_id = 0
+
+    def _add(self, kind, name, ns, attrs, text):
+        nid = self.next_id
+        self.next_id = nid + 1
+        self.rows.append((nid, self.stack[-1], kind, name, ns, attrs, text,
+                          len(self.stack) - 1))
+        return nid
+
+    def start_dtd(self, name, public, system):
+        self._add("doctype", name, "", [(public or "", "", "public", ""),
+                                        (system or "", "", "system", "")], "")
+
+    def start_element(self, uri, local, attrs):
+        nid = self._add("element", local, uri, list(attrs), "")
+        self.stack.append(nid)
+
+    def end_element(self, uri, local):
+        if len(self.stack) > 1:
+            self.stack.pop()
+
+    def characters(self, text):
+        self._add("text", "", "", [], text)
+
+    def comment(self, text):
+        self._add("comment", "", "", [], text)

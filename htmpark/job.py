@@ -1,0 +1,204 @@
+"""The distributed extraction pipeline (SURVEY.md §3.4, BASELINE.json north_rule).
+
+Spark-first design:
+
+* scan          — parquet/Iceberg read with column pruning (url, warc_ts,
+                  html, lang only; Catalyst pushes the projection into the
+                  scan — check ReadSchema in .explain()).
+* skew defense  — explicit salted repartition on url host: one hot domain
+                  (host000 owns 20% of the synthetic corpus) must not
+                  serialize into one straggler task.  AQE only fixes
+                  join/shuffle skew, not a hot mapInPandas partition, hence
+                  the explicit salt (SURVEY.md §4c).
+* parse         — ONE vectorized ``mapInPandas`` stage: Arrow batches of
+                  html bytes in, extracted rows out.  No per-row Python UDFs
+                  anywhere (input_hint mandate).
+* checkpoint    — write-audit-publish per part_id: output written with
+                  dynamic partition overwrite (idempotent under retry),
+                  then the partition manifest row is appended (publish).
+                  Resume = broadcast anti-join against the manifest.
+* metrics       — per-partition lineage row: counts + tokenizer/tree error
+                  counters, aggregated from the written output (no second
+                  parse).
+
+At 10^12-document scale the same plan holds: the salt count scales with
+max-host-share × executor count, part_id count scales with total size /
+target partition bytes, and the manifest stays tiny (one row per part).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    BooleanType, IntegerType, StringType, StructField, StructType, TimestampType,
+)
+
+from .extract import extract_doc
+
+OUTPUT_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("warc_ts", TimestampType()),
+    StructField("lang", StringType()),
+    StructField("text", StringType()),
+    StructField("main_text", StringType()),
+    StructField("n_elements", IntegerType()),
+    StructField("n_text_nodes", IntegerType()),
+    StructField("tok_errors", IntegerType()),
+    StructField("tree_errors", IntegerType()),
+    StructField("parse_ok", BooleanType()),
+])
+
+
+def build_session(master: str | None = None, shuffle_partitions: int = 32,
+                  app_name: str = "htmpark") -> SparkSession:
+    b = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # html blobs are KBs-sized: cap Arrow batches so a batch of pages
+        # stays well inside executor memory even with MB-sized outliers
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.driver.memory", os.environ.get("HTMPARK_DRIVER_MEM", "8g"))
+    )
+    if master:
+        b = b.master(master)
+    return b.getOrCreate()
+
+
+def _parse_batches(batches, preserve_ws: bool = False):
+    """mapInPandas worker: Iterator[pd.DataFrame] -> Iterator[pd.DataFrame].
+
+    One Parser per executor task, reused across every row of every Arrow
+    batch (the reference's per-doc state map never crosses documents;
+    neither does ours).
+    """
+    import pandas as pd
+
+    for pdf in batches:
+        htmls = pdf["html"]
+        n = len(pdf)
+        texts = [None] * n
+        mains = [None] * n
+        n_els = [0] * n
+        n_txts = [0] * n
+        toks = [0] * n
+        trees = [0] * n
+        oks = [False] * n
+        for k in range(n):
+            h = htmls.iat[k]
+            try:
+                row = extract_doc(h, preserve_ws)
+                texts[k] = row["text"]
+                mains[k] = row["main_text"]
+                n_els[k] = row["n_elements"]
+                n_txts[k] = row["n_text_nodes"]
+                toks[k] = row["tok_errors"]
+                trees[k] = row["tree_errors"]
+                oks[k] = row["parse_ok"]
+            except Exception:
+                # engine guarantee: a poisoned document becomes an error row,
+                # never a dead task (the reference just crashes the caller)
+                texts[k] = ""
+                mains[k] = ""
+                trees[k] = 1
+        yield pd.DataFrame({
+            "url": pdf["url"],
+            "warc_ts": pdf["warc_ts"],
+            "lang": pdf["lang"],
+            "text": texts,
+            "main_text": mains,
+            "n_elements": pd.array(n_els, dtype="int32"),
+            "n_text_nodes": pd.array(n_txts, dtype="int32"),
+            "tok_errors": pd.array(toks, dtype="int32"),
+            "tree_errors": pd.array(trees, dtype="int32"),
+            "parse_ok": oks,
+        })
+
+
+def salted_repartition(df: DataFrame, salt_buckets: int = 8,
+                       num_partitions: int | None = None) -> DataFrame:
+    """Spread each url-host over ``salt_buckets`` shuffle keys.
+
+    Hot hosts stop being stragglers: tasks receive (host, salt) granules.
+    Scale rule: salt_buckets >= ceil(max_host_share * target_parallelism).
+    """
+    host = F.parse_url(F.col("url"), F.lit("HOST"))
+    salt = F.pmod(F.xxhash64(F.col("url")), F.lit(salt_buckets))
+    if num_partitions:
+        return df.repartition(num_partitions, host, salt)
+    return df.repartition(host, salt)
+
+
+def extract_pages(df: DataFrame, salt_buckets: int = 8,
+                  num_partitions: int | None = None,
+                  preserve_ws: bool = False) -> DataFrame:
+    """The core pipeline: salted shuffle -> vectorized parse."""
+    cols = [c for c in ("url", "warc_ts", "html", "lang") if c in df.columns]
+    df = df.select(*cols)  # explicit pruning; Catalyst pushes into the scan
+    df = salted_repartition(df, salt_buckets, num_partitions)
+    fn = (lambda it: _parse_batches(it, True)) if preserve_ws else _parse_batches
+    return df.mapInPandas(fn, OUTPUT_SCHEMA)
+
+
+MANIFEST_SCHEMA = ("part_id", "n_pages", "n_ok", "tok_errors", "tree_errors",
+                   "text_chars", "min_ts", "max_ts")
+
+
+def run_extraction(spark: SparkSession, input_df: DataFrame, output_path: str,
+                   num_parts: int = 64, salt_buckets: int = 8,
+                   resume: bool = True) -> dict:
+    """Resumable batch job with per-partition checkpoint + lineage.
+
+    Layout:  <output_path>/data/part_id=N/...   (dynamic overwrite)
+             <output_path>/manifest/...          (append = publish)
+    """
+    data_path = os.path.join(output_path, "data")
+    manifest_path = os.path.join(output_path, "manifest")
+
+    df = input_df.withColumn(
+        "part_id", F.pmod(F.xxhash64(F.col("url")), F.lit(num_parts)).cast("int")
+    )
+
+    done = None
+    if resume:
+        try:
+            done = spark.read.parquet(manifest_path).select("part_id").distinct()
+        except Exception:
+            done = None
+    if done is not None:
+        # broadcast anti-join: manifest has at most num_parts rows
+        df = df.join(F.broadcast(done), "part_id", "left_anti")
+
+    if df.isEmpty():
+        return {"parts_done": 0, "pages": 0}
+
+    parsed = extract_pages(df.drop("part_id"), salt_buckets=salt_buckets)
+    parsed = parsed.withColumn(
+        "part_id", F.pmod(F.xxhash64(F.col("url")), F.lit(num_parts)).cast("int")
+    )
+    # WRITE: dynamic partition overwrite -> retried parts replace cleanly
+    parsed.write.mode("overwrite").partitionBy("part_id").parquet(data_path)
+
+    # AUDIT + PUBLISH: aggregate lineage from the written files (columnar
+    # scan of counters only — no re-parse), append to the manifest
+    written = spark.read.parquet(data_path)
+    if done is not None:
+        written = written.join(F.broadcast(done), "part_id", "left_anti")
+    manifest = written.groupBy("part_id").agg(
+        F.count("*").alias("n_pages"),
+        F.sum(F.col("parse_ok").cast("int")).alias("n_ok"),
+        F.sum("tok_errors").alias("tok_errors"),
+        F.sum("tree_errors").alias("tree_errors"),
+        F.sum(F.length("text")).alias("text_chars"),
+        F.min("warc_ts").alias("min_ts"),
+        F.max("warc_ts").alias("max_ts"),
+    )
+    manifest.write.mode("append").parquet(manifest_path)
+    stats = manifest.agg(
+        F.count("*").alias("parts"), F.sum("n_pages").alias("pages")
+    ).collect()[0]
+    return {"parts_done": stats["parts"], "pages": stats["pages"]}

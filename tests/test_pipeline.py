@@ -1,0 +1,126 @@
+"""Pipeline-level fixtures (FIXTURES.md §5): determinism, resume, skew."""
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+import htmpark
+from htmpark.corpus import synthesize_pages
+from htmpark.extract import extract_doc
+from htmpark.job import extract_pages, run_extraction, salted_repartition
+
+N = 400
+
+
+def test_corpus_is_deterministic(spark):
+    a = synthesize_pages(spark, 50, partitions=1).collect()
+    b = synthesize_pages(spark, 50, partitions=7).collect()
+    am = {r.url: (bytes(r.html), r.lang, r.warc_ts) for r in a}
+    bm = {r.url: (bytes(r.html), r.lang, r.warc_ts) for r in b}
+    assert am == bm
+
+
+def test_corpus_skew_shape(spark):
+    rows = synthesize_pages(spark, 500).select("url").collect()
+    host0 = sum(1 for r in rows if "host000" in r.url)
+    assert host0 == 100  # i % 5 == 0 -> exactly 20%
+
+
+def test_extraction_matches_local_parser(spark):
+    """The distributed path must equal single-process extract_doc per url."""
+    df = synthesize_pages(spark, N)
+    local = {
+        r.url: extract_doc(bytes(r.html))["text"] for r in df.collect()
+    }
+    dist = {r.url: r.text for r in extract_pages(df).collect()}
+    assert dist == local
+
+
+def test_parallelism_invariance(spark):
+    """Same (url -> text) map regardless of partitioning/salting."""
+    df = synthesize_pages(spark, N)
+    a = {r.url: r.text for r in extract_pages(df, salt_buckets=1, num_partitions=2).collect()}
+    b = {r.url: r.text for r in extract_pages(df, salt_buckets=16, num_partitions=13).collect()}
+    assert a == b
+    assert len(a) == N
+
+
+def test_salted_repartition_balances_hot_host(spark):
+    df = synthesize_pages(spark, 1000)
+    parts = (
+        salted_repartition(df, salt_buckets=8, num_partitions=8)
+        .withColumn("pid", F.spark_partition_id())
+        .where(F.col("url").contains("host000"))
+        .groupBy("pid").count().collect()
+    )
+    # 200 host000 rows must spread over >1 partition (unsalted -> exactly 1)
+    assert len(parts) > 1
+    assert max(r["count"] for r in parts) < 200
+
+
+def test_run_extraction_and_resume(spark, tmp_out):
+    df = synthesize_pages(spark, N)
+    # full run
+    full_out = os.path.join(tmp_out, "full")
+    res = run_extraction(spark, df, full_out, num_parts=8, salt_buckets=4)
+    assert res["pages"] == N and res["parts_done"] == 8
+    full = {r.url: r.text for r in spark.read.parquet(full_out + "/data").collect()}
+    assert len(full) == N
+
+    # interrupted run: simulate a crash after 3 of 8 parts committed by
+    # pre-publishing a partial manifest, then resuming
+    part_out = os.path.join(tmp_out, "partial")
+    sub = df.withColumn(
+        "part_id", F.pmod(F.xxhash64("url"), F.lit(8)).cast("int")
+    ).where(F.col("part_id") < 3).drop("part_id")
+    run_extraction(spark, sub, part_out, num_parts=8, salt_buckets=4)
+    done_before = spark.read.parquet(part_out + "/manifest").select("part_id").distinct().count()
+    assert done_before == 3
+
+    res2 = run_extraction(spark, df, part_out, num_parts=8, salt_buckets=4)
+    assert res2["parts_done"] == 5  # only the remaining parts were processed
+    resumed = {r.url: r.text for r in spark.read.parquet(part_out + "/data").collect()}
+    assert resumed == full  # identical to the uninterrupted run
+
+    # lineage: one manifest row per part with counters
+    man = spark.read.parquet(part_out + "/manifest")
+    assert man.select("part_id").distinct().count() == 8
+    total = man.agg(F.sum("n_pages")).collect()[0][0]
+    assert total == N
+
+    # re-running a completed job is a no-op
+    res3 = run_extraction(spark, df, part_out, num_parts=8, salt_buckets=4)
+    assert res3 == {"parts_done": 0, "pages": 0}
+
+
+def test_poisoned_row_becomes_error_row(spark):
+    from pyspark.sql.types import (BinaryType, StringType, StructField,
+                                   StructType, TimestampType)
+    import datetime
+
+    rows = [
+        ("u1", datetime.datetime(2025, 1, 1), b"<p>fine</p>", "en"),
+        ("u2", datetime.datetime(2025, 1, 1), b"<frameset>", "en"),  # unfinished
+        ("u3", datetime.datetime(2025, 1, 1), None, "en"),           # null html
+    ]
+    schema = StructType([
+        StructField("url", StringType()), StructField("warc_ts", TimestampType()),
+        StructField("html", BinaryType()), StructField("lang", StringType()),
+    ])
+    df = spark.createDataFrame(rows, schema)
+    out = {r.url: r for r in extract_pages(df, salt_buckets=1).collect()}
+    assert out["u1"].parse_ok and out["u1"].text == "fine"
+    assert not out["u2"].parse_ok
+    assert not out["u3"].parse_ok and out["u3"].tree_errors >= 1
+
+
+def test_main_text_strips_chrome():
+    html = (b"<body><nav><a href=/>home</a><a href=/a>about</a></nav>"
+            b"<h1>Title</h1><p>Real content paragraph here.</p>"
+            b"<footer><a href=/c>contact</a></footer></body>")
+    row = extract_doc(html)
+    assert "home" not in row["main_text"]
+    assert "contact" not in row["main_text"]
+    assert "Real content paragraph here." in row["main_text"]
+    # parity text keeps everything outside script/style
+    assert "home" in row["text"]

@@ -1,0 +1,779 @@
+"""Query library: every operator exposed through the driver contract.
+
+Each entry couples a Spark DataFrame builder with the ANSI-SQL oracle DuckDB
+runs on the same parquet tables (CORRECTNESS_r{N}.json gate).  Design rules:
+
+* Column names are aliased identically on both sides (driver sorts columns
+  by name before hashing values).
+* Aggregates avoid float fold-order divergence: money becomes integer cents
+  (2dp inputs scale exactly), similarity scores are rounded-then-cast ints,
+  set overlaps are exact integer counts, and hashes are md5 hex strings —
+  bit-identical across engines.
+* Spark side stays JVM-only (built-in functions, broadcast hints for dims,
+  exploded joins instead of UDFs) except the HTML queries, whose parse is
+  the engine's vectorized mapInPandas core.
+
+Scale notes per query are inline: what shuffles, what broadcasts, what the
+plan looks like at 10^12 rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .job import OUTPUT_SCHEMA, _parse_batches
+
+# ---------------------------------------------------------------------------
+# helpers
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _cents(col):
+    """Exact integer cents from a 2dp-double column."""
+    return F.round(col * 100).cast("bigint")
+
+
+def _cos_expr(a, b):
+    """Cosine similarity of two float arrays, computed in double,
+    left-to-right fold (matches the DuckDB oracle's list_reduce order)."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.aggregate(F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+                     F.lit(0.0), lambda acc, v: acc + v)
+    nb = F.aggregate(F.transform(b, lambda x: x.cast("double") * x.cast("double")),
+                     F.lit(0.0), lambda acc, v: acc + v)
+    return dot / (F.sqrt(na) * F.sqrt(nb))
+
+
+_DUCK_COS = """
+list_reduce(list_zip(a.embedding, b.embedding),
+            (acc, p) -> acc) -- placeholder, built in _duck_cos()
+"""
+
+
+def _duck_cos(av: str, bv: str) -> str:
+    """DuckDB cosine mirroring _cos_expr's fold order exactly."""
+    dot = (f"list_reduce(list_prepend(0.0, [x[1]::double * x[2]::double "
+           f"for x in list_zip({av}, {bv})]), (acc, v) -> acc + v)")
+    na = (f"list_reduce(list_prepend(0.0, [x::double * x::double "
+          f"for x in {av}]), (acc, v) -> acc + v)")
+    nb = (f"list_reduce(list_prepend(0.0, [x::double * x::double "
+          f"for x in {bv}]), (acc, v) -> acc + v)")
+    return f"({dot} / (sqrt({na}) * sqrt({nb})))"
+
+
+# word-trigram shingles, exploded: (doc_id, shingle)
+def _shingles(df: DataFrame) -> DataFrame:
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), n - 3)
+    sh = F.transform(idx, lambda i: F.concat_ws(
+        " ", F.element_at(words, i + 1), F.element_at(words, i + 2),
+        F.element_at(words, i + 3)))
+    return (df.where(n >= 3)
+              .select("doc_id", F.explode(sh).alias("shingle")))
+
+
+_DUCK_SHINGLES = """
+  SELECT doc_id, unnest([
+      array_to_string(words[i+1:i+3], ' ')
+      for i in range(0, len(words) - 2)
+  ]) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+  WHERE len(words) >= 3
+"""
+
+# fixed HTML wrappers for the parse queries (no specials in documents.text,
+# verified: no &, <, >, tabs, newlines, double or edge spaces at any SF)
+_WRAP_PLAIN = ("<html><head><title></title></head><body><p>", "</p></body></html>")
+_WRAP_ENTITY = ("<p>&lt; ", " &amp; &#65;</p>")
+_WRAP_STRUCT = (
+    '<html><head><title>t</title></head><body><nav><a href="x">l</a></nav><p>',
+    "</p></body></html>",
+)
+
+
+def _parse_docs(spark, sf_dir, pre: str, post: str) -> DataFrame:
+    """Wrap documents.text in HTML (JVM-side concat) and run the engine's
+    vectorized parse.  At scale this is the flagship plan: columnar scan ->
+    salted shuffle -> mapInPandas; here the input is small enough that the
+    wrap stays in the scan stage."""
+    import pandas as pd
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit(pre), F.col("text"), F.lit(post)).alias("page"),
+    )
+
+    def run(batches):
+        from .extract import extract_doc
+
+        for pdf in batches:
+            out = [extract_doc(h.encode("utf-8")) for h in pdf["page"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "text": [r["text"] for r in out],
+                "main_text": [r["main_text"] for r in out],
+                "n_elements": pd.array([r["n_elements"] for r in out], dtype="int32"),
+                "n_text_nodes": pd.array([r["n_text_nodes"] for r in out], dtype="int32"),
+                "parse_ok": [r["parse_ok"] for r in out],
+            })
+
+    schema = ("doc_id long, text string, main_text string, n_elements int, "
+              "n_text_nodes int, parse_ok boolean")
+    return docs.mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# the registry: name -> (builder, oracle_sql | None)
+
+def q_html_parse_extract(spark, sf_dir):
+    """Flagship: byte-identical extraction through the full engine path."""
+    pre, post = _WRAP_PLAIN
+    return _parse_docs(spark, sf_dir, pre, post).select("doc_id", "text")
+
+
+SQL_HTML_PARSE_EXTRACT = "SELECT doc_id, text FROM documents"
+
+
+def q_html_parse_entities(spark, sf_dir):
+    """Entity decoding + charref quirks through the distributed path."""
+    pre, post = _WRAP_ENTITY
+    return _parse_docs(spark, sf_dir, pre, post).select("doc_id", "text")
+
+
+SQL_HTML_PARSE_ENTITIES = "SELECT doc_id, '< ' || text || ' & A' AS text FROM documents"
+
+
+def q_html_node_stats(spark, sf_dir):
+    """Structural counts + boilerplate strip (nav dropped from main_text)."""
+    pre, post = _WRAP_STRUCT
+    return _parse_docs(spark, sf_dir, pre, post).select(
+        "doc_id", "n_elements", "n_text_nodes", "main_text")
+
+
+SQL_HTML_NODE_STATS = """
+SELECT doc_id,
+       7  AS n_elements,
+       3  AS n_text_nodes,
+       't' || chr(10) || text AS main_text
+FROM documents
+"""
+
+
+def q_rel_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: partial-agg-friendly hash aggregate on 2 low-card
+    keys.  At 10^12 rows: map-side combine shrinks the shuffle to
+    #keys x #tasks rows; integer-cents arithmetic keeps it overflow-safe
+    (sum < 2^63) and oracle-exact."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("sum_base_cents"),
+            F.sum(_cents(F.col("l_extendedprice"))
+                  * (100 - _cents(F.col("l_discount")))).alias("sum_disc_scaled"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_REL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+       SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS sum_disc_scaled,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_rel_top_revenue_nations(spark, sf_dir):
+    """TPC-H Q5 shape: fact table joins small dims -> broadcast all dims so
+    the only shuffle is the final tiny aggregation.  At 10^12 lineitem rows
+    the plan is scan -> 3 BroadcastHashJoins -> partial agg -> 25-row
+    exchange."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice"))
+                  * (100 - _cents(F.col("l_discount")))).alias("revenue_scaled"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SQL_REL_TOP_REVENUE_NATIONS = """
+SELECT n_name, r_name,
+       SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_scaled,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY n_name, r_name
+"""
+
+
+def q_rel_window_latest_orders(spark, sf_dir):
+    """Window function: latest 3 orders per customer.  One shuffle on
+    o_custkey; deterministic tiebreak on o_orderkey so both engines agree."""
+    from pyspark.sql.window import Window
+
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+SQL_REL_WINDOW_LATEST_ORDERS = """
+SELECT o_custkey, o_orderkey, rn FROM (
+  SELECT o_custkey, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+def q_rel_customers_without_orders(spark, sf_dir):
+    """Set op / anti-join (the checkpoint-resume shape): customers with no
+    high-value order, counted per nation.  The filtered key set broadcasts;
+    at scale this becomes a shuffled left-anti which AQE can convert."""
+    c = t(spark, sf_dir, "customer")
+    o = (t(spark, sf_dir, "orders")
+         .where(F.col("o_totalprice") > 150000)
+         .select(F.col("o_custkey").alias("c_custkey")).distinct())
+    n = t(spark, sf_dir, "nation")
+    return (
+        c.join(o, "c_custkey", "left_anti")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+SQL_REL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT n_name, COUNT(*) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_custkey NOT IN (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 150000
+)
+GROUP BY n_name
+"""
+
+
+def q_rel_topk_expensive_parts(spark, sf_dir):
+    """Sort/limit: global top-k via TakeOrderedAndProject (no full sort)."""
+    p = t(spark, sf_dir, "part")
+    return (
+        p.select("p_partkey", "p_name", _cents(F.col("p_retailprice")).alias("price_cents"))
+        .orderBy(F.col("price_cents").desc(), F.col("p_partkey"))
+        .limit(20)
+    )
+
+
+SQL_REL_TOPK_EXPENSIVE_PARTS = """
+SELECT p_partkey, p_name, CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents
+FROM part ORDER BY price_cents DESC, p_partkey LIMIT 20
+"""
+
+
+def q_rel_events_minutely(spark, sf_dir):
+    """Time-bucketed aggregation over the events stream table (the batch
+    analogue of a tumbling-window streaming agg)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("minute", F.col("ts")).alias("minute"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(_cents(F.col("value"))).alias("value_cents"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+SQL_REL_EVENTS_MINUTELY = """
+SELECT date_trunc('minute', ts) AS minute, event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(round(value * 100) AS BIGINT)) AS value_cents,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup suite (documents)
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on md5(text).  At 10^12 docs: map-side
+    partial agg on the 128-bit key, shuffle only distinct hashes."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text")).alias("text_md5"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+_MH_SEEDS = ["s0:", "s1:", "s2:", "s3:"]
+
+
+def q_dedup_minhash_sig(spark, sf_dir):
+    """MinHash signatures over word-trigram shingles: shingle -> 4 seeded
+    md5 minima.  Lexicographic min over hex strings is engine-identical.
+    Scale: explode is map-local; the groupBy shuffles (doc_id, 4x32B)."""
+    sh = _shingles(t(spark, sf_dir, "documents"))
+    aggs = [F.min(F.md5(F.concat(F.lit(s), F.col("shingle")))).alias(f"mh{i}")
+            for i, s in enumerate(_MH_SEEDS)]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+SQL_DEDUP_MINHASH_SIG = f"""
+SELECT doc_id,
+       MIN(md5('s0:' || shingle)) AS mh0,
+       MIN(md5('s1:' || shingle)) AS mh1,
+       MIN(md5('s2:' || shingle)) AS mh2,
+       MIN(md5('s3:' || shingle)) AS mh3
+FROM ({_DUCK_SHINGLES})
+GROUP BY doc_id
+"""
+
+
+def q_dedup_minhash_pairs(spark, sf_dir):
+    """LSH banding: 2 bands of 2 hashes; docs sharing a band value become
+    candidate pairs.  The join key is the band hash -> candidates without
+    any all-pairs comparison (the 10^12-scale near-dup path)."""
+    sig = q_dedup_minhash_sig(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        F.concat_ws("|", "mh0", "mh1").alias("b0"),
+        F.concat_ws("|", "mh2", "mh3").alias("b1"),
+    )
+    stacked = bands.select("doc_id", F.explode(F.array("b0", "b1")).alias("band"))
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+SQL_DEDUP_MINHASH_PAIRS = f"""
+WITH sig AS ({SQL_DEDUP_MINHASH_SIG}),
+bands AS (
+  SELECT doc_id, unnest([mh0 || '|' || mh1, mh2 || '|' || mh3]) AS band FROM sig
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+"""
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """16-bit SimHash: per-word md5, bit j = parity of hex char j, majority
+    vote per document.  Pure string/integer ops -> engine-exact."""
+    d = t(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    w = w.withColumn("h", F.md5("word"))
+    votes = [F.sum(F.ascii(F.substring("h", j + 1, 1)) % 2 * 2 - 1).alias(f"v{j}")
+             for j in range(16)]
+    agg = w.groupBy("doc_id").agg(*votes)
+    bits = sum(
+        (F.when(F.col(f"v{j}") > 0, 1 << j).otherwise(0) for j in range(16)),
+        F.lit(0),
+    )
+    return agg.select("doc_id", bits.cast("int").alias("simhash16"))
+
+
+SQL_DEDUP_SIMHASH = """
+WITH w AS (
+  SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents
+), v AS (
+  SELECT doc_id,
+         {votes}
+  FROM w GROUP BY doc_id
+)
+SELECT doc_id, CAST({bits} AS INT) AS simhash16 FROM v
+""".format(
+    votes=",\n         ".join(
+        f"SUM(ascii(substr(h, {j + 1}, 1)) % 2 * 2 - 1) AS v{j}" for j in range(16)
+    ),
+    bits=" + ".join(f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16)),
+)
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """n-gram Jaccard against a probe set (doc_id % 97 == 0): exploded
+    shingle equi-join -> exact intersection/union counts (no floats).
+    Scale path: the probe side broadcasts; the big side never self-joins."""
+    sh = _shingles(t(spark, sf_dir, "documents"))
+    sizes = sh.groupBy("doc_id").agg(F.countDistinct("shingle").alias("n_sh"))
+    probes = sh.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("probe_id"), "shingle").distinct()
+    inter = (
+        sh.select("doc_id", "shingle").distinct()
+        .join(F.broadcast(probes), "shingle")
+        .where(F.col("probe_id") != F.col("doc_id"))
+        .groupBy("probe_id", "doc_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    pa = sizes.select(F.col("doc_id").alias("probe_id"), F.col("n_sh").alias("n_a"))
+    pb = sizes.select(F.col("doc_id").alias("doc_id"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(F.broadcast(pa), "probe_id").join(pb, "doc_id")
+        .where(F.col("n_common") >= 1)
+        .select("probe_id", "doc_id", "n_common",
+                (F.col("n_a") + F.col("n_b") - F.col("n_common")).alias("n_union"))
+    )
+
+
+SQL_DEDUP_NGRAM_JACCARD = f"""
+WITH sh AS ({_DUCK_SHINGLES}),
+d AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, COUNT(DISTINCT shingle) AS n_sh FROM sh GROUP BY doc_id),
+probes AS (SELECT DISTINCT doc_id AS probe_id, shingle FROM sh WHERE doc_id % 97 = 0),
+inter AS (
+  SELECT p.probe_id, d.doc_id, COUNT(*) AS n_common
+  FROM d JOIN probes p USING (shingle)
+  WHERE p.probe_id != d.doc_id
+  GROUP BY 1, 2
+)
+SELECT probe_id, inter.doc_id AS doc_id, n_common,
+       (sa.n_sh + sb.n_sh - n_common) AS n_union
+FROM inter
+JOIN sizes sa ON sa.doc_id = probe_id
+JOIN sizes sb ON sb.doc_id = inter.doc_id
+WHERE n_common >= 1
+"""
+
+
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding near-dup: probe rows (vec_id % 100 == 0) vs all vectors,
+    cosine in double with identical fold order both engines, emitted as a
+    round(1e4)-scaled int.  Scale: probes broadcast; full side streams."""
+    e = t(spark, sf_dir, "embeddings")
+    probes = e.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe"))
+    pairs = e.crossJoin(F.broadcast(probes)).where(F.col("probe_id") != F.col("vec_id"))
+    cos = _cos_expr(F.col("pe"), F.col("embedding"))
+    return (
+        pairs.select("probe_id", "vec_id",
+                     F.round(cos * 10000).cast("int").alias("cos_e4"))
+        .where(F.col("cos_e4") >= 2000)
+    )
+
+
+SQL_DEDUP_EMBEDDING_COSINE = f"""
+WITH probes AS (
+  SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id % 100 = 0
+)
+SELECT probe_id, vec_id,
+       CAST(round({_duck_cos('pe', 'embedding')} * 10000) AS INT) AS cos_e4
+FROM embeddings, probes
+WHERE probe_id != vec_id
+  AND CAST(round({_duck_cos('pe', 'embedding')} * 10000) AS INT) >= 2000
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search (embeddings)
+
+def q_sim_topk_bruteforce(spark, sf_dir):
+    """ANN baseline: brute-force cosine top-5 for each probe vector.
+    Deterministic ordering: (scaled cosine desc, vec_id).  At scale: probes
+    broadcast, map-side partial top-k via window over shuffled probe_id."""
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "embeddings")
+    probes = e.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe"))
+    cos = _cos_expr(F.col("pe"), F.col("embedding"))
+    scored = (
+        e.crossJoin(F.broadcast(probes))
+        .where(F.col("probe_id") != F.col("vec_id"))
+        .select("probe_id", "vec_id", F.round(cos * 10000).cast("int").alias("cos_e4"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_e4").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("probe_id", "rank", "vec_id", "cos_e4")
+    )
+
+
+SQL_SIM_TOPK_BRUTEFORCE = f"""
+WITH probes AS (
+  SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id % 100 = 0
+), scored AS (
+  SELECT probe_id, vec_id,
+         CAST(round({_duck_cos('pe', 'embedding')} * 10000) AS INT) AS cos_e4
+  FROM embeddings, probes WHERE probe_id != vec_id
+)
+SELECT probe_id, rank, vec_id, cos_e4 FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                               ORDER BY cos_e4 DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+def q_sim_lsh_buckets(spark, sf_dir):
+    """Sign-LSH scale path: bucket on the sign pattern of the first 4 dims,
+    compare only within buckets.  The 10^12-scale plan replaces the cross
+    join with an equi-join on the bucket key."""
+    e = t(spark, sf_dir, "embeddings")
+    bucket = F.concat(*[
+        F.when(F.element_at("embedding", d + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for d in range(4)
+    ])
+    eb = e.select("vec_id", "embedding", bucket.alias("bucket"))
+    a = eb.alias("a")
+    b = eb.alias("b")
+    cos = _cos_expr(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"),
+                F.round(cos * 10000).cast("int").alias("cos_e4"))
+        .where(F.col("cos_e4") >= 5000)
+    )
+
+
+SQL_SIM_LSH_BUCKETS = f"""
+WITH eb AS (
+  SELECT vec_id, embedding,
+         (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
+          CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END ||
+          CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END ||
+          CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       CAST(round({_duck_cos('a.embedding', 'b.embedding')} * 10000) AS INT) AS cos_e4
+FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE CAST(round({_duck_cos('a.embedding', 'b.embedding')} * 10000) AS INT) >= 5000
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis (documents)
+
+_STOPWORDS = "the a and of to in is on for with".split()
+_LANG_MARKERS = {
+    "en": ["the", "and", "with", "for"],
+    "de": ["der", "und", "mit", "für"],
+    "fr": ["le", "et", "avec", "pour"],
+    "es": ["el", "y", "con", "para"],
+}
+
+
+def q_text_quality(spark, sf_dir):
+    """Quality scoring: exact integer counts (chars, words, stopwords,
+    digits) — ratio thresholds applied downstream stay engine-exact."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(words).alias("n_words"),
+        n_stop.alias("n_stopwords"),
+        F.length(F.regexp_replace("text", r"[^0-9]", "")).alias("n_digit_chars"),
+    )
+
+
+SQL_TEXT_QUALITY = """
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(string_split(text, ' ')) AS n_words,
+       len(list_filter(string_split(text, ' '),
+           w -> list_contains(['the','a','and','of','to','in','is','on','for','with'], w)))
+         AS n_stopwords,
+       length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit_chars
+FROM documents
+"""
+
+
+def q_text_lang_id(spark, sf_dir):
+    """Language-ID heuristic: marker-word votes per language, argmax with
+    fixed tiebreak order.  (The synthetic corpus is English-ish; the point
+    is the operator shape, not the classifier.)"""
+    d = t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    scores = []
+    for lang, markers in _LANG_MARKERS.items():
+        arr = F.array(*[F.lit(w) for w in markers])
+        scores.append(F.size(F.filter(words, lambda w: F.array_contains(arr, w))).alias(f"s_{lang}"))
+    scored = d.select("doc_id", *scores)
+    best = F.greatest(*[F.col(f"s_{l}") for l in _LANG_MARKERS])
+    pick = F.when(F.col("s_en") == best, "en")
+    for l in ("de", "fr", "es"):
+        pick = pick.when(F.col(f"s_{l}") == best, l)
+    return scored.select("doc_id", pick.alias("lang_guess"),
+                         best.alias("best_score"))
+
+
+SQL_TEXT_LANG_ID = """
+WITH s AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text,' '), w -> list_contains(['the','and','with','for'], w))) AS s_en,
+         len(list_filter(string_split(text,' '), w -> list_contains(['der','und','mit','für'], w))) AS s_de,
+         len(list_filter(string_split(text,' '), w -> list_contains(['le','et','avec','pour'], w))) AS s_fr,
+         len(list_filter(string_split(text,' '), w -> list_contains(['el','y','con','para'], w))) AS s_es
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+            WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+            WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+            ELSE 'es' END AS lang_guess,
+       greatest(s_en, s_de, s_fr, s_es) AS best_score
+FROM s
+"""
+
+
+def q_text_token_count(spark, sf_dir):
+    """Token counting: whitespace tokens + BPE-ish regex pieces
+    (letter-runs, digit-runs, single punctuation)."""
+    d = t(spark, sf_dir, "documents")
+    pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.regexp_count("text", F.lit(pat)).alias("bpeish_tokens"),
+    )
+
+
+SQL_TEXT_TOKEN_COUNT = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS bpeish_tokens
+FROM documents
+"""
+
+
+def q_text_fingerprint(spark, sf_dir):
+    """Document fingerprint: word-fold polynomial hash mod 1e9+7 (exact
+    integer arithmetic; the rolling-hash shape used for content-defined
+    chunking at scale)."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    fp = F.aggregate(
+        words,
+        F.lit(0).cast("bigint"),
+        lambda acc, w: (acc * 31 + F.length(w) * 7
+                        + F.ascii(F.substring(w, 1, 1))) % 1000000007,
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))
+
+
+SQL_TEXT_FINGERPRINT = """
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+                      [CAST(length(w) * 7 + ascii(substr(w, 1, 1)) AS BIGINT)
+                       for w in string_split(text, ' ')]),
+         (acc, v) -> (acc * 31 + v) % 1000000007
+       ) AS fingerprint
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (binary columns + typed metadata)
+
+def q_mm_binary_meta(spark, sf_dir):
+    """Multimodal plumbing: documents.text re-encoded as an opaque binary
+    column, metadata extracted batch-wise in a vectorized pandas stage
+    (byte length, 4-byte magic hex, deterministic sample count) — the same
+    shape an image/audio decode UDF takes; the decode itself is stubbed in
+    htmpark.multimodal."""
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload"))
+
+    def meta(batches):
+        for pdf in batches:
+            pays = pdf["payload"]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_bytes": [len(p) for p in pays],
+                "magic_hex": [bytes(p[:4]).hex().upper() for p in pays],
+                "n_samples": [len(p) // 100 for p in pays],
+            })
+
+    return d.mapInPandas(meta, "doc_id long, n_bytes int, magic_hex string, n_samples int")
+
+
+SQL_MM_BINARY_META = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       substr(hex(encode(text)), 1, 8) AS magic_hex,
+       CAST(octet_length(encode(text)) // 100 AS INT) AS n_samples
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+
+REGISTRY = {
+    "html_parse_extract": (q_html_parse_extract, SQL_HTML_PARSE_EXTRACT),
+    "html_parse_entities": (q_html_parse_entities, SQL_HTML_PARSE_ENTITIES),
+    "html_node_stats": (q_html_node_stats, SQL_HTML_NODE_STATS),
+    "rel_pricing_summary": (q_rel_pricing_summary, SQL_REL_PRICING_SUMMARY),
+    "rel_top_revenue_nations": (q_rel_top_revenue_nations, SQL_REL_TOP_REVENUE_NATIONS),
+    "rel_window_latest_orders": (q_rel_window_latest_orders, SQL_REL_WINDOW_LATEST_ORDERS),
+    "rel_customers_without_orders": (q_rel_customers_without_orders, SQL_REL_CUSTOMERS_WITHOUT_ORDERS),
+    "rel_topk_expensive_parts": (q_rel_topk_expensive_parts, SQL_REL_TOPK_EXPENSIVE_PARTS),
+    "rel_events_minutely": (q_rel_events_minutely, SQL_REL_EVENTS_MINUTELY),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_minhash_sig": (q_dedup_minhash_sig, SQL_DEDUP_MINHASH_SIG),
+    "dedup_minhash_pairs": (q_dedup_minhash_pairs, SQL_DEDUP_MINHASH_PAIRS),
+    "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
+    "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING_COSINE),
+    "sim_topk_bruteforce": (q_sim_topk_bruteforce, SQL_SIM_TOPK_BRUTEFORCE),
+    "sim_lsh_buckets": (q_sim_lsh_buckets, SQL_SIM_LSH_BUCKETS),
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "text_lang_id": (q_text_lang_id, SQL_TEXT_LANG_ID),
+    "text_token_count": (q_text_token_count, SQL_TEXT_TOKEN_COUNT),
+    "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
+    "mm_binary_meta": (q_mm_binary_meta, SQL_MM_BINARY_META),
+}

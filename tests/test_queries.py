@@ -1,0 +1,101 @@
+"""Driver-contract queries: registry shape + spot semantic checks + the
+DuckDB oracle gate at sf0.001 (the full gate runs via tools/check_oracle.py
+and the driver at sf0.01)."""
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from htmpark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def test_contract_shape():
+    qs = entrymod.queries()
+    osql = entrymod.oracle_sql()
+    assert len(qs) >= 20
+    assert set(osql) <= set(qs)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+# cheap, JVM-only queries get the full oracle comparison in pytest;
+# the mapInPandas ones are covered by tools/check_oracle.py (slower)
+FAST = [
+    "rel_pricing_summary", "rel_top_revenue_nations", "rel_window_latest_orders",
+    "rel_customers_without_orders", "rel_topk_expensive_parts",
+    "dedup_exact", "text_quality", "text_token_count", "text_fingerprint",
+    "sim_topk_bruteforce",
+]
+
+
+@pytest.mark.parametrize("name", FAST)
+def test_fast_query_matches_oracle(spark, duck, name):
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))) + "/tools")
+    from check_oracle import frame_hash
+
+    fn, sql = REGISTRY[name]
+    sdf = fn(spark, SF)
+    srows = [tuple(r) for r in sdf.collect()]
+    res = duck.execute(sql)
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    assert sorted(sdf.columns) == sorted(dcols)
+    assert len(srows) == len(drows)
+    assert frame_hash(sdf.columns, srows) == frame_hash(dcols, drows)
+
+
+def test_entry_returns_rows(spark):
+    df = entrymod.entry(spark)
+    assert df.columns == ["doc_id", "text"]
+    assert df.count() == 500
+
+
+def test_flagship_parity_against_source(spark):
+    """The flagship's whole point: engine-extracted text == original text."""
+    fn, _ = REGISTRY["html_parse_extract"]
+    got = {r.doc_id: r.text for r in fn(spark, SF).collect()}
+    src = {r.doc_id: r.text
+           for r in spark.read.parquet(f"{SF}/documents.parquet").collect()}
+    assert got == src
+
+
+def test_broadcast_join_in_plan(spark):
+    fn, _ = REGISTRY["rel_top_revenue_nations"]
+    plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # dims must broadcast, never SMJ
+
+
+def test_topk_uses_take_ordered(spark):
+    fn, _ = REGISTRY["rel_topk_expensive_parts"]
+    plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # top-k, not global sort
+
+
+def test_multimodal_stub_and_plumbing(spark):
+    from htmpark import multimodal as mm
+
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"\x89PNG1234")
+    assert mm.sniff_mime(b"\x89PNGxxxx") == "image/png"
+    assert mm.frame_sample_indices(100, 4) == [0, 25, 50, 75]
+    assert mm.frame_sample_indices(2, 5) == [0, 1]
+
+    df = spark.range(20).select(
+        F.col("id"), F.encode(F.concat(F.lit("payload"), F.col("id")), "UTF-8").alias("payload"))
+    out = mm.image_meta_stage(df, fake=True).collect()
+    assert len(out) == 20
+    assert all(r.mime == "application/octet-stream" for r in out)
+    assert all(r.height >= 1 and r.width >= 1 for r in out)

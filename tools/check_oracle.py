@@ -1,0 +1,116 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Runs each queries() entry on Spark AND its oracle_sql() on DuckDB over the
+same parquet tables, comparing row count + column names + an
+order-insensitive value hash (columns sorted by name, rows sorted, values
+stringified).  Usage:
+
+    python tools/check_oracle.py [query ...] [--sf /root/testdata/sf0.01]
+"""
+import argparse
+import hashlib
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm_cell(v):
+    import datetime
+    import math
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(round(v, 6))
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    return str(v)
+
+
+def frame_hash(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("\x1f".join(norm_cell(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode("utf-8", "surrogateescape"))
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("queries", nargs="*")
+    ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    args = ap.parse_args()
+
+    import duckdb
+
+    from htmpark.job import build_session
+    from htmpark.queries import REGISTRY
+
+    con = duckdb.connect()
+    for tbl in TABLES:
+        con.execute(
+            f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{args.sf}/{tbl}.parquet')"
+        )
+
+    spark = build_session("local[8]", shuffle_partitions=8, app_name="oracle-check")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = args.queries or list(REGISTRY)
+    failures = 0
+    for name in names:
+        fn, sql = REGISTRY[name]
+        try:
+            sdf = fn(spark, args.sf)
+            srows = [tuple(r) for r in sdf.collect()]
+            scols = sdf.columns
+        except Exception as e:
+            print(f"FAIL  {name:32s} spark error: {e}")
+            failures += 1
+            continue
+        if sql is None:
+            print(f"OK?   {name:32s} rows={len(srows)} (no oracle: rows-only)")
+            continue
+        try:
+            res = con.execute(sql)
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL  {name:32s} duckdb error: {e}")
+            failures += 1
+            continue
+        problems = []
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"schema {scols} vs {dcols}")
+        if len(srows) != len(drows):
+            problems.append(f"rows {len(srows)} vs {len(drows)}")
+        if not problems:
+            sh, dh = frame_hash(scols, srows), frame_hash(dcols, drows)
+            if sh != dh:
+                problems.append("value-hash mismatch")
+                # show a diff sample
+                sset = {tuple(norm_cell(v) for v in r) for r in srows}
+                dset = {tuple(norm_cell(v) for v in r) for r in drows}
+                only_s = list(sset - dset)[:2]
+                only_d = list(dset - sset)[:2]
+                problems.append(f"spark-only={only_s} duck-only={only_d}")
+        if problems:
+            print(f"FAIL  {name:32s} " + "; ".join(problems))
+            failures += 1
+        else:
+            print(f"OK    {name:32s} rows={len(srows)}")
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "e2e_bench_seconds", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <float>,
+   "pages_per_sec": <extraction throughput on the synthetic web corpus>}
+
+Every query is materialized through the noop sink (all columns computed,
+nothing collected to the driver).  The extraction headline parses a
+deterministic ~2.3KB/page synthetic web corpus sized to the SF.
+"""
+import json
+import os
+import sys
+import time
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from htmpark.corpus import synthesize_pages
+    from htmpark.job import build_session, extract_pages
+    from htmpark.queries import REGISTRY
+
+    spark = build_session(f"local[{cpus}]", shuffle_partitions=max(cpus, 32),
+                          app_name="htmpark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def materialize(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    # warm the JVM + Python workers once (excluded from timings)
+    materialize(extract_pages(synthesize_pages(spark, 256, body_repeat=12)))
+
+    timings = {}
+
+    # headline: synthetic web-corpus extraction, sized to SF
+    n_pages = max(2000, int(200_000 * sf))
+    corpus = synthesize_pages(spark, n_pages, body_repeat=12)
+    t0 = time.time()
+    materialize(extract_pages(corpus, salt_buckets=8, num_partitions=cpus * 2))
+    dt = time.time() - t0
+    timings["extract_corpus"] = round(dt, 3)
+    pages_per_sec = round(n_pages / dt, 1)
+
+    for name, (fn, _sql) in REGISTRY.items():
+        t0 = time.time()
+        materialize(fn(spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "e2e_bench_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "pages_per_sec": pages_per_sec,
+        "bench_pages": n_pages,
+        "cpus": cpus,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -45,11 +45,17 @@ FRAGMENTS = [
 LANGS = ["en", "de", "fr", "es", "pt", "zh"]
 
 
-def page_html_expr(i_col):
-    """Catalyst expression assembling the page for row index ``i_col``."""
+def page_html_expr(i_col, body_repeat: int = 1):
+    """Catalyst expression assembling the page for row index ``i_col``.
+
+    ``body_repeat`` tiles the body fragment to reach realistic page sizes
+    (~2-4 KB at 12x) for throughput benchmarks; correctness fixtures use 1.
+    """
     frags = F.array(*[F.lit(f) for f in FRAGMENTS])
     body = F.element_at(frags, (i_col % len(FRAGMENTS) + 1).cast("int"))
     body = F.replace(body, F.lit("{i}"), i_col.cast("string"))
+    if body_repeat > 1:
+        body = F.repeat(body, body_repeat)
     return F.concat(
         F.lit("<!DOCTYPE html><html><head><title>T"),
         i_col.cast("string"),
@@ -59,7 +65,8 @@ def page_html_expr(i_col):
     )
 
 
-def synthesize_pages(spark: SparkSession, n_rows: int, partitions: int | None = None) -> DataFrame:
+def synthesize_pages(spark: SparkSession, n_rows: int, partitions: int | None = None,
+                     body_repeat: int = 1) -> DataFrame:
     """Deterministic (url, warc_ts, html, text, lang) table of n_rows pages."""
     df = spark.range(0, n_rows, 1, partitions or spark.sparkContext.defaultParallelism)
     i = F.col("id")
@@ -74,7 +81,7 @@ def synthesize_pages(spark: SparkSession, n_rows: int, partitions: int | None = 
         url.alias("url"),
         (F.lit("2025-01-01 00:00:00").cast("timestamp")
          + F.make_dt_interval(secs=i.cast("double"))).alias("warc_ts"),
-        F.encode(page_html_expr(i), "UTF-8").alias("html"),
+        F.encode(page_html_expr(i, body_repeat), "UTF-8").alias("html"),
         F.lit("").alias("text"),
         F.element_at(F.array(*[F.lit(x) for x in LANGS]),
                      (i % len(LANGS) + 1).cast("int")).alias("lang"),

@@ -131,6 +131,46 @@ _BODY_STRAY = frozenset(
 _TABLEISH = frozenset(("table", "tbody", "tfoot", "thead", "tr"))  # :2536-2541
 _IMPLIED_END = frozenset("dd dt li optgroup option p rb rp rt rtc".split())  # :3408-3434
 
+# in_body start/end tag -> action code, built in REFERENCE CLAUSE ORDER with
+# first-wins semantics (e.g. noscript hits the head-text clause :2170 before
+# the body-text clause :2420).
+_BODY_START_CODE: dict = {}
+for _names, _code in (
+    (("html", "body", "frameset"), 1),
+    (_HEAD_TEXT_TAGS, 2),
+    (tuple(_HEAD_VOID) + ("template",), 3),
+    (_BLOCK_START, 4),
+    (_HEADINGS, 5),
+    (("li", "dd", "dt"), 6),
+    (("table",), 7),
+    (("image",), 8),
+    (_BODY_VOID, 9),
+    (_BODY_TEXT_TAGS, 10),
+    (("select",), 11),
+    (("optgroup", "option"), 12),
+    (("rb", "rtc"), 13),
+    (("rp", "rt"), 14),
+    (("math",), 15),
+    (("svg",), 16),
+    (_BODY_STRAY, 17),
+):
+    for _n in _names:
+        _BODY_START_CODE.setdefault(_n, _code)
+
+_BODY_END_CODE: dict = {}
+for _names, _code in (
+    (_HEAD_TEXT_TAGS, 1),
+    (("template",), 2),
+    (("body",), 3),
+    (("html",), 4),
+    (_BLOCK_END, 5),
+    (("p",), 6),
+    (_FMT_END, 7),
+    (("br",), 8),
+):
+    for _n in _names:
+        _BODY_END_CODE.setdefault(_n, _code)
+
 
 def norm_whitespaces(buff: str) -> str:
     """Whitespace collapse at text-flush time (:84-91).
@@ -138,6 +178,9 @@ def norm_whitespaces(buff: str) -> str:
     Split on exactly \\n, space, \\t (NOT \\f — Q2), drop empties, join with
     single spaces.  A ws-only buffer collapses to '' (Q3).
     """
+    if ("\n" not in buff and "\t" not in buff and "  " not in buff
+            and not buff.startswith(" ") and not buff.endswith(" ")):
+        return buff  # already collapsed (C-speed scan beats split/join)
     parts = buff.replace("\n", " ").replace("\t", " ").split(" ")
     return " ".join(p for p in parts if p)
 
@@ -317,6 +360,8 @@ class TreeBuilder:
     # ---- element emission (:3497-3579) ----
 
     def _make_atts(self, ns: str, attrs):
+        if not attrs:
+            return []
         out = []
         for an, av in attrs:
             if an == "xmlns":  # dropped silently (Q11, :3511,3538,3567)
@@ -610,151 +655,148 @@ class TreeBuilder:
         if kind == T_CHAR:
             self.text.append(a)
             return False
+        if kind == T_START:
+            code = _BODY_START_CODE.get(a, 0)
+            if code == 0:
+                # unknown tag: added in current namespace (:2493-2503)
+                self.maybe_pop_text()
+                ns = self.ns_stack[-1] if self.ns_stack else "html"
+                if ns == "html":
+                    self.add_html_element(a, b, c)
+                elif ns == "mathml":
+                    self.add_math_element(a, b, c)
+                else:
+                    self.add_svg_element(a, b, c)
+                return False
+            if code == 4:  # block/formatting start (:2221-2270)
+                self.maybe_pop_text()
+                self.add_html_element(a, b, c)
+                return False
+            if code == 9:  # void (:2406-2419)
+                self.maybe_pop_text()
+                self.add_html_element(a, b, True)
+                return False
+            if code == 1:  # html/body/frameset: ignored, Q23 (:2164-2169)
+                return False
+            if code == 2:  # head text tags (:2170-2182)
+                self.maybe_pop_text()
+                self.add_html_element(a, b, c)
+                self.orig_mode = IN_BODY
+                self.mode = TEXT
+                return False
+            if code == 3:  # head void + template (:2192-2203)
+                self.maybe_pop_text()
+                self._redisp(IN_HEAD, kind, a, b, c, restore=IN_BODY)
+                return False
+            if code == 5:  # headings (:2271-2294, Q17)
+                self.maybe_pop_text()
+                cur = self._current()
+                if cur in _HEADINGS:
+                    self.pop_all_to_tag(cur)
+                self.add_html_element(a, b, c)
+                return False
+            if code == 6:  # li/dd/dt (:2295-2309, Q17)
+                self.maybe_pop_text()
+                if self._current() == a:
+                    self.pop_all_to_tag(a)
+                self.add_html_element(a, b, c)
+                return False
+            if code == 7:  # table (:2392-2395)
+                self.maybe_pop_text()
+                self.add_html_element(a, b, c)
+                self.mode = IN_TABLE
+                return False
+            if code == 8:  # image -> img, Q19 (:2404-2405)
+                return self._in_body(T_START, "img", b, c)
+            if code == 10:  # body text tags (:2420-2432)
+                self.maybe_pop_text()
+                self.add_html_element(a, b, c)
+                self.orig_mode = IN_BODY
+                self.mode = TEXT
+                return False
+            if code == 11:  # select (:2433-2436)
+                self.maybe_pop_text()
+                self.add_html_element(a, b, c)
+                self.mode = IN_SELECT
+                return False
+            if code == 12:  # optgroup/option (:2437-2446)
+                self.maybe_pop_text()
+                if self._current() == "option":
+                    self.pop_all_to_tag("option")
+                self.add_html_element(a, b, c)
+                return False
+            if code == 13:  # rb/rtc (:2447-2457)
+                self.maybe_pop_text()
+                if self._is_open("ruby"):
+                    self.generate_implied_end_tags()
+                self.add_html_element(a, b, c)
+                return False
+            if code == 14:  # rp/rt (:2458-2468)
+                self.maybe_pop_text()
+                if self._is_open("ruby"):
+                    self.generate_implied_end_tags("rtc")
+                self.add_html_element(a, b, c)
+                return False
+            if code == 15:  # math (:2469-2473)
+                self.maybe_pop_text()
+                self.sink.start_prefix_mapping("", MATH_NS)
+                self.add_math_element(a, b, c)
+                return False
+            if code == 16:  # svg (:2474-2478)
+                self.maybe_pop_text()
+                self.sink.start_prefix_mapping("", SVG_NS)
+                self.add_svg_element(a, b, c)
+                return False
+            return False  # code 17: stray table tags dropped (:2479-2492)
+        if kind == T_END:
+            code = _BODY_END_CODE.get(a, 0)
+            if code == 0:
+                # catch-all end tag: pop by current namespace (:2504-2513)
+                self.maybe_pop_text()
+                ns = self.ns_stack[-1] if self.ns_stack else "html"
+                self.pop_all_to_tag(a if ns == "html" else (ns, a))
+                return False
+            if code == 5 or code == 7:  # block/formatting end (Q12)
+                self.maybe_pop_text()
+                if self._is_open(a):
+                    self.pop_all_to_tag(a)
+                return False
+            if code == 6:  # </p>, Q18 (:2346-2356)
+                self.maybe_pop_text()
+                if not self._is_open("p"):
+                    self.add_html_element("p", [], False)
+                self.pop_all_to_tag("p")
+                return False
+            if code == 1:  # head text tags (:2183-2191)
+                self.maybe_pop_text()
+                self.pop_all_to_tag(a)
+                return False
+            if code == 2:  # template (:2204-2207)
+                self.maybe_pop_text()
+                self._redisp(IN_HEAD, kind, a, b, c, restore=IN_BODY)
+                return False
+            if code == 3:  # </body> (:2211-2215)
+                self.maybe_pop_text()
+                self.pop_all_to_tag("body")
+                self.mode = AFTER_BODY
+                return False
+            if code == 4:  # </html> (:2216-2220)
+                self.maybe_pop_text()
+                self.pop_all_to_tag("body")
+                self.mode = AFTER_BODY
+                return True
+            # code 8: </br> -> void br, Q19 (:2396-2403); NO text flush
+            self.add_html_element("br", b or [], True)
+            return False
         if kind == T_COMMENT:
             self.maybe_pop_text()
             self.sink.comment(a)
             return False
         if kind == T_DOCTYPE:
             return False
-        if kind == T_EOF:
-            self.pop_all()
-            self._finish()
-            return False
-        if kind == T_START:
-            if a in ("html", "body", "frameset"):
-                return False  # attributes NOT merged (Q23, :2164-2169)
-            if a in _HEAD_TEXT_TAGS:
-                self.maybe_pop_text()
-                self.add_html_element(a, b, c)
-                self.orig_mode = IN_BODY
-                self.mode = TEXT
-                return False
-            if a in _HEAD_VOID or a == "template":
-                self.maybe_pop_text()
-                self._redisp(IN_HEAD, kind, a, b, c, restore=IN_BODY)
-                return False
-            if a in _BLOCK_START:
-                self.maybe_pop_text()
-                self.add_html_element(a, b, c)
-                return False
-            if a in _HEADINGS:
-                self.maybe_pop_text()
-                cur = self._current()
-                if cur in _HEADINGS:  # any open heading closes (Q17)
-                    self.pop_all_to_tag(cur)
-                self.add_html_element(a, b, c)
-                return False
-            if a in ("li", "dd", "dt"):
-                self.maybe_pop_text()
-                if self._current() == a:  # same-name current only (Q17)
-                    self.pop_all_to_tag(a)
-                self.add_html_element(a, b, c)
-                return False
-            if a == "table":
-                self.maybe_pop_text()
-                self.add_html_element(a, b, c)
-                self.mode = IN_TABLE
-                return False
-            if a == "image":  # Q19 (:2404-2405)
-                return self._in_body(T_START, "img", b, c)
-            if a in _BODY_VOID:
-                self.maybe_pop_text()
-                self.add_html_element(a, b, True)
-                return False
-            if a in _BODY_TEXT_TAGS:
-                self.maybe_pop_text()
-                self.add_html_element(a, b, c)
-                self.orig_mode = IN_BODY
-                self.mode = TEXT
-                return False
-            if a == "select":
-                self.maybe_pop_text()
-                self.add_html_element(a, b, c)
-                self.mode = IN_SELECT
-                return False
-            if a in ("optgroup", "option"):
-                self.maybe_pop_text()
-                if self._current() == "option":
-                    self.pop_all_to_tag("option")
-                self.add_html_element(a, b, c)
-                return False
-            if a in ("rb", "rtc"):
-                self.maybe_pop_text()
-                if self._is_open("ruby"):
-                    self.generate_implied_end_tags()
-                self.add_html_element(a, b, c)
-                return False
-            if a in ("rp", "rt"):
-                self.maybe_pop_text()
-                if self._is_open("ruby"):
-                    self.generate_implied_end_tags("rtc")
-                self.add_html_element(a, b, c)
-                return False
-            if a == "math":
-                self.maybe_pop_text()
-                self.sink.start_prefix_mapping("", MATH_NS)
-                self.add_math_element(a, b, c)
-                return False
-            if a == "svg":
-                self.maybe_pop_text()
-                self.sink.start_prefix_mapping("", SVG_NS)
-                self.add_svg_element(a, b, c)
-                return False
-            if a in _BODY_STRAY:
-                return False
-            # unknown tag: added in current namespace (:2493-2503)
-            self.maybe_pop_text()
-            ns = self.ns_stack[-1] if self.ns_stack else "html"
-            if ns == "html":
-                self.add_html_element(a, b, c)
-            elif ns == "mathml":
-                self.add_math_element(a, b, c)
-            else:
-                self.add_svg_element(a, b, c)
-            return False
-        # T_END
-        if a in _HEAD_TEXT_TAGS:
-            self.maybe_pop_text()
-            self.pop_all_to_tag(a)
-            return False
-        if a == "template":
-            self.maybe_pop_text()
-            self._redisp(IN_HEAD, kind, a, b, c, restore=IN_BODY)
-            return False
-        if a == "body":
-            self.maybe_pop_text()
-            self.pop_all_to_tag("body")
-            self.mode = AFTER_BODY
-            return False
-        if a == "html":
-            self.maybe_pop_text()
-            self.pop_all_to_tag("body")
-            self.mode = AFTER_BODY
-            return True
-        if a in _BLOCK_END:
-            self.maybe_pop_text()
-            if self._is_open(a):
-                self.pop_all_to_tag(a)
-            return False
-        if a == "p":  # Q18 (:2346-2356)
-            self.maybe_pop_text()
-            if not self._is_open("p"):
-                self.add_html_element("p", [], False)
-            self.pop_all_to_tag("p")
-            return False
-        if a in _FMT_END:  # no adoption agency (Q12)
-            self.maybe_pop_text()
-            if self._is_open(a):
-                self.pop_all_to_tag(a)
-            return False
-        if a == "br":  # Q19 (:2396-2403); NOTE: no text flush here
-            self.add_html_element("br", b or [], True)
-            return False
-        # catch-all end tag: pop by current namespace (:2504-2513)
-        self.maybe_pop_text()
-        ns = self.ns_stack[-1] if self.ns_stack else "html"
-        name = a if ns == "html" else (ns, a)
-        self.pop_all_to_tag(name)
+        # T_EOF (:2208-2210)
+        self.pop_all()
+        self._finish()
         return False
 
     def _text(self, kind, a, b, c):  # :2518-2531
@@ -1702,6 +1744,17 @@ class Parser:
             if c == "/":
                 return self._end_tag_open(s, pos + 1)
             if "a" <= c <= "z" or "A" <= c <= "Z":
+                # fast path: plain `<name>` with no attributes
+                m = _RE_LOWER_NAME.match(s, pos)
+                if m is not None:
+                    e = m.end()
+                    if e < n and s[e] == ">":
+                        self.tok_is_end = False
+                        self.tok_name = m.group()
+                        self.tok_selfclosing = False
+                        self.tok_attrs = []
+                        self._emit_tag()
+                        return e + 1
                 self.tok_is_end = False
                 self.tok_name = ""
                 self.tok_selfclosing = False
@@ -1718,6 +1771,17 @@ class Parser:
         if pos < n:
             c = s[pos]
             if "a" <= c <= "z" or "A" <= c <= "Z":
+                # fast path: plain `</name>`
+                m = _RE_LOWER_NAME.match(s, pos)
+                if m is not None:
+                    e = m.end()
+                    if e < n and s[e] == ">":
+                        self.tok_is_end = True
+                        self.tok_name = m.group()
+                        self.tok_selfclosing = False
+                        self.tok_attrs = []
+                        self._emit_tag()
+                        return e + 1
                 self.tok_is_end = True
                 self.tok_name = ""
                 self.tok_selfclosing = False
@@ -2305,6 +2369,9 @@ class Parser:
 _TAG_TERM = frozenset(" \t\n\f/>\x00")
 
 
+_RE_LOWER_NAME = re.compile(r"[a-z][a-z0-9]*")
+
+
 def _scan_tag_name(s: str, pos: int, n: int):
     """tag_name_1/tag_name_2 (:301-346) including the lowercasing quirk.
 
@@ -2313,6 +2380,13 @@ def _scan_tag_name(s: str, pos: int, n: int):
     char examined by tag_name_2 that is not a terminator is skipped without
     classification (so `<DIv>` keeps the name 'DIv' while `<DIV>` -> 'div').
     """
+    # fast path: the overwhelmingly common all-lowercase name followed by a
+    # terminator involves no tag_name_2 transitions at all
+    m = _RE_LOWER_NAME.match(s, pos)
+    if m is not None:
+        e = m.end()
+        if e >= n or s[e] in _TAG_TERM:
+            return m.group(), e
     i = pos
     in2 = False
     while i < n:

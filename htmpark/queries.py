@@ -164,6 +164,56 @@ FROM documents
 """
 
 
+def q_html_node_table(spark, sf_dir):
+    """Flat parent-pointer DOM as an exploded Spark table (FIXTURES.md §4):
+    one row per SAX-visible node.  The plain wrapper yields a deterministic
+    6-node shape per document, so the oracle can reconstruct it exactly."""
+    import pandas as pd
+
+    pre, post = _WRAP_PLAIN
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.lit(pre), F.col("text"), F.lit(post)).alias("page"))
+
+    def run(batches):
+        from .parser import Parser
+        from .sinks import NodeTableSink
+
+        for pdf in batches:
+            out = {"doc_id": [], "node_id": [], "parent_id": [], "kind": [],
+                   "name": [], "depth": [], "text": []}
+            for did, page in zip(pdf["doc_id"], pdf["page"]):
+                sink = NodeTableSink()
+                Parser().parse(page.encode("utf-8"), sink)
+                for nid, pid, kind, name, ns, attrs, text, depth in sink.rows:
+                    out["doc_id"].append(did)
+                    out["node_id"].append(nid)
+                    out["parent_id"].append(pid)
+                    out["kind"].append(kind)
+                    out["name"].append(name)
+                    out["depth"].append(depth)
+                    out["text"].append(text)
+            yield pd.DataFrame(out)
+
+    schema = ("doc_id long, node_id int, parent_id int, kind string, "
+              "name string, depth int, text string")
+    return docs.mapInPandas(run, schema)
+
+
+SQL_HTML_NODE_TABLE = """
+SELECT d.doc_id, v.node_id, v.parent_id, v.kind, v.name, v.depth,
+       CASE WHEN v.node_id = 5 THEN d.text ELSE '' END AS text
+FROM documents d
+CROSS JOIN (VALUES
+  (0, -1, 'element', 'html',  0),
+  (1,  0, 'element', 'head',  1),
+  (2,  1, 'element', 'title', 2),
+  (3,  0, 'element', 'body',  1),
+  (4,  3, 'element', 'p',     2),
+  (5,  4, 'text',    '',      3)
+) AS v(node_id, parent_id, kind, name, depth)
+"""
+
+
 def q_rel_pricing_summary(spark, sf_dir):
     """TPC-H Q1 shape: partial-agg-friendly hash aggregate on 2 low-card
     keys.  At 10^12 rows: map-side combine shrinks the shuffle to
@@ -757,6 +807,7 @@ REGISTRY = {
     "html_parse_extract": (q_html_parse_extract, SQL_HTML_PARSE_EXTRACT),
     "html_parse_entities": (q_html_parse_entities, SQL_HTML_PARSE_ENTITIES),
     "html_node_stats": (q_html_node_stats, SQL_HTML_NODE_STATS),
+    "html_node_table": (q_html_node_table, SQL_HTML_NODE_TABLE),
     "rel_pricing_summary": (q_rel_pricing_summary, SQL_REL_PRICING_SUMMARY),
     "rel_top_revenue_nations": (q_rel_top_revenue_nations, SQL_REL_TOP_REVENUE_NATIONS),
     "rel_window_latest_orders": (q_rel_window_latest_orders, SQL_REL_WINDOW_LATEST_ORDERS),

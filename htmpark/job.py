@@ -135,7 +135,8 @@ def salted_repartition(df: DataFrame, salt_buckets: int = 8,
 
 def extract_pages(df: DataFrame, salt_buckets: int = 8,
                   num_partitions: int | None = None,
-                  preserve_ws: bool = False) -> DataFrame:
+                  preserve_ws: bool = False,
+                  max_html_bytes: int = 16 * 1024 * 1024) -> DataFrame:
     """The core pipeline: (optionally salted-shuffled) vectorized parse.
 
     ``salt_buckets=0`` skips the repartition entirely — the right plan when
@@ -144,9 +145,19 @@ def extract_pages(df: DataFrame, salt_buckets: int = 8,
     wall-clock at 32 cores).  Keep salting ON for host-clustered inputs
     (e.g. re-partitioned-by-domain tables) where one hot host would
     otherwise serialize a task.
+
+    ``max_html_bytes``: pages larger than this are nulled JVM-SIDE, so a
+    pathological multi-GB blob never enters an Arrow batch (an Arrow batch
+    is bounded by maxRecordsPerBatch in ROWS, not bytes — one giant row
+    per 2048-row batch would otherwise OOM an executor at crawl scale).
+    Nulled pages surface as error rows (parse_ok=false, tree_errors=1).
     """
     cols = [c for c in ("url", "warc_ts", "html", "lang") if c in df.columns]
     df = df.select(*cols)  # explicit pruning; Catalyst pushes into the scan
+    if max_html_bytes:
+        df = df.withColumn(
+            "html",
+            F.when(F.length("html") <= max_html_bytes, F.col("html")))
     if salt_buckets > 0:
         df = salted_repartition(df, salt_buckets, num_partitions)
     fn = (lambda it: _parse_batches(it, True)) if preserve_ws else _parse_batches

@@ -248,7 +248,7 @@ class TreeBuilder:
     __slots__ = (
         "sink", "preserve_ws", "mode", "orig_mode", "open_elements",
         "ns_stack", "text", "pre_depth", "finished", "crashed_after_finish",
-        "tree_errors",
+        "tree_errors", "cur_off", "last_off",
     )
 
     def __init__(self, sink, preserve_ws: bool = False):
@@ -263,6 +263,8 @@ class TreeBuilder:
         self.finished = False
         self.crashed_after_finish = False
         self.tree_errors = 0
+        self.cur_off = -1   # source offset of the in-flight start tag's '<'
+        self.last_off = -1  # offset of the element most recently emitted
 
     # -- #chars fast path: bypasses dispatch entirely (emit/2 :3264-3265, Q4)
     def chars(self, data: str) -> None:
@@ -370,7 +372,9 @@ class TreeBuilder:
             out.append((uri, prefix, local, av))
         return out
 
-    def add_html_element(self, name: str, attrs, closing: bool) -> None:
+    def add_html_element(self, name: str, attrs, closing: bool,
+                         implied: bool = False) -> None:
+        self.last_off = -1 if implied else self.cur_off
         atts = self._make_atts("html", attrs)
         self.sink.start_element(HTML_NS, name, atts)
         if closing:
@@ -379,6 +383,7 @@ class TreeBuilder:
             self._push(name)
 
     def add_math_element(self, name: str, attrs, closing: bool) -> None:
+        self.last_off = self.cur_off
         atts = self._make_atts("mathml", attrs)
         self.sink.start_element(MATH_NS, name, atts)
         if closing:
@@ -389,6 +394,7 @@ class TreeBuilder:
 
     def add_svg_element(self, name: str, attrs, closing: bool) -> None:
         # SVG tag names are NOT camelCase-adjusted (Q20, :3553-3579)
+        self.last_off = self.cur_off
         atts = self._make_atts("svg", attrs)
         self.sink.start_element(SVG_NS, name, atts)
         if closing:
@@ -403,11 +409,15 @@ class TreeBuilder:
 
     # ---- dispatch ----
 
-    def dispatch(self, kind: int, a=None, b=None, c=None) -> None:
+    def dispatch(self, kind: int, a=None, b=None, c=None, off: int = -1) -> None:
         """Token router.  a/b/c payloads:
         T_CHAR: a=1-char str | T_COMMENT: a=str | T_DOCTYPE: a,b,c=name,pub,sys
-        T_START: a=name, b=attrs, c=closing | T_END: a=name | T_EOF: -
+        T_START: a=name, b=attrs, c=closing (+off: source offset of '<')
+        T_END: a=name | T_EOF: -
+        Internal re-dispatches keep cur_off (same token, new mode).
         """
+        if kind == T_START and off >= 0:
+            self.cur_off = off
         while True:
             mode = self.mode
             if mode == IN_BODY:
@@ -495,7 +505,7 @@ class TreeBuilder:
 
     def _imply_html(self) -> None:
         self.sink.start_prefix_mapping("", HTML_NS)
-        self.add_html_element("html", [], False)
+        self.add_html_element("html", [], False, implied=True)
         self.mode = BEFORE_HEAD
 
     def _before_html(self, kind, a, b, c):  # :1933-1967
@@ -521,7 +531,7 @@ class TreeBuilder:
 
     def _imply_head(self) -> None:
         self.maybe_pop_text()
-        self.add_html_element("head", [], False)
+        self.add_html_element("head", [], False, implied=True)
         self.mode = IN_HEAD
 
     def _before_head(self, kind, a, b, c):  # :1969-2003
@@ -647,7 +657,7 @@ class TreeBuilder:
                 return False
             return False
         # NOTE: no maybe_pop_text before the implied <body> (:2148-2151)
-        self.add_html_element("body", [], False)
+        self.add_html_element("body", [], False, implied=True)
         self.mode = IN_BODY
         return True
 
@@ -764,7 +774,7 @@ class TreeBuilder:
             if code == 6:  # </p>, Q18 (:2346-2356)
                 self.maybe_pop_text()
                 if not self._is_open("p"):
-                    self.add_html_element("p", [], False)
+                    self.add_html_element("p", [], False, implied=True)
                 self.pop_all_to_tag("p")
                 return False
             if code == 1:  # head text tags (:2183-2191)
@@ -839,7 +849,7 @@ class TreeBuilder:
                 return False
             if a == "col":
                 self.maybe_pop_text()
-                self.add_html_element("colgroup", [], False)
+                self.add_html_element("colgroup", [], False, implied=True)
                 self.mode = IN_COLUMN_GROUP
                 return True
             if a in ("tbody", "tfoot", "thead"):
@@ -849,7 +859,7 @@ class TreeBuilder:
                 return False
             if a in ("td", "th", "tr"):
                 self.maybe_pop_text()
-                self.add_html_element("tbody", [], False)
+                self.add_html_element("tbody", [], False, implied=True)
                 self.mode = IN_TABLE_BODY
                 return True
             if a == "table":
@@ -970,7 +980,7 @@ class TreeBuilder:
                 return False
             if a in ("th", "td"):
                 self.maybe_pop_text()
-                self.add_html_element("tr", [], False)
+                self.add_html_element("tr", [], False, implied=True)
                 self.mode = IN_ROW
                 return True
             if a in ("caption", "col", "colgroup", "tbody", "tfoot", "thead"):
@@ -1235,7 +1245,7 @@ class Parser:
     __slots__ = (
         "tb", "datafn", "temp", "last_start", "tok_name", "tok_is_end",
         "tok_selfclosing", "tok_attrs", "tok_comment", "dt_name", "dt_public",
-        "dt_system", "tok_errors",
+        "dt_system", "tok_errors", "tok_start",
     )
 
     def __init__(self):
@@ -1253,6 +1263,8 @@ class Parser:
             if "\r" in s:
                 s = s.replace("\r\n", "\n").replace("\r", "\n")
         self.tb = tb = TreeBuilder(sink, preserve_ws)
+        if hasattr(sink, "tb"):
+            sink.tb = tb
         self.datafn = DATA
         self.temp = []  # temp_buffer — never auto-cleared (Q5)
         self.last_start = None
@@ -1262,6 +1274,7 @@ class Parser:
         self.tok_attrs = []
         self.tok_comment = []
         self.tok_errors = 0
+        self.tok_start = -1  # source (char) offset of the pending tag's '<'
         self._run(s)
         return tb
 
@@ -1302,7 +1315,7 @@ class Parser:
         else:
             self.last_start = name
             closing = self.tok_selfclosing or name in VOID_ELEMENTS
-            self.tb.dispatch(T_START, name, self.tok_attrs, closing)
+            self.tb.dispatch(T_START, name, self.tok_attrs, closing, self.tok_start)
             self.datafn = _DATAFN.get(name, DATA)
 
     # ---- 8.2.4.1 data (:144-161) ----
@@ -1364,6 +1377,7 @@ class Parser:
                 continue
             # end_tag_open with temp_buffer := []
             self.temp = []
+            self.tok_start = pos
             j = pos + 2
             if j >= n or not ("a" <= s[j] <= "z" or "A" <= s[j] <= "Z"):
                 self._emit_char("<")
@@ -1600,6 +1614,7 @@ class Parser:
         emitting one '</'+letters #chars token and CLEARING temp), or None.
         """
         n = len(s)
+        self.tok_start = pos - 2
         self.temp = []
         temp = self.temp
         name_parts = []
@@ -1643,6 +1658,7 @@ class Parser:
         cleared), unlike the plain script path.
         """
         n = len(s)
+        self.tok_start = pos - 2
         self.temp = []
         temp = self.temp
         name_parts = []
@@ -1737,6 +1753,7 @@ class Parser:
 
     def _tag_open(self, s: str, pos: int):
         n = len(s)
+        self.tok_start = pos - 1  # the '<'
         if pos < n:
             c = s[pos]
             if c == "!":

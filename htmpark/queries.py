@@ -180,11 +180,11 @@ def q_html_node_table(spark, sf_dir):
 
         for pdf in batches:
             out = {"doc_id": [], "node_id": [], "parent_id": [], "kind": [],
-                   "name": [], "depth": [], "text": []}
+                   "name": [], "depth": [], "text": [], "span_start": []}
             for did, page in zip(pdf["doc_id"], pdf["page"]):
                 sink = NodeTableSink()
                 Parser().parse(page.encode("utf-8"), sink)
-                for nid, pid, kind, name, ns, attrs, text, depth in sink.rows:
+                for nid, pid, kind, name, ns, attrs, text, depth, span in sink.rows:
                     out["doc_id"].append(did)
                     out["node_id"].append(nid)
                     out["parent_id"].append(pid)
@@ -192,25 +192,27 @@ def q_html_node_table(spark, sf_dir):
                     out["name"].append(name)
                     out["depth"].append(depth)
                     out["text"].append(text)
+                    out["span_start"].append(span)
             yield pd.DataFrame(out)
 
     schema = ("doc_id long, node_id int, parent_id int, kind string, "
-              "name string, depth int, text string")
+              "name string, depth int, text string, span_start int")
     return docs.mapInPandas(run, schema)
 
 
 SQL_HTML_NODE_TABLE = """
 SELECT d.doc_id, v.node_id, v.parent_id, v.kind, v.name, v.depth,
-       CASE WHEN v.node_id = 5 THEN d.text ELSE '' END AS text
+       CASE WHEN v.node_id = 5 THEN d.text ELSE '' END AS text,
+       v.span_start
 FROM documents d
 CROSS JOIN (VALUES
-  (0, -1, 'element', 'html',  0),
-  (1,  0, 'element', 'head',  1),
-  (2,  1, 'element', 'title', 2),
-  (3,  0, 'element', 'body',  1),
-  (4,  3, 'element', 'p',     2),
-  (5,  4, 'text',    '',      3)
-) AS v(node_id, parent_id, kind, name, depth)
+  (0, -1, 'element', 'html',  0, 0),
+  (1,  0, 'element', 'head',  1, 6),
+  (2,  1, 'element', 'title', 2, 12),
+  (3,  0, 'element', 'body',  1, 34),
+  (4,  3, 'element', 'p',     2, 40),
+  (5,  4, 'text',    '',      3, -1)
+) AS v(node_id, parent_id, kind, name, depth, span_start)
 """
 
 

@@ -142,26 +142,30 @@ class TextSink(BaseSink):
 
 
 class NodeTableSink(BaseSink):
-    """Flat DOM: rows (node_id, parent_id, kind, name, ns, attrs, text, depth).
+    """Flat DOM: rows (node_id, parent_id, kind, name, ns, attrs, text,
+    depth, span_start).
 
     Pre-order: parent_id < node_id always (FIXTURES.md §4 invariant).  The
     nested simple-form tree is reconstructible from parent pointers, which is
     what makes the representation Arrow/columnar-friendly (no recursive
-    struct types).
+    struct types).  span_start is the char offset of the element's '<' in
+    the newline-normalized decoded source (-1 for implied elements and
+    non-element nodes) — the lineage pointer back into the raw page.
     """
 
-    __slots__ = ("rows", "stack", "next_id")
+    __slots__ = ("rows", "stack", "next_id", "tb")
 
     def __init__(self):
-        self.rows = []  # [node_id, parent_id, kind, name, ns, attrs, text, depth]
+        self.rows = []  # [node_id, parent_id, kind, name, ns, attrs, text, depth, span_start]
         self.stack = [-1]
         self.next_id = 0
+        self.tb = None  # set by Parser.parse
 
-    def _add(self, kind, name, ns, attrs, text):
+    def _add(self, kind, name, ns, attrs, text, span=-1):
         nid = self.next_id
         self.next_id = nid + 1
         self.rows.append((nid, self.stack[-1], kind, name, ns, attrs, text,
-                          len(self.stack) - 1))
+                          len(self.stack) - 1, span))
         return nid
 
     def start_dtd(self, name, public, system):
@@ -169,7 +173,8 @@ class NodeTableSink(BaseSink):
                                         (system or "", "", "system", "")], "")
 
     def start_element(self, uri, local, attrs):
-        nid = self._add("element", local, uri, list(attrs), "")
+        span = self.tb.last_off if self.tb is not None else -1
+        nid = self._add("element", local, uri, list(attrs), "", span)
         self.stack.append(nid)
 
     def end_element(self, uri, local):

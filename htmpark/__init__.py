@@ -17,6 +17,7 @@ Public API:
 
 from .parser import Parser, TreeBuilder, norm_whitespaces
 from .sinks import EventListSink, SimpleTreeSink, TextSink, NodeTableSink
+from .serialize import encode_entities, serialize_nodes, serialize_tree
 
 __version__ = "0.1.0"
 

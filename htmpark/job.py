@@ -69,6 +69,20 @@ def build_session(master: str | None = None, shuffle_partitions: int = 32,
     return b.getOrCreate()
 
 
+def read_pages(spark: SparkSession, source: str) -> DataFrame:
+    """Load the input table: Iceberg catalog table if resolvable, else a
+    parquet path.  Production runs use Iceberg (snapshot isolation lets the
+    checkpoint manifest reference a stable snapshot); this sandbox has no
+    Iceberg runtime jar, so the parquet branch is the tested one.
+    """
+    if "/" not in source:
+        try:
+            return spark.read.format("iceberg").load(source)
+        except Exception:
+            return spark.table(source)
+    return spark.read.parquet(source)
+
+
 def _parse_batches(batches, preserve_ws: bool = False):
     """mapInPandas worker: Iterator[pd.DataFrame] -> Iterator[pd.DataFrame].
 

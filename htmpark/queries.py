@@ -21,8 +21,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .job import OUTPUT_SCHEMA, _parse_batches
-
 # ---------------------------------------------------------------------------
 # helpers
 
@@ -46,12 +44,6 @@ def _cos_expr(a, b):
     nb = F.aggregate(F.transform(b, lambda x: x.cast("double") * x.cast("double")),
                      F.lit(0.0), lambda acc, v: acc + v)
     return dot / (F.sqrt(na) * F.sqrt(nb))
-
-
-_DUCK_COS = """
-list_reduce(list_zip(a.embedding, b.embedding),
-            (acc, p) -> acc) -- placeholder, built in _duck_cos()
-"""
 
 
 def _duck_cos(av: str, bv: str) -> str:

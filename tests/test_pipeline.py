@@ -124,3 +124,47 @@ def test_main_text_strips_chrome():
     assert "Real content paragraph here." in row["main_text"]
     # parity text keeps everything outside script/style
     assert "home" in row["text"]
+
+
+def test_preserve_ws_through_spark(spark):
+    import datetime
+    from pyspark.sql.types import (BinaryType, StringType, StructField,
+                                   StructType, TimestampType)
+
+    schema = StructType([
+        StructField("url", StringType()), StructField("warc_ts", TimestampType()),
+        StructField("html", BinaryType()), StructField("lang", StringType()),
+    ])
+    rows = [("u", datetime.datetime(2025, 1, 1), b"<pre>keep</pre><p> a\t b </p>", "en")]
+    df = spark.createDataFrame(rows, schema)
+    raw = extract_pages(df, salt_buckets=1, preserve_ws=True).collect()[0].text
+    collapsed = extract_pages(df, salt_buckets=1).collect()[0].text
+    assert raw == "keep a\t b "
+    assert collapsed == "keepa b"
+
+
+def test_oversize_page_becomes_error_row(spark):
+    import datetime
+    from pyspark.sql.types import (BinaryType, StringType, StructField,
+                                   StructType, TimestampType)
+
+    schema = StructType([
+        StructField("url", StringType()), StructField("warc_ts", TimestampType()),
+        StructField("html", BinaryType()), StructField("lang", StringType()),
+    ])
+    rows = [("small", datetime.datetime(2025, 1, 1), b"<p>ok</p>", "en"),
+            ("huge", datetime.datetime(2025, 1, 1), b"<p>" + b"x" * 2000 + b"</p>", "en")]
+    df = spark.createDataFrame(rows, schema)
+    out = {r.url: r for r in
+           extract_pages(df, salt_buckets=1, max_html_bytes=1000).collect()}
+    assert out["small"].parse_ok and out["small"].text == "ok"
+    assert not out["huge"].parse_ok  # nulled JVM-side, surfaced as error row
+
+
+def test_read_pages_parquet(spark, tmp_out):
+    import os
+    from htmpark.job import read_pages
+
+    p = os.path.join(tmp_out, "pages")
+    synthesize_pages(spark, 20).write.parquet(p)
+    assert read_pages(spark, p).count() == 20

@@ -1761,17 +1761,25 @@ class Parser:
             if c == "/":
                 return self._end_tag_open(s, pos + 1)
             if "a" <= c <= "z" or "A" <= c <= "Z":
-                # fast path: plain `<name>` with no attributes
-                m = _RE_LOWER_NAME.match(s, pos)
+                # fast path: a complete simple start tag — lowercase name,
+                # zero+ double-quoted charref-free attributes, optional '/'.
+                # The pattern is a strict SUBSET of the machine's grammar
+                # (verified by the differential property test), so matched
+                # tags behave identically; anything else falls through.
+                m = _RE_FAST_TAG.match(s, pos)
                 if m is not None:
-                    e = m.end()
-                    if e < n and s[e] == ">":
-                        self.tok_is_end = False
-                        self.tok_name = m.group()
-                        self.tok_selfclosing = False
+                    self.tok_is_end = False
+                    self.tok_name = m.group(1)
+                    self.tok_selfclosing = m.group(3) == "/"
+                    if m.group(2):
+                        self.tok_attrs = [
+                            [a.group(1), a.group(2)]
+                            for a in _RE_FAST_ATTR.finditer(m.group(2))
+                        ]
+                    else:
                         self.tok_attrs = []
-                        self._emit_tag()
-                        return e + 1
+                    self._emit_tag()
+                    return m.end()
                 self.tok_is_end = False
                 self.tok_name = ""
                 self.tok_selfclosing = False
@@ -2387,6 +2395,15 @@ _TAG_TERM = frozenset(" \t\n\f/>\x00")
 
 
 _RE_LOWER_NAME = re.compile(r"[a-z][a-z0-9]*")
+
+# whole-tag fast path (subset grammar; see _tag_open): name, simple
+# dq-quoted attrs without charrefs/NUL/quotes, optional self-closing slash
+_RE_FAST_TAG = re.compile(
+    r'([a-z][a-z0-9]*)'
+    r'((?:[ \t\n\f]+[a-z][a-z0-9-]*="[^"&\x00]*")*)'
+    r'[ \t\n\f]*(/?)>'
+)
+_RE_FAST_ATTR = re.compile(r'([a-z][a-z0-9-]*)="([^"]*)"')
 
 
 def _scan_tag_name(s: str, pos: int, n: int):

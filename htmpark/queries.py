@@ -208,6 +208,37 @@ CROSS JOIN (VALUES
 """
 
 
+def q_html_corpus_pipeline(spark, sf_dir):
+    """The production pipeline end-to-end on the synthetic web corpus:
+    JVM-side page synthesis (skewed hosts) -> salted repartition ->
+    vectorized parse -> per-host quality rollup.  Not SQL-expressible
+    (driver records the rows-only check); the byte-parity surface is
+    covered by the oracled html_* queries."""
+    from .corpus import synthesize_pages
+    from .job import extract_pages
+
+    n_pages = max(500, int(20000 * _sf_of(sf_dir)))
+    pages = synthesize_pages(spark, n_pages)
+    out = extract_pages(pages, salt_buckets=8)
+    host = F.parse_url(F.col("url"), F.lit("HOST"))
+    return (
+        out.groupBy(host.alias("host"))
+        .agg(F.count("*").alias("n_pages"),
+             F.sum(F.col("parse_ok").cast("int")).alias("n_ok"),
+             F.sum(F.length("text")).alias("text_chars"),
+             F.sum("tok_errors").alias("tok_errors"),
+             F.sum("tree_errors").alias("tree_errors"))
+        .orderBy(F.col("n_pages").desc(), F.col("host"))
+    )
+
+
+def _sf_of(sf_dir: str) -> float:
+    try:
+        return float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        return 0.01
+
+
 def q_rel_pricing_summary(spark, sf_dir):
     """TPC-H Q1 shape: partial-agg-friendly hash aggregate on 2 low-card
     keys.  At 10^12 rows: map-side combine shrinks the shuffle to
@@ -802,6 +833,7 @@ REGISTRY = {
     "html_parse_entities": (q_html_parse_entities, SQL_HTML_PARSE_ENTITIES),
     "html_node_stats": (q_html_node_stats, SQL_HTML_NODE_STATS),
     "html_node_table": (q_html_node_table, SQL_HTML_NODE_TABLE),
+    "html_corpus_pipeline": (q_html_corpus_pipeline, None),  # rows-only
     "rel_pricing_summary": (q_rel_pricing_summary, SQL_REL_PRICING_SUMMARY),
     "rel_top_revenue_nations": (q_rel_top_revenue_nations, SQL_REL_TOP_REVENUE_NATIONS),
     "rel_window_latest_orders": (q_rel_window_latest_orders, SQL_REL_WINDOW_LATEST_ORDERS),

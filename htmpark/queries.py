@@ -705,6 +705,53 @@ FROM documents
 """
 
 
+def q_text_quality_filter(spark, sf_dir):
+    """Quality GATE (the training-data curation shape): keep/drop label from
+    exact integer thresholds — Gopher-rule-style filters reduced to
+    engine-exact arithmetic.  At 10^12 docs this is a stateless map the
+    scanner fuses with the read."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_words = F.size(words)
+    n_chars = F.length("text")
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+    # keep iff: 10 <= words <= 1000, mean word len in [3, 10] (scaled
+    # integer compare), and at least one stopword per 50 words
+    keep = (
+        (n_words >= 10) & (n_words <= 1000)
+        & (n_chars - n_words + 1 >= 3 * n_words)      # mean wordlen >= 3 (exact ints)
+        & (n_chars - n_words + 1 <= 10 * n_words)     # mean wordlen <= 10
+        & (n_stop * 50 >= n_words)
+    )
+    return d.select(
+        "doc_id",
+        keep.cast("int").alias("keep"),
+        n_words.alias("n_words"),
+        n_stop.alias("n_stopwords"),
+    )
+
+
+SQL_TEXT_QUALITY_FILTER = """
+WITH s AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(string_split(text, ' ')) AS n_words,
+         len(list_filter(string_split(text, ' '),
+             w -> list_contains(['the','a','and','of','to','in','is','on','for','with'], w)))
+           AS n_stop
+  FROM documents
+)
+SELECT doc_id,
+       CAST((n_words >= 10 AND n_words <= 1000
+             AND n_chars - n_words + 1 >= 3 * n_words
+             AND n_chars - n_words + 1 <= 10 * n_words
+             AND n_stop * 50 >= n_words) AS INT) AS keep,
+       n_words, n_stop AS n_stopwords
+FROM s
+"""
+
+
 def q_text_lang_id(spark, sf_dir):
     """Language-ID heuristic: marker-word votes per language, argmax with
     fixed tiebreak order.  (The synthetic corpus is English-ish; the point
@@ -849,6 +896,7 @@ REGISTRY = {
     "sim_topk_bruteforce": (q_sim_topk_bruteforce, SQL_SIM_TOPK_BRUTEFORCE),
     "sim_lsh_buckets": (q_sim_lsh_buckets, SQL_SIM_LSH_BUCKETS),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "text_quality_filter": (q_text_quality_filter, SQL_TEXT_QUALITY_FILTER),
     "text_lang_id": (q_text_lang_id, SQL_TEXT_LANG_ID),
     "text_token_count": (q_text_token_count, SQL_TEXT_TOKEN_COUNT),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),

@@ -45,7 +45,8 @@ class ExtractSink(BaseSink):
     """Single-pass sink producing parity text, main-text blocks, counters."""
 
     __slots__ = ("parts", "_parity_skip", "_chrome_depth", "_link_depth",
-                 "_block", "_blocks", "n_elements", "n_text", "n_comments")
+                 "_block", "_blocks", "n_elements", "n_text", "n_comments",
+                 "_title_depth", "title_parts")
 
     def __init__(self):
         self.parts = []          # parity text pieces
@@ -57,6 +58,8 @@ class ExtractSink(BaseSink):
         self.n_elements = 0
         self.n_text = 0
         self.n_comments = 0
+        self._title_depth = 0
+        self.title_parts = []    # text inside <title> (page metadata)
 
     def _close_block(self):
         if self._block:
@@ -72,6 +75,8 @@ class ExtractSink(BaseSink):
                 self._chrome_depth += 1
             elif local in BLOCK_TAGS:
                 self._close_block()
+                if local == "title":
+                    self._title_depth += 1
             elif local == "a":
                 self._link_depth += 1
         else:
@@ -86,6 +91,8 @@ class ExtractSink(BaseSink):
                 self._chrome_depth -= 1
             elif local in BLOCK_TAGS:
                 self._close_block()
+                if local == "title":
+                    self._title_depth -= 1
             elif local == "a":
                 self._link_depth -= 1
         else:
@@ -95,6 +102,8 @@ class ExtractSink(BaseSink):
         self.n_text += 1
         if not self._parity_skip:
             self.parts.append(text)
+        if self._title_depth:
+            self.title_parts.append(text)
         if not self._chrome_depth and text:
             self._block.append((text, self._link_depth > 0))
 
@@ -134,6 +143,7 @@ def extract_doc(html, preserve_ws: bool = False) -> dict:
     return {
         "text": sink.text,
         "main_text": sink.main_text,
+        "title": "".join(sink.title_parts),
         "n_elements": sink.n_elements,
         "n_text_nodes": sink.n_text,
         "tok_errors": p.tok_errors,

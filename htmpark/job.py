@@ -43,6 +43,7 @@ OUTPUT_SCHEMA = StructType([
     StructField("lang", StringType()),
     StructField("text", StringType()),
     StructField("main_text", StringType()),
+    StructField("title", StringType()),
     StructField("n_elements", IntegerType()),
     StructField("n_text_nodes", IntegerType()),
     StructField("tok_errors", IntegerType()),
@@ -97,6 +98,7 @@ def _parse_batches(batches, preserve_ws: bool = False):
         n = len(pdf)
         texts = [None] * n
         mains = [None] * n
+        titles = [None] * n
         n_els = [0] * n
         n_txts = [0] * n
         toks = [0] * n
@@ -108,6 +110,7 @@ def _parse_batches(batches, preserve_ws: bool = False):
                 row = extract_doc(h, preserve_ws)
                 texts[k] = row["text"]
                 mains[k] = row["main_text"]
+                titles[k] = row["title"]
                 n_els[k] = row["n_elements"]
                 n_txts[k] = row["n_text_nodes"]
                 toks[k] = row["tok_errors"]
@@ -118,6 +121,7 @@ def _parse_batches(batches, preserve_ws: bool = False):
                 # never a dead task (the reference just crashes the caller)
                 texts[k] = ""
                 mains[k] = ""
+                titles[k] = ""
                 trees[k] = 1
         yield pd.DataFrame({
             "url": pdf["url"],
@@ -125,6 +129,7 @@ def _parse_batches(batches, preserve_ws: bool = False):
             "lang": pdf["lang"],
             "text": texts,
             "main_text": mains,
+            "title": titles,
             "n_elements": pd.array(n_els, dtype="int32"),
             "n_text_nodes": pd.array(n_txts, dtype="int32"),
             "tok_errors": pd.array(toks, dtype="int32"),

@@ -168,3 +168,11 @@ def test_read_pages_parquet(spark, tmp_out):
     p = os.path.join(tmp_out, "pages")
     synthesize_pages(spark, 20).write.parquet(p)
     assert read_pages(spark, p).count() == 20
+
+
+def test_title_column_extracted(spark):
+    df = synthesize_pages(spark, 30)
+    out = extract_pages(df, salt_buckets=1).collect()
+    # corpus wraps every page in <title>T{i}</title>
+    assert all(r.title.startswith("T") for r in out)
+    assert {r.title for r in out} == {f"T{i}" for i in range(30)}

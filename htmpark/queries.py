@@ -260,10 +260,10 @@ def q_rel_pricing_summary(spark, sf_dir):
 
 SQL_REL_PRICING_SUMMARY = """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
-       SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
-       SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
-           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS sum_disc_scaled,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_scaled,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -297,8 +297,8 @@ def q_rel_top_revenue_nations(spark, sf_dir):
 
 SQL_REL_TOP_REVENUE_NATIONS = """
 SELECT n_name, r_name,
-       SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
-           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_scaled,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_scaled,
        COUNT(*) AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -380,13 +380,16 @@ FROM part ORDER BY price_cents DESC, p_partkey LIMIT 20
 
 def q_rel_events_minutely(spark, sf_dir):
     """Time-bucketed aggregation over the events stream table (the batch
-    analogue of a tumbling-window streaming agg)."""
+    analogue of a tumbling-window streaming agg).
+
+    The minute bucket is emitted as the naive 'yyyy-MM-dd HH:mm' string:
+    events.ts is parquet TIMESTAMP_NTZ, and Spark's date_trunc converts NTZ
+    to session-timezone LTZ while DuckDB stays naive — a string cut from the
+    NTZ value is timezone-independent and engine-exact."""
     e = t(spark, sf_dir, "events")
+    minute = F.substring(F.col("ts").cast("string"), 1, 16)
     return (
-        e.groupBy(
-            F.date_trunc("minute", F.col("ts")).alias("minute"),
-            F.col("event_type"),
-        )
+        e.groupBy(minute.alias("minute"), F.col("event_type"))
         .agg(
             F.count("*").alias("n_events"),
             F.sum(_cents(F.col("value"))).alias("value_cents"),
@@ -396,9 +399,9 @@ def q_rel_events_minutely(spark, sf_dir):
 
 
 SQL_REL_EVENTS_MINUTELY = """
-SELECT date_trunc('minute', ts) AS minute, event_type,
+SELECT substr(CAST(ts AS VARCHAR), 1, 16) AS minute, event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(round(value * 100) AS BIGINT)) AS value_cents,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
        COUNT(DISTINCT user_id) AS n_users
 FROM events GROUP BY 1, 2
 """

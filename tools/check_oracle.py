@@ -19,20 +19,39 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def norm_cell(v):
+    """Type-faithful cell rendering.
+
+    The driver's hash is representation-sensitive (round 1 lesson: DuckDB
+    SUM(BIGINT) -> HUGEINT -> Decimal hashed differently from Spark's int64
+    even when values were equal), so each value is tagged with its Python
+    type family: int vs Decimal vs float differ; naive vs tz-aware datetimes
+    differ (isoformat carries the offset).  Rows must be fetched through
+    Arrow (to_pylist) for DuckDB HUGEINT to surface as Decimal at all —
+    fetchall() collapses it to int and masks the mismatch.
+    """
     import datetime
+    import decimal
     import math
 
     if v is None:
         return "NULL"
+    if isinstance(v, bool):
+        return f"bool:{v}"
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return repr(round(v, 6))
+            return "float:NaN"
+        return f"float:{round(v, 6)!r}"
+    if isinstance(v, int):
+        return f"int:{v}"
+    if isinstance(v, decimal.Decimal):
+        return f"decimal:{v}"
     if isinstance(v, datetime.datetime):
-        return v.isoformat()
+        return f"ts:{v.isoformat()}"
     if isinstance(v, (bytes, bytearray)):
-        return bytes(v).hex()
-    return str(v)
+        return f"bytes:{bytes(v).hex()}"
+    if isinstance(v, str):
+        return f"str:{v}"
+    return f"{type(v).__name__}:{v}"
 
 
 def frame_hash(cols, rows):
@@ -71,8 +90,9 @@ def main():
         fn, sql = REGISTRY[name]
         try:
             sdf = fn(spark, args.sf)
-            srows = [tuple(r) for r in sdf.collect()]
-            scols = sdf.columns
+            stab = sdf.toArrow()
+            scols = stab.column_names
+            srows = [tuple(d[c] for c in scols) for d in stab.to_pylist()]
         except Exception as e:
             print(f"FAIL  {name:32s} spark error: {e}")
             failures += 1
@@ -81,9 +101,9 @@ def main():
             print(f"OK?   {name:32s} rows={len(srows)} (no oracle: rows-only)")
             continue
         try:
-            res = con.execute(sql)
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            dtab = con.execute(sql).arrow()
+            dcols = dtab.column_names
+            drows = [tuple(d[c] for c in dcols) for d in dtab.to_pylist()]
         except Exception as e:
             print(f"FAIL  {name:32s} duckdb error: {e}")
             failures += 1

@@ -41,19 +41,22 @@ FAST = [
 
 @pytest.mark.parametrize("name", FAST)
 def test_fast_query_matches_oracle(spark, duck, name):
+    # Arrow fetch on both sides: the driver's hash is type-sensitive, and
+    # fetchall() collapses DuckDB HUGEINT to int (round-1 masking bug)
     import sys
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))) + "/tools")
     from check_oracle import frame_hash
 
     fn, sql = REGISTRY[name]
-    sdf = fn(spark, SF)
-    srows = [tuple(r) for r in sdf.collect()]
-    res = duck.execute(sql)
-    dcols = [d[0] for d in res.description]
-    drows = res.fetchall()
-    assert sorted(sdf.columns) == sorted(dcols)
+    stab = fn(spark, SF).toArrow()
+    scols = stab.column_names
+    srows = [tuple(d[c] for c in scols) for d in stab.to_pylist()]
+    dtab = duck.execute(sql).arrow()
+    dcols = dtab.column_names
+    drows = [tuple(d[c] for c in dcols) for d in dtab.to_pylist()]
+    assert sorted(scols) == sorted(dcols)
     assert len(srows) == len(drows)
-    assert frame_hash(sdf.columns, srows) == frame_hash(dcols, drows)
+    assert frame_hash(scols, srows) == frame_hash(dcols, drows)
 
 
 def test_entry_returns_rows(spark):
@@ -82,6 +85,37 @@ def test_topk_uses_take_ordered(spark):
     fn, _ = REGISTRY["rel_topk_expensive_parts"]
     plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan  # top-k, not global sort
+
+
+def test_minhash_pairs_reuses_sig_subtree(spark):
+    """The band self-join's two sides are the same signature DAG; AQE must
+    reuse the shuffle stage (ReusedExchange) so signatures compute once."""
+    fn, _ = REGISTRY["dedup_minhash_pairs"]
+    df = fn(spark, SF)
+    df.collect()  # AQE reuse is decided at runtime; inspect the final plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan
+
+
+def test_explode_queries_repartition_before_expansion(spark):
+    """Row-expanding stages must re-parallelize BEFORE the explode: the
+    repartition exchange has to sit below the Generate in the plan tree."""
+    for name in ("dedup_minhash_sig", "dedup_simhash"):
+        fn, _ = REGISTRY[name]
+        plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        gen = plan.index("Generate explode")
+        rr = plan.index("RoundRobinPartitioning")
+        assert rr > gen, f"{name}: repartition must feed the explode (below it)"
+
+
+def test_lsh_bucket_width():
+    """Sign-LSH must use >= 16 hyperplanes (bucket count grows with n, not a
+    fixed small constant — the round-1 scale-killer)."""
+    from htmpark.queries import _LSH_BITS, _MH_BANDS, _MH_PERMS
+
+    assert _LSH_BITS >= 16
+    assert _MH_PERMS >= 16 and _MH_BANDS >= 4
 
 
 def test_multimodal_stub_and_plumbing(spark):

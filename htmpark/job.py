@@ -174,9 +174,13 @@ def extract_pages(df: DataFrame, salt_buckets: int = 8,
     cols = [c for c in ("url", "warc_ts", "html", "lang") if c in df.columns]
     df = df.select(*cols)  # explicit pruning; Catalyst pushes into the scan
     if max_html_bytes:
+        # octet_length, not length: length() counts CHARACTERS on a string
+        # column, letting a multi-byte-heavy page up to ~4x over the byte
+        # limit into an Arrow batch; octet_length is bytes for both string
+        # and binary html columns
         df = df.withColumn(
             "html",
-            F.when(F.length("html") <= max_html_bytes, F.col("html")))
+            F.when(F.octet_length("html") <= max_html_bytes, F.col("html")))
     if salt_buckets > 0:
         df = salted_repartition(df, salt_buckets, num_partitions)
     fn = (lambda it: _parse_batches(it, True)) if preserve_ws else _parse_batches
@@ -184,60 +188,103 @@ def extract_pages(df: DataFrame, salt_buckets: int = 8,
 
 
 MANIFEST_SCHEMA = ("part_id", "n_pages", "n_ok", "tok_errors", "tree_errors",
-                   "text_chars", "min_ts", "max_ts")
+                   "text_chars", "min_ts", "max_ts", "num_parts")
+
+
+def _part_expr(num_parts: int):
+    return F.pmod(F.xxhash64(F.col("url")), F.lit(num_parts)).cast("int")
 
 
 def run_extraction(spark: SparkSession, input_df: DataFrame, output_path: str,
                    num_parts: int = 64, salt_buckets: int = 8,
-                   resume: bool = True) -> dict:
-    """Resumable batch job with per-partition checkpoint + lineage.
+                   resume: bool = True, publish_every: int | None = None,
+                   max_waves: int | None = None) -> dict:
+    """Resumable batch job with write-audit-publish checkpointing + lineage.
 
     Layout:  <output_path>/data/part_id=N/...   (dynamic overwrite)
              <output_path>/manifest/...          (append = publish)
+
+    Publish granularity: by default all remaining parts are written in ONE
+    Spark job and published together — a crash mid-write loses no
+    correctness (dynamic overwrite is idempotent) but redoes every
+    unpublished part on resume.  ``publish_every=k`` instead processes and
+    publishes k parts per wave, bounding the redo window to one wave at the
+    cost of one input scan per wave (the part_id predicate prunes nothing
+    upstream — it is a hash of url).  ``max_waves`` stops after that many
+    waves (budgeted/incremental runs; also how tests simulate interruption
+    deterministically).
+
+    Safety rails (round-2 hardening):
+      * The dynamic partition-overwrite mode is pinned per-write via
+        ``.option("partitionOverwriteMode", "dynamic")`` — a caller-supplied
+        session configured static would otherwise TRUNCATE all previously
+        completed partitions on resume while the manifest still marks them
+        published.
+      * ``num_parts`` is recorded on every manifest row; resuming with a
+        different value recomputes part_id under a different modulus (pages
+        silently skipped or double-published), so it fails fast instead.
     """
     data_path = os.path.join(output_path, "data")
     manifest_path = os.path.join(output_path, "manifest")
 
-    df = input_df.withColumn(
-        "part_id", F.pmod(F.xxhash64(F.col("url")), F.lit(num_parts)).cast("int")
-    )
-
-    done = None
+    done_ids: set[int] = set()
     if resume:
         try:
-            done = spark.read.parquet(manifest_path).select("part_id").distinct()
+            man = spark.read.parquet(manifest_path)
         except Exception:
-            done = None
-    if done is not None:
-        # broadcast anti-join: manifest has at most num_parts rows
-        df = df.join(F.broadcast(done), "part_id", "left_anti")
+            man = None
+        if man is not None:
+            if "num_parts" in man.columns:
+                prev = {r[0] for r in man.select("num_parts").distinct().collect()}
+                if prev and prev != {num_parts}:
+                    raise ValueError(
+                        f"resume with num_parts={num_parts} but the manifest at "
+                        f"{manifest_path} was written with num_parts={sorted(prev)}; "
+                        "part_id would be recomputed under a different modulus")
+            done_ids = {r[0] for r in man.select("part_id").distinct().collect()}
 
-    if df.isEmpty():
+    remaining = sorted(set(range(num_parts)) - done_ids)
+    if not remaining:
         return {"parts_done": 0, "pages": 0}
 
-    parsed = extract_pages(df.drop("part_id"), salt_buckets=salt_buckets)
-    parsed = parsed.withColumn(
-        "part_id", F.pmod(F.xxhash64(F.col("url")), F.lit(num_parts)).cast("int")
-    )
-    # WRITE: dynamic partition overwrite -> retried parts replace cleanly
-    parsed.write.mode("overwrite").partitionBy("part_id").parquet(data_path)
+    if publish_every:
+        waves = [remaining[i:i + publish_every]
+                 for i in range(0, len(remaining), publish_every)]
+    else:
+        waves = [remaining]
+    if max_waves is not None:
+        waves = waves[:max_waves]
 
-    # AUDIT + PUBLISH: aggregate lineage from the written files (columnar
-    # scan of counters only — no re-parse), append to the manifest
-    written = spark.read.parquet(data_path)
-    if done is not None:
-        written = written.join(F.broadcast(done), "part_id", "left_anti")
-    manifest = written.groupBy("part_id").agg(
-        F.count("*").alias("n_pages"),
-        F.sum(F.col("parse_ok").cast("int")).alias("n_ok"),
-        F.sum("tok_errors").alias("tok_errors"),
-        F.sum("tree_errors").alias("tree_errors"),
-        F.sum(F.length("text")).alias("text_chars"),
-        F.min("warc_ts").alias("min_ts"),
-        F.max("warc_ts").alias("max_ts"),
-    )
-    manifest.write.mode("append").parquet(manifest_path)
-    stats = manifest.agg(
-        F.count("*").alias("parts"), F.sum("n_pages").alias("pages")
-    ).collect()[0]
-    return {"parts_done": stats["parts"], "pages": stats["pages"]}
+    df = input_df.withColumn("part_id", _part_expr(num_parts))
+    total_parts = 0
+    total_pages = 0
+    for wave in waves:
+        sub = df if len(wave) == num_parts else df.where(F.col("part_id").isin(wave))
+        parsed = extract_pages(sub.drop("part_id"), salt_buckets=salt_buckets)
+        parsed = parsed.withColumn("part_id", _part_expr(num_parts))
+        # WRITE: dynamic partition overwrite -> retried parts replace
+        # cleanly; mode pinned at the write site (see docstring)
+        (parsed.write.mode("overwrite")
+               .option("partitionOverwriteMode", "dynamic")
+               .partitionBy("part_id").parquet(data_path))
+
+        # AUDIT + PUBLISH: aggregate lineage from the written files
+        # (columnar scan of counters only, partition-pruned to this wave's
+        # part_id dirs — no re-parse), append to the manifest
+        written = spark.read.parquet(data_path).where(F.col("part_id").isin(wave))
+        manifest = written.groupBy("part_id").agg(
+            F.count("*").alias("n_pages"),
+            F.sum(F.col("parse_ok").cast("int")).alias("n_ok"),
+            F.sum("tok_errors").alias("tok_errors"),
+            F.sum("tree_errors").alias("tree_errors"),
+            F.sum(F.length("text")).alias("text_chars"),
+            F.min("warc_ts").alias("min_ts"),
+            F.max("warc_ts").alias("max_ts"),
+        ).withColumn("num_parts", F.lit(num_parts))
+        manifest.write.mode("append").parquet(manifest_path)
+        stats = manifest.agg(
+            F.count("*").alias("parts"), F.sum("n_pages").alias("pages")
+        ).collect()[0]
+        total_parts += stats["parts"] or 0
+        total_pages += stats["pages"] or 0
+    return {"parts_done": total_parts, "pages": total_pages}

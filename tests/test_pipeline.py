@@ -93,6 +93,86 @@ def test_run_extraction_and_resume(spark, tmp_out):
     assert res3 == {"parts_done": 0, "pages": 0}
 
 
+def test_static_overwrite_session_does_not_truncate(spark, tmp_out):
+    """The dynamic overwrite mode is pinned at the WRITE SITE: a caller
+    session configured with static partitionOverwriteMode must not truncate
+    previously published partitions on resume (silent data loss)."""
+    out = os.path.join(tmp_out, "static_mode")
+    df = synthesize_pages(spark, 100)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        run_extraction(spark, df, out, num_parts=4, salt_buckets=2,
+                       publish_every=2, max_waves=1)
+        first = {r.url for r in spark.read.parquet(out + "/data").collect()}
+        assert first  # wave 1 published something
+        run_extraction(spark, df, out, num_parts=4, salt_buckets=2)  # resume
+        after = {r.url for r in spark.read.parquet(out + "/data").collect()}
+        assert first <= after and len(after) == 100
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def test_num_parts_mismatch_fails_fast(spark, tmp_out):
+    out = os.path.join(tmp_out, "modulus")
+    df = synthesize_pages(spark, 50)
+    run_extraction(spark, df, out, num_parts=4, salt_buckets=2)
+    with pytest.raises(ValueError, match="num_parts"):
+        run_extraction(spark, df, out, num_parts=8, salt_buckets=2)
+
+
+def test_wave_publish_bounds_redo(spark, tmp_out):
+    """publish_every=k: a run stopped after wave 1 has published exactly k
+    parts, and the resume rewrites only unpublished parts (published part
+    directories stay byte-untouched)."""
+    out = os.path.join(tmp_out, "waves")
+    df = synthesize_pages(spark, N)
+    res1 = run_extraction(spark, df, out, num_parts=8, salt_buckets=2,
+                          publish_every=3, max_waves=1)
+    assert res1["parts_done"] == 3
+    man = spark.read.parquet(out + "/manifest")
+    assert man.select("part_id").distinct().count() == 3
+
+    def part_files(pid):
+        d = os.path.join(out, "data", f"part_id={pid}")
+        return {f: os.path.getmtime(os.path.join(d, f))
+                for f in os.listdir(d) if f.endswith(".parquet")}
+
+    published = [r[0] for r in man.select("part_id").distinct().collect()]
+    before = {pid: part_files(pid) for pid in published}
+
+    res2 = run_extraction(spark, df, out, num_parts=8, salt_buckets=2,
+                          publish_every=3)
+    assert res2["parts_done"] == 5
+    for pid in published:
+        assert part_files(pid) == before[pid]  # untouched on resume
+    total = spark.read.parquet(out + "/manifest").agg(F.sum("n_pages")).collect()[0][0]
+    assert total == N
+    assert spark.read.parquet(out + "/data").count() == N
+
+
+def test_oversize_guard_is_byte_exact_on_strings(spark):
+    """max_html_bytes counts BYTES even for string html columns: a
+    multi-byte-heavy page over the byte limit must be nulled."""
+    import datetime
+    from pyspark.sql.types import (StringType, StructField, StructType,
+                                   TimestampType)
+
+    schema = StructType([
+        StructField("url", StringType()), StructField("warc_ts", TimestampType()),
+        StructField("html", StringType()), StructField("lang", StringType()),
+    ])
+    # 600 chars but 1800 bytes of UTF-8 (3-byte chars) inside <p>...</p>
+    fat = "<p>" + "€" * 600 + "</p>"
+    rows = [("ascii", datetime.datetime(2025, 1, 1), "<p>ok</p>", "en"),
+            ("fat", datetime.datetime(2025, 1, 1), fat, "en")]
+    df = spark.createDataFrame(rows, schema)
+    out = {r.url: r for r in
+           extract_pages(df, salt_buckets=1, max_html_bytes=1000).collect()}
+    assert out["ascii"].parse_ok
+    assert not out["fat"].parse_ok  # 608 chars but ~1807 bytes -> nulled
+
+
 def test_poisoned_row_becomes_error_row(spark):
     from pyspark.sql.types import (BinaryType, StringType, StructField,
                                    StructType, TimestampType)

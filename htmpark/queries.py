@@ -216,17 +216,30 @@ CROSS JOIN (VALUES
 """
 
 
+def _corpus_n_pages(n_docs: int) -> int:
+    """Page count for the corpus pipeline, derived from the documents table
+    size so the Spark builder and the static oracle SQL agree at every SF
+    (documents has 500 rows at sf<=0.01, 5000 at sf0.1 -> 500/2000 pages)."""
+    return max(500, n_docs * 2 // 5)
+
+
 def q_html_corpus_pipeline(spark, sf_dir):
     """The production pipeline end-to-end on the synthetic web corpus:
     JVM-side page synthesis (skewed hosts) -> salted repartition ->
-    vectorized parse -> per-host quality rollup.  Not SQL-expressible
-    (driver records the rows-only check); the byte-parity surface is
-    covered by the oracled html_* queries."""
+    vectorized parse -> per-host quality rollup.
+
+    Oracled: every page is a pure function of its row index (fragment
+    i % 10 with str(i) spliced in), and '{' '}' and digits are inert to the
+    parser, so the extracted text equals a per-fragment TEMPLATE with
+    '{i}' replaced — htmpark/corpus_oracle.py pins the 10 templates +
+    error counters (generated by tools/gen_corpus_oracle.py, re-derived
+    live in tests), and the oracle SQL reconstructs the whole per-host
+    rollup from them."""
     from .corpus import synthesize_pages
     from .job import extract_pages
 
-    n_pages = max(500, int(20000 * _sf_of(sf_dir)))
-    pages = synthesize_pages(spark, n_pages)
+    n_docs = t(spark, sf_dir, "documents").count()
+    pages = synthesize_pages(spark, _corpus_n_pages(n_docs))
     out = extract_pages(pages, salt_buckets=8)
     host = F.parse_url(F.col("url"), F.lit("HOST"))
     return (
@@ -240,11 +253,39 @@ def q_html_corpus_pipeline(spark, sf_dir):
     )
 
 
-def _sf_of(sf_dir: str) -> float:
-    try:
-        return float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
-    except ValueError:
-        return 0.01
+def _corpus_oracle_sql() -> str:
+    from .corpus_oracle import CORPUS_FRAGMENT_PARSE
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    vals = ",\n    ".join(
+        f"({f}, {lit(tmpl)}, {tok}, {tree}, {str(ok).upper()})"
+        for f, tmpl, tok, tree, ok in CORPUS_FRAGMENT_PARSE)
+    return f"""
+WITH n AS (SELECT GREATEST(500, COUNT(*) * 2 // 5) AS n FROM documents),
+frag(fi, tmpl, tok_errors, tree_errors, ok) AS (VALUES
+    {vals}),
+idx AS (SELECT unnest(range(n.n)) AS i FROM n),
+pages AS (
+  SELECT idx.i,
+         CASE WHEN idx.i % 5 = 0 THEN 0 ELSE (idx.i % 97) + 1 END AS hostnum,
+         length(replace(f.tmpl, '{{i}}', CAST(idx.i AS VARCHAR))) AS text_len,
+         f.tok_errors, f.tree_errors, f.ok
+  FROM idx
+  JOIN frag f ON f.fi = idx.i % 10
+)
+SELECT 'host' || lpad(CAST(hostnum AS VARCHAR), 3, '0') || '.example.com' AS host,
+       COUNT(*) AS n_pages,
+       CAST(SUM(CAST(ok AS INT)) AS BIGINT) AS n_ok,
+       CAST(SUM(text_len) AS BIGINT) AS text_chars,
+       CAST(SUM(tok_errors) AS BIGINT) AS tok_errors,
+       CAST(SUM(tree_errors) AS BIGINT) AS tree_errors
+FROM pages GROUP BY 1
+"""
+
+
+SQL_HTML_CORPUS_PIPELINE = _corpus_oracle_sql()
 
 
 def q_rel_pricing_summary(spark, sf_dir):
@@ -932,7 +973,7 @@ REGISTRY = {
     "html_parse_entities": (q_html_parse_entities, SQL_HTML_PARSE_ENTITIES),
     "html_node_stats": (q_html_node_stats, SQL_HTML_NODE_STATS),
     "html_node_table": (q_html_node_table, SQL_HTML_NODE_TABLE),
-    "html_corpus_pipeline": (q_html_corpus_pipeline, None),  # rows-only
+    "html_corpus_pipeline": (q_html_corpus_pipeline, SQL_HTML_CORPUS_PIPELINE),
     "rel_pricing_summary": (q_rel_pricing_summary, SQL_REL_PRICING_SUMMARY),
     "rel_top_revenue_nations": (q_rel_top_revenue_nations, SQL_REL_TOP_REVENUE_NATIONS),
     "rel_window_latest_orders": (q_rel_window_latest_orders, SQL_REL_WINDOW_LATEST_ORDERS),

@@ -87,6 +87,25 @@ def test_topk_uses_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan  # top-k, not global sort
 
 
+def test_corpus_oracle_constants_match_live_parse():
+    """corpus_oracle.py is generated; re-derive every fragment's template +
+    counters from a live extract_doc and pin byte equality, including the
+    substitution identity for a multi-digit index."""
+    from htmpark.corpus import FRAGMENTS
+    from htmpark.corpus_oracle import CORPUS_FRAGMENT_PARSE
+    from htmpark.extract import extract_doc
+
+    assert len(CORPUS_FRAGMENT_PARSE) == len(FRAGMENTS)
+    for f, tmpl, tok, tree, ok in CORPUS_FRAGMENT_PARSE:
+        page = ("<!DOCTYPE html><html><head><title>T{i}</title></head><body>"
+                + FRAGMENTS[f] + "</body></html>")
+        live = extract_doc(page.encode("utf-8"))
+        assert (live["text"], live["tok_errors"], live["tree_errors"],
+                live["parse_ok"]) == (tmpl, tok, tree, ok)
+        real = extract_doc(page.replace("{i}", "4242").encode("utf-8"))
+        assert tmpl.replace("{i}", "4242") == real["text"]
+
+
 def test_minhash_pairs_reuses_sig_subtree(spark):
     """The band self-join's two sides are the same signature DAG; AQE must
     reuse the shuffle stage (ReusedExchange) so signatures compute once."""

@@ -22,10 +22,16 @@ from .serialize import encode_entities, serialize_nodes, serialize_tree
 __version__ = "0.1.0"
 
 
-def parse_events(html, preserve_ws: bool = False):
-    """htmerl:sax/1 equivalent (reference src/htmerl.erl:23-24)."""
-    sink = EventListSink()
+def parse_events(html, preserve_ws: bool = False, with_lines: bool = False):
+    """htmerl:sax/1 equivalent (reference src/htmerl.erl:23-24).
+
+    ``with_lines=True`` returns (list[(event, line)], tb) — the LineNum the
+    reference passes to every event_fun call (htmerl_sax_utf8.erl:3437-3447).
+    """
+    sink = EventListSink(with_lines=with_lines)
     tb = Parser().parse(html, sink, preserve_ws)
+    if with_lines:
+        return list(zip(sink.events, sink.lines)), tb
     return sink.events, tb
 
 

@@ -248,7 +248,7 @@ class TreeBuilder:
     __slots__ = (
         "sink", "preserve_ws", "mode", "orig_mode", "open_elements",
         "ns_stack", "text", "pre_depth", "finished", "crashed_after_finish",
-        "tree_errors", "cur_off", "last_off",
+        "tree_errors", "cur_off", "last_off", "line",
     )
 
     def __init__(self, sink, preserve_ws: bool = False):
@@ -265,6 +265,11 @@ class TreeBuilder:
         self.tree_errors = 0
         self.cur_off = -1   # source offset of the in-flight start tag's '<'
         self.last_off = -1  # offset of the element most recently emitted
+        # line_num (:128-129) at the current token dispatch: the Parser
+        # updates this before every dispatch/chars call; every sink callback
+        # fired during that dispatch sees it — the analogue of send_event's
+        # LineNum argument (:3437-3447)
+        self.line = 1
 
     # -- #chars fast path: bypasses dispatch entirely (emit/2 :3264-3265, Q4)
     def chars(self, data: str) -> None:
@@ -1245,7 +1250,8 @@ class Parser:
     __slots__ = (
         "tb", "datafn", "temp", "last_start", "tok_name", "tok_is_end",
         "tok_selfclosing", "tok_attrs", "tok_comment", "dt_name", "dt_public",
-        "dt_system", "tok_errors", "tok_start",
+        "dt_system", "tok_errors", "tok_start", "_s", "_lpos", "_line",
+        "_line_to",
     )
 
     def __init__(self):
@@ -1275,8 +1281,39 @@ class Parser:
         self.tok_comment = []
         self.tok_errors = 0
         self.tok_start = -1  # source (char) offset of the pending tag's '<'
+        # line_num tracking (count_newlines :3589-3599, state field :128):
+        # counted lazily — _line_to(pos) adds the newlines of the span
+        # consumed since the last call.  The reference counts every consumed
+        # '\n' exactly once (batch find_stop runs + the 38 per-char ?i
+        # clauses), so positional counting is equivalent; the one exception
+        # ('&' directly followed by '\n', :1681-1682) is handled in _charref.
+        # Tracking is pay-for-what-you-use: only sinks declaring
+        # ``wants_lines = True`` (NodeTableSink, EventListSink(with_lines))
+        # get it; for others _line_to is a no-op and tb.line stays 1 —
+        # measured ~9%% of extraction throughput, which the 100 TB text
+        # path must not pay for an unused column.
+        self._s = s
+        self._lpos = 0
+        self._line = 1
+        if getattr(sink, "wants_lines", False):
+            self._line_to = self._line_to_impl
+        else:
+            self._line_to = _line_noop
         self._run(s)
         return tb
+
+    def _line_to_impl(self, pos: int) -> None:
+        """Advance the newline count through source position ``pos`` and
+        publish the resulting line number for the next dispatch.  Chars runs
+        pass their START (the reference emits #chars before updating
+        line_num, :158-161); every other token passes its end position."""
+        lp = self._lpos
+        if pos > lp:
+            nl = self._s.count("\n", lp, pos)
+            if nl:
+                self._line += nl
+            self._lpos = pos
+        self.tb.line = self._line
 
     # ---- driver over data functions ----
 
@@ -1298,14 +1335,24 @@ class Parser:
     # ---- emit helpers ----
 
     def _emit_eof(self):
+        self._line_to(len(self._s))
         self.tb.dispatch(T_EOF)
         return None
 
-    def _emit_char(self, ch: str) -> None:
+    def _emit_char(self, ch: str, pos: int) -> None:
+        """Single #char token at scan position ``pos``.  The consumed span
+        up to pos is line-counted first; a '\\n' char itself is picked up by
+        the NEXT _line_to (its dispatch can never fire a sink event — ws
+        char tokens are buffered/ignored in every insertion mode)."""
+        self._line_to(pos)
         self.tb.dispatch(T_CHAR, ch)
 
-    def _emit_tag(self) -> None:
-        """emit/2 + norm_tok (:3262-3283) + call_data_function (:3610-3621)."""
+    def _emit_tag(self, end: int) -> None:
+        """emit/2 + norm_tok (:3262-3283) + call_data_function (:3610-3621).
+        ``end`` = position just after '>': every '\\n' inside the tag was
+        consumed by a counting clause in the reference (?i sites / quoted
+        value find_stop), so the positional count through ``end`` matches."""
+        self._line_to(end)
         name = self.tok_name
         if self.tok_is_end:
             if self.tok_attrs or self.tok_selfclosing:
@@ -1337,6 +1384,7 @@ class Parser:
                 if self.datafn != DATA:
                     return pos
             else:
+                self._line_to(pos)
                 m = search(s, pos)
                 end = m.start() if m else n
                 chars(s[pos:end])
@@ -1361,10 +1409,11 @@ class Parser:
                 pos = self._charref(s, pos + 1, False)
                 continue
             if c == "\x00":
-                self._emit_char("�")
+                self._emit_char("�", pos)
                 pos += 1
                 continue
             if c != "<":
+                self._line_to(pos)
                 m = stop_re.search(s, pos)
                 end = m.start() if m else n
                 tb.chars(s[pos:end])
@@ -1372,7 +1421,7 @@ class Parser:
                 continue
             # less-than-sign (:349-353 / :427-431)
             if pos + 1 >= n or s[pos + 1] != "/":
-                self._emit_char("<")
+                self._emit_char("<", pos)
                 pos += 1
                 continue
             # end_tag_open with temp_buffer := []
@@ -1380,8 +1429,8 @@ class Parser:
             self.tok_start = pos
             j = pos + 2
             if j >= n or not ("a" <= s[j] <= "z" or "A" <= s[j] <= "Z"):
-                self._emit_char("<")
-                self._emit_char("/")
+                self._emit_char("<", pos)
+                self._emit_char("/", pos)
                 pos = j
                 continue
             name_parts = []
@@ -1405,7 +1454,7 @@ class Parser:
                 self.tok_selfclosing = False
                 self.tok_attrs = []
                 if s[j] == ">":
-                    self._emit_tag()
+                    self._emit_tag(j + 1)
                     return j + 1  # datafn now DATA
                 st = _S_BEFORE_ATTR_NAME if s[j] in WS else _S_SELF_CLOSING
                 out = self._tag_machine(s, j + 1, st)
@@ -1416,10 +1465,10 @@ class Parser:
                 pos = out
                 continue
             # anything else: emit '<','/', buffered chars, re-lex from j
-            self._emit_char("<")
-            self._emit_char("/")
+            self._emit_char("<", pos)
+            self._emit_char("/", pos)
             for ch in temp:
-                self._emit_char(ch)
+                self._emit_char(ch, pos)
             pos = j
 
     # ---- 8.2.4.5 plaintext (:230-246) ----
@@ -1431,9 +1480,10 @@ class Parser:
             if pos >= n:
                 return self._emit_eof()
             if s[pos] == "\x00":
-                self._emit_char("�")
+                self._emit_char("�", pos)
                 pos += 1
                 continue
+            self._line_to(pos)
             m = _RE_PLAINTEXT.search(s, pos)
             end = m.start() if m else n
             tb.chars(s[pos:end])
@@ -1454,10 +1504,11 @@ class Parser:
             c = s[pos]
             if st == 0:
                 if c == "\x00":
-                    emitc("�")
+                    emitc("�", pos)
                     pos += 1
                     continue
                 if c != "<":
+                    self._line_to(pos)
                     m = _RE_RAWTEXT.search(s, pos)
                     end = m.start() if m else n
                     tb.chars(s[pos:end])
@@ -1477,24 +1528,24 @@ class Parser:
                     pos = out
                     continue
                 if nxt == "!":
-                    emitc("<")
-                    emitc("!")
+                    emitc("<", pos)
+                    emitc("!", pos)
                     pos += 2
                     # escape_start (:582-593): need '--'
                     if pos < n and s[pos] == "-":
-                        emitc("-")
+                        emitc("-", pos)
                         pos += 1
                         if pos < n and s[pos] == "-":
-                            emitc("-")
+                            emitc("-", pos)
                             pos += 1
                             st = 3  # escaped_dash_dash
                     continue
-                emitc("<")
+                emitc("<", pos)
                 pos += 1
                 continue
             if st in (1, 2, 3):  # escaped family (:596-653)
                 if c == "-":
-                    emitc("-")
+                    emitc("-", pos)
                     pos += 1
                     st = 2 if st == 1 else 3
                     continue
@@ -1515,7 +1566,7 @@ class Parser:
                         st = 0
                         continue
                     if "a" <= nxt <= "z" or "A" <= nxt <= "Z":
-                        emitc("<")
+                        emitc("<", pos)
                         pos += 1
                         # double_escape_start (:736-767)
                         self.temp = []
@@ -1524,36 +1575,36 @@ class Parser:
                             return None
                         st = 4 if entered else 1
                         continue
-                    emitc("<")
+                    emitc("<", pos)
                     pos += 1
                     st = 1
                     continue
                 if st == 3 and c == ">":
-                    emitc(">")
+                    emitc(">", pos)
                     pos += 1
                     st = 0
                     continue
                 if c == "\x00":
-                    emitc("�")
+                    emitc("�", pos)
                     pos += 1
                     st = 1
                     continue
-                emitc(c)
+                emitc(c, pos)
                 pos += 1
                 st = 1
                 continue
             # st in (4,5,6): double-escaped family (:770-869)
             if c == "-":
-                emitc("-")
+                emitc("-", pos)
                 pos += 1
                 st = 5 if st == 4 else 6
                 continue
             if c == "<":
-                emitc("<")
+                emitc("<", pos)
                 pos += 1
                 # dbl_escaped_less_than_sign (:831-835)
                 if pos < n and s[pos] == "/":
-                    emitc("/")
+                    emitc("/", pos)
                     pos += 1
                     self.temp = []
                     pos, exited = self._dbl_escape_scan(s, pos)
@@ -1564,16 +1615,16 @@ class Parser:
                 st = 4
                 continue
             if st == 6 and c == ">":
-                emitc(">")
+                emitc(">", pos)
                 pos += 1
                 st = 0
                 continue
             if c == "\x00":
-                emitc("�")
+                emitc("�", pos)
                 pos += 1
                 st = 4
                 continue
-            emitc(c)
+            emitc(c, pos)
             pos += 1
             st = 4
 
@@ -1594,14 +1645,14 @@ class Parser:
                 is_script = "".join(temp) == "script"
                 if is_script:
                     return pos + 1, True  # char consumed, NOT emitted
-                emitc(c)
+                emitc(c, pos)
                 return pos + 1, False
             if "A" <= c <= "Z":
-                emitc(c)
+                emitc(c, pos)
                 temp.append(chr(ord(c) + 32))
                 pos += 1
             elif "a" <= c <= "z":
-                emitc(c)
+                emitc(c, pos)
                 temp.append(c)
                 pos += 1
             else:
@@ -1620,8 +1671,8 @@ class Parser:
         name_parts = []
         j = pos
         if j >= n or not ("a" <= s[j] <= "z" or "A" <= s[j] <= "Z"):
-            self._emit_char("<")
-            self._emit_char("/")
+            self._emit_char("<", pos)
+            self._emit_char("/", pos)
             return (j,)
         while j < n:
             ch = s[j]
@@ -1642,11 +1693,12 @@ class Parser:
             self.tok_selfclosing = False
             self.tok_attrs = []
             if s[j] == ">":
-                self._emit_tag()
+                self._emit_tag(j + 1)
                 return j + 1
             st = _S_BEFORE_ATTR_NAME if s[j] in WS else _S_SELF_CLOSING
             return self._tag_machine(s, j + 1, st)
         # failure: ONE batched #chars "</"+letters, temp cleared (:575-579)
+        self._line_to(self.tok_start)
         self.tb.chars("</" + "".join(temp))
         self.temp = []
         return (j,)
@@ -1664,8 +1716,8 @@ class Parser:
         name_parts = []
         j = pos
         if j >= n or not ("a" <= s[j] <= "z" or "A" <= s[j] <= "Z"):
-            self._emit_char("<")
-            self._emit_char("/")
+            self._emit_char("<", pos)
+            self._emit_char("/", pos)
             return (j,)
         while j < n:
             ch = s[j]
@@ -1686,14 +1738,14 @@ class Parser:
             self.tok_selfclosing = False
             self.tok_attrs = []
             if s[j] == ">":
-                self._emit_tag()
+                self._emit_tag(j + 1)
                 return j + 1
             st = _S_BEFORE_ATTR_NAME if s[j] in WS else _S_SELF_CLOSING
             return self._tag_machine(s, j + 1, st)
-        self._emit_char("<")
-        self._emit_char("/")
+        self._emit_char("<", pos)
+        self._emit_char("/", pos)
         for ch in temp:
-            self._emit_char(ch)
+            self._emit_char(ch, pos)
         return (j,)
 
     # ---- 8.2.4.72-.79 character references (:1681-1904) ----
@@ -1704,6 +1756,12 @@ class Parser:
         if pos >= n:
             return self._charref_end(pos, in_attr)
         c = s[pos]
+        if c == "\n":
+            # character_reference counts the newline (?i, :1681-1682) but
+            # does NOT consume it; the return state re-scans and counts it
+            # again -> '&' directly before '\n' advances line_num by 2 (Q30)
+            self._line += 1
+            return self._charref_end(pos, in_attr)
         if c in WS or c == "<" or c == "&":
             return self._charref_end(pos, in_attr)  # stale temp replays
         if c == "#":
@@ -1746,7 +1804,7 @@ class Parser:
                 last[1] += "".join(buff)
         else:
             for ch in buff:
-                self._emit_char(ch)
+                self._emit_char(ch, pos)
         return pos
 
     # ---- 8.2.4.6-.7 tag open (:249-279) ----
@@ -1778,7 +1836,7 @@ class Parser:
                         ]
                     else:
                         self.tok_attrs = []
-                    self._emit_tag()
+                    self._emit_tag(m.end())
                     return m.end()
                 self.tok_is_end = False
                 self.tok_name = ""
@@ -1788,7 +1846,7 @@ class Parser:
             if c == "?":
                 self.tok_comment = []
                 return self._bogus_comment(s, pos)  # '?' included (:256-259)
-        self._emit_char("<")
+        self._emit_char("<", pos)
         return pos
 
     def _end_tag_open(self, s: str, pos: int):
@@ -1805,7 +1863,7 @@ class Parser:
                         self.tok_name = m.group()
                         self.tok_selfclosing = False
                         self.tok_attrs = []
-                        self._emit_tag()
+                        self._emit_tag(e + 1)
                         return e + 1
                 self.tok_is_end = True
                 self.tok_name = ""
@@ -1816,8 +1874,8 @@ class Parser:
                 return pos + 1  # dropped (:268-270)
             self.tok_comment = []
             return self._bogus_comment(s, pos)
-        self._emit_char("<")
-        self._emit_char("/")
+        self._emit_char("<", pos)
+        self._emit_char("/", pos)
         return self._emit_eof()
 
     # ---- tag/attribute machine (8.2.4.8, .32-.40; :282-346, 872-1084) ----
@@ -1843,7 +1901,7 @@ class Parser:
                         pos += 1
                         break
                     if c == ">":
-                        self._emit_tag()
+                        self._emit_tag(pos + 1)
                         return pos + 1
                     if c == "\x00":
                         self.tok_name += "�"
@@ -1909,7 +1967,7 @@ class Parser:
                     st = _S_BEFORE_ATTR_VALUE
                     pos += 1
                 elif c == ">":
-                    self._emit_tag()
+                    self._emit_tag(pos + 1)
                     return pos + 1
                 else:
                     attrs.append(["", ""])  # valueless attr (:954-957)
@@ -1967,7 +2025,7 @@ class Parser:
                         pos = self._charref(s, pos + 1, True)
                         continue
                     if c == ">":
-                        self._emit_tag()
+                        self._emit_tag(pos + 1)
                         return pos + 1
                     if c == "\x00":
                         attrs[-1][1] += "�"
@@ -1989,7 +2047,7 @@ class Parser:
                     st = _S_SELF_CLOSING
                     pos += 1
                 elif c == ">":
-                    self._emit_tag()
+                    self._emit_tag(pos + 1)
                     return pos + 1
                 else:
                     st = _S_BEFORE_ATTR_NAME  # no consume (:1070-1072)
@@ -1998,7 +2056,7 @@ class Parser:
                     return self._emit_eof()  # fatal
                 if s[pos] == ">":
                     self.tok_selfclosing = True
-                    self._emit_tag()
+                    self._emit_tag(pos + 1)
                     return pos + 1
                 st = _S_BEFORE_ATTR_NAME  # no consume
 
@@ -2010,10 +2068,12 @@ class Parser:
         while True:
             if pos >= n:
                 # emits the comment but NOT eof: parse ends unfinished (D5)
+                self._line_to(n)
                 self.tb.dispatch(T_COMMENT, "".join(parts))
                 return None
             c = s[pos]
             if c == ">":
+                self._line_to(pos)
                 self.tb.dispatch(T_COMMENT, "".join(parts))
                 return pos + 1
             if c == "\x00":
@@ -2041,7 +2101,12 @@ class Parser:
     def _comment_machine(self, s: str, pos: int):
         n = len(s)
         parts = self.tok_comment
-        emit = lambda: self.tb.dispatch(T_COMMENT, "".join(parts))
+
+        def emit():
+            # closure reads the CURRENT pos: every '\n' in the comment body
+            # was consumed before the emitting '>' / eof
+            self._line_to(pos)
+            self.tb.dispatch(T_COMMENT, "".join(parts))
         # comment_start (:1125-1132)
         if pos < n and s[pos] == "-":
             pos += 1
@@ -2159,6 +2224,7 @@ class Parser:
         self.dt_system = None
 
         def emit():
+            self._line_to(pos)  # closure: current consumption point
             self.tb.dispatch(T_DOCTYPE, self.dt_name, self.dt_public, self.dt_system)
 
         # doctype -> before_doctype_name (:1252-1263, 1266-1289); the
@@ -2211,19 +2277,18 @@ class Parser:
             emit()
             return pos + 1
         word = s[pos : pos + 6].lower()
+        # keep `pos` an int: the emit closure reads it at call time
         if word == "public":
-            pos += 6
-            pos = self._doctype_id(s, pos, "public")
+            res = self._doctype_id(s, pos + 6, "public")
         elif word == "system":
-            pos += 6
-            pos = self._doctype_id(s, pos, "system")
+            res = self._doctype_id(s, pos + 6, "system")
         else:
             return self._bogus_doctype(s, pos, emit)
-        if pos is None:
+        if res is None:
             return None
-        if isinstance(pos, tuple):  # (pos,) -> bogus_doctype
-            return self._bogus_doctype(s, pos[0], emit)
-        return pos
+        if isinstance(res, tuple):  # (pos,) -> bogus_doctype
+            return self._bogus_doctype(s, res[0], emit)
+        return res
 
     def _doctype_id(self, s: str, pos: int, which: str):
         """after_doctype_{public,system}_keyword through identifiers.
@@ -2235,6 +2300,7 @@ class Parser:
         n = len(s)
 
         def emit():
+            self._line_to(pos)  # closure: current consumption point
             self.tb.dispatch(T_DOCTYPE, self.dt_name, self.dt_public, self.dt_system)
 
         def set_id(val):
@@ -2344,13 +2410,16 @@ class Parser:
         return (pos,)
 
     def _bogus_doctype(self, s: str, pos: int, emit):
-        # (:1629-1641)
+        # (:1629-1641); the caller's emit closure reads the CALLER's stale
+        # pos, so the newlines consumed here are counted explicitly first
         n = len(s)
         while pos < n:
             if s[pos] == ">":
+                self._line_to(pos)
                 emit()
                 return pos + 1
             pos += 1
+        self._line_to(n)
         emit()
         return self._emit_eof()
 
@@ -2363,6 +2432,7 @@ class Parser:
             if pos >= n:
                 return self._emit_eof()
             if s[pos] != "]":
+                self._line_to(pos)
                 m = _RE_CDATA.search(s, pos)
                 end = m.start() if m else n
                 tb.chars(s[pos:end])
@@ -2371,17 +2441,22 @@ class Parser:
             # cdata_section_bracket (:1662-1666)
             pos += 1
             if pos >= n or s[pos] != "]":
-                self._emit_char("]")
+                self._emit_char("]", pos)
                 continue
             # cdata_section_end (:1669-1678)
             pos += 1
             while pos < n and s[pos] == "]":
-                self._emit_char("]")
+                self._emit_char("]", pos)
                 pos += 1
             if pos < n and s[pos] == ">":
                 return pos + 1  # back to data
-            self._emit_char("]")
-            self._emit_char("]")
+            self._emit_char("]", pos)
+            self._emit_char("]", pos)
+
+
+def _line_noop(pos):
+    """Installed as _line_to for sinks that do not want line numbers."""
+    return
 
 
 # tag-machine states

@@ -164,13 +164,24 @@ FROM documents
 """
 
 
+# multi-line wrapper for the node-table query: exercises line-number
+# tracking (send_event LineNum parity) through the driver gate.  The
+# inter-tag newlines produce the Q3 empty-characters text rows; all
+# node ids / spans / lines are constants because every element precedes
+# the injected text (documents.text has no newlines — verified above).
+_WRAP_NODETAB = ("<html>\n<head><title></title></head>\n<body>\n<p>",
+                 "</p>\n</body>\n</html>")
+
+
 def q_html_node_table(spark, sf_dir):
     """Flat parent-pointer DOM as an exploded Spark table (FIXTURES.md §4):
-    one row per SAX-visible node.  The plain wrapper yields a deterministic
-    6-node shape per document, so the oracle can reconstruct it exactly."""
+    one row per SAX-visible node, with byte-span and tokenizer-line lineage
+    columns.  The multi-line wrapper yields a deterministic 11-node shape
+    per document, so the oracle reconstructs it exactly — including the
+    per-node line numbers."""
     import pandas as pd
 
-    pre, post = _WRAP_PLAIN
+    pre, post = _WRAP_NODETAB
     docs = t(spark, sf_dir, "documents").select(
         "doc_id", F.concat(F.lit(pre), F.col("text"), F.lit(post)).alias("page"))
 
@@ -180,11 +191,12 @@ def q_html_node_table(spark, sf_dir):
 
         for pdf in batches:
             out = {"doc_id": [], "node_id": [], "parent_id": [], "kind": [],
-                   "name": [], "depth": [], "text": [], "span_start": []}
+                   "name": [], "depth": [], "text": [], "span_start": [],
+                   "line": []}
             for did, page in zip(pdf["doc_id"], pdf["page"]):
                 sink = NodeTableSink()
                 Parser().parse(page.encode("utf-8"), sink)
-                for nid, pid, kind, name, ns, attrs, text, depth, span in sink.rows:
+                for nid, pid, kind, name, ns, attrs, text, depth, span, line in sink.rows:
                     out["doc_id"].append(did)
                     out["node_id"].append(nid)
                     out["parent_id"].append(pid)
@@ -193,26 +205,32 @@ def q_html_node_table(spark, sf_dir):
                     out["depth"].append(depth)
                     out["text"].append(text)
                     out["span_start"].append(span)
+                    out["line"].append(line)
             yield pd.DataFrame(out)
 
     schema = ("doc_id long, node_id int, parent_id int, kind string, "
-              "name string, depth int, text string, span_start int")
+              "name string, depth int, text string, span_start int, line int")
     return docs.mapInPandas(run, schema)
 
 
 SQL_HTML_NODE_TABLE = """
 SELECT d.doc_id, v.node_id, v.parent_id, v.kind, v.name, v.depth,
-       CASE WHEN v.node_id = 5 THEN d.text ELSE '' END AS text,
-       v.span_start
+       CASE WHEN v.node_id = 8 THEN d.text ELSE '' END AS text,
+       v.span_start, v.line
 FROM documents d
 CROSS JOIN (VALUES
-  (0, -1, 'element', 'html',  0, 0),
-  (1,  0, 'element', 'head',  1, 6),
-  (2,  1, 'element', 'title', 2, 12),
-  (3,  0, 'element', 'body',  1, 34),
-  (4,  3, 'element', 'p',     2, 40),
-  (5,  4, 'text',    '',      3, -1)
-) AS v(node_id, parent_id, kind, name, depth, span_start)
+  (0, -1, 'element', 'html',  0,  0, 1),
+  (1,  0, 'text',    '',      1, -1, 2),
+  (2,  0, 'element', 'head',  1,  7, 2),
+  (3,  2, 'element', 'title', 2, 13, 2),
+  (4,  0, 'text',    '',      1, -1, 3),
+  (5,  0, 'element', 'body',  1, 36, 3),
+  (6,  5, 'text',    '',      2, -1, 4),
+  (7,  5, 'element', 'p',     2, 43, 4),
+  (8,  7, 'text',    '',      3, -1, 4),
+  (9,  5, 'text',    '',      2, -1, 5),
+  (10, 0, 'text',    '',      1, -1, 6)
+) AS v(node_id, parent_id, kind, name, depth, span_start, line)
 """
 
 

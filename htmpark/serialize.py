@@ -91,7 +91,7 @@ def serialize_nodes(rows) -> str:
         by_parent.setdefault(r[1], []).append(r)
 
     def render(r) -> str:
-        nid, pid, kind, name, ns, attrs, text, depth, span = r
+        nid, pid, kind, name, ns, attrs, text, depth, span, _line = r
         if kind == "element":
             kids = by_parent.get(nid, [])
             void = name in VOID_ELEMENTS and not kids

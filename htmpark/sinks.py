@@ -21,6 +21,8 @@ from .parser import HTML_NS
 
 
 class BaseSink:
+    wants_lines = False  # opt-in: Parser tracks line numbers only if True
+
     def start_document(self): pass
     def end_document(self): pass
     def start_dtd(self, name, public, system): pass
@@ -34,40 +36,54 @@ class BaseSink:
 
 
 class EventListSink(BaseSink):
-    """Accumulates events as tuples mirroring htmerl:sax/1 exactly."""
+    """Accumulates events as tuples mirroring htmerl:sax/1 exactly.
 
-    def __init__(self):
+    ``with_lines=True`` additionally records the tokenizer line number of
+    every event in the parallel ``lines`` list — the LineNum argument the
+    reference passes to every user event_fun call (send_event,
+    htmerl_sax_utf8.erl:3437-3447); an htmerl fold ``fun(Event, LineNum,
+    State)`` ports as ``zip(sink.events, sink.lines)``."""
+
+    def __init__(self, with_lines: bool = False):
         self.events = []
+        self.lines = [] if with_lines else None
+        self.wants_lines = with_lines
+        self.tb = None  # set by Parser.parse; carries .line
+
+    def _append(self, ev):
+        self.events.append(ev)
+        if self.lines is not None:
+            self.lines.append(self.tb.line if self.tb is not None else 1)
 
     def start_document(self):
-        self.events.append("startDocument")
+        self._append("startDocument")
 
     def end_document(self):
-        self.events.append("endDocument")
+        self._append("endDocument")
 
     def start_dtd(self, name, public, system):
-        self.events.append(("startDTD", name, public, system))
+        self._append(("startDTD", name, public, system))
 
     def end_dtd(self):
-        self.events.append("endDTD")
+        self._append("endDTD")
 
     def start_prefix_mapping(self, prefix, uri):
-        self.events.append(("startPrefixMapping", prefix, uri))
+        self._append(("startPrefixMapping", prefix, uri))
 
     def end_prefix_mapping(self, prefix):
-        self.events.append(("endPrefixMapping", prefix))
+        self._append(("endPrefixMapping", prefix))
 
     def start_element(self, uri, local, attrs):
-        self.events.append(("startElement", uri, local, ("", local), list(attrs)))
+        self._append(("startElement", uri, local, ("", local), list(attrs)))
 
     def end_element(self, uri, local):
-        self.events.append(("endElement", uri, local, ("", local)))
+        self._append(("endElement", uri, local, ("", local)))
 
     def characters(self, text):
-        self.events.append(("characters", text))
+        self._append(("characters", text))
 
     def comment(self, text):
-        self.events.append(("comment", text))
+        self._append(("comment", text))
 
 
 class SimpleTreeSink(BaseSink):
@@ -143,20 +159,24 @@ class TextSink(BaseSink):
 
 class NodeTableSink(BaseSink):
     """Flat DOM: rows (node_id, parent_id, kind, name, ns, attrs, text,
-    depth, span_start).
+    depth, span_start, line).
 
     Pre-order: parent_id < node_id always (FIXTURES.md §4 invariant).  The
     nested simple-form tree is reconstructible from parent pointers, which is
     what makes the representation Arrow/columnar-friendly (no recursive
     struct types).  span_start is the char offset of the element's '<' in
     the newline-normalized decoded source (-1 for implied elements and
-    non-element nodes) — the lineage pointer back into the raw page.
+    non-element nodes); line is the tokenizer line number at the node's
+    emitting event (send_event LineNum, htmerl_sax_utf8.erl:3437-3447) —
+    for text nodes that is the FLUSH point (the token after the run), per
+    the reference's deferred maybe_pop_text.
     """
 
     __slots__ = ("rows", "stack", "next_id", "tb")
+    wants_lines = True  # class attr, outside __slots__
 
     def __init__(self):
-        self.rows = []  # [node_id, parent_id, kind, name, ns, attrs, text, depth, span_start]
+        self.rows = []  # [node_id, parent_id, kind, name, ns, attrs, text, depth, span_start, line]
         self.stack = [-1]
         self.next_id = 0
         self.tb = None  # set by Parser.parse
@@ -164,8 +184,9 @@ class NodeTableSink(BaseSink):
     def _add(self, kind, name, ns, attrs, text, span=-1):
         nid = self.next_id
         self.next_id = nid + 1
+        line = self.tb.line if self.tb is not None else 1
         self.rows.append((nid, self.stack[-1], kind, name, ns, attrs, text,
-                          len(self.stack) - 1, span))
+                          len(self.stack) - 1, span, line))
         return nid
 
     def start_dtd(self, name, public, system):

@@ -17,7 +17,7 @@ def test_preorder_parent_pointers():
 def test_depth_consistency():
     rows, _ = nodes(b"<body><div><p>x</p></div></body>")
     by_id = {r[0]: r for r in rows}
-    for nid, pid, kind, name, ns, attrs, text, depth, span in rows:
+    for nid, pid, kind, name, ns, attrs, text, depth, span, line in rows:
         if pid >= 0:
             assert depth == by_id[pid][7] + 1
 
@@ -32,7 +32,7 @@ def test_reconstructed_tree_matches_simple():
         by_parent.setdefault(r[1], []).append(r)
 
     def build(r):
-        nid, pid, kind, name, ns, attrs, text, depth, span = r
+        nid, pid, kind, name, ns, attrs, text, depth, span, line = r
         if kind == "element":
             return {"kind": "element", "name": name, "ns": ns, "attrs": attrs,
                     "content": [build(c) for c in by_parent.get(nid, [])]}

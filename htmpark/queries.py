@@ -656,14 +656,58 @@ WHERE n_common >= 1
 """
 
 
-def q_dedup_embedding_cosine(spark, sf_dir):
+# probe-set size above which broadcasting the probe table is wrong: the
+# broadcast must fit every executor (and spark.sql.autoBroadcastJoinThreshold
+# -class limits); past that the pairing routes through a sign-LSH bucket
+# equi-join — bounded shuffle, recall limited to same-bucket pairs.  At
+# 100 TB with 10^9+ probes only the bucketed path is viable; the sandbox
+# defaults keep the exact broadcast plan (oracle-checkable).
+_MAX_BROADCAST_PROBES = 100_000
+
+# sign-LSH hyperplane count.  Expected bucket size is n / 2^bits for
+# roughly sign-balanced embeddings, so a within-bucket self-join does
+# ~n * (n / 2^bits) / 2 comparisons: bits must GROW with n to keep bucket
+# size bounded — bits ~ log2(n) - log2(target_bucket_size).  16 bits keeps
+# expected bucket size <= 1 up to n ~ 10^5; a 10^12-row corpus wants ~32
+# bits (or banded signatures for recall), never a fixed small constant.
+_LSH_BITS = 16
+
+
+def _lsh_bucket_expr(col, n_bits: int = _LSH_BITS):
+    return F.concat(*[
+        F.when(F.element_at(col, d + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for d in range(n_bits)
+    ])
+
+
+def _probe_pairs(e: DataFrame, probes: DataFrame,
+                 max_broadcast_probes: int = _MAX_BROADCAST_PROBES) -> DataFrame:
+    """Pair every embedding row with every (relevant) probe row.
+
+    probe count <= max_broadcast_probes: exact — crossJoin(broadcast(probes))
+    (BroadcastNestedLoopJoin; the big side streams, never shuffles).
+    Above the threshold: approximate — both sides bucket on the sign-LSH key
+    and equi-join (hash join on the bucket; no broadcast of the probe table,
+    no cartesian).  Plan-asserted in tests for both regimes.
+    """
+    if probes.count() <= max_broadcast_probes:
+        return e.crossJoin(F.broadcast(probes))
+    eb = e.withColumn("_b", _lsh_bucket_expr(F.col("embedding")))
+    pb = probes.withColumn("_b", _lsh_bucket_expr(F.col("pe")))
+    return eb.join(pb, "_b").drop("_b")
+
+
+def q_dedup_embedding_cosine(spark, sf_dir,
+                             max_broadcast_probes: int = _MAX_BROADCAST_PROBES):
     """Embedding near-dup: probe rows (vec_id % 100 == 0) vs all vectors,
     cosine in double with identical fold order both engines, emitted as a
-    round(1e4)-scaled int.  Scale: probes broadcast; full side streams."""
+    round(1e4)-scaled int.  Scale: probes broadcast below the crossover in
+    _probe_pairs, sign-LSH bucket equi-join above it."""
     e = t(spark, sf_dir, "embeddings")
     probes = e.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe"))
-    pairs = e.crossJoin(F.broadcast(probes)).where(F.col("probe_id") != F.col("vec_id"))
+    pairs = (_probe_pairs(e, probes, max_broadcast_probes)
+             .where(F.col("probe_id") != F.col("vec_id")))
     cos = _cos_expr(F.col("pe"), F.col("embedding"))
     return (
         pairs.select("probe_id", "vec_id",
@@ -687,10 +731,12 @@ WHERE probe_id != vec_id
 # ---------------------------------------------------------------------------
 # similarity search (embeddings)
 
-def q_sim_topk_bruteforce(spark, sf_dir):
+def q_sim_topk_bruteforce(spark, sf_dir,
+                          max_broadcast_probes: int = _MAX_BROADCAST_PROBES):
     """ANN baseline: brute-force cosine top-5 for each probe vector.
     Deterministic ordering: (scaled cosine desc, vec_id).  At scale: probes
-    broadcast, map-side partial top-k via window over shuffled probe_id."""
+    broadcast below the _probe_pairs crossover (bucketed equi-join above),
+    map-side partial top-k via window over shuffled probe_id."""
     from pyspark.sql.window import Window
 
     e = t(spark, sf_dir, "embeddings")
@@ -698,7 +744,7 @@ def q_sim_topk_bruteforce(spark, sf_dir):
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe"))
     cos = _cos_expr(F.col("pe"), F.col("embedding"))
     scored = (
-        e.crossJoin(F.broadcast(probes))
+        _probe_pairs(e, probes, max_broadcast_probes)
         .where(F.col("probe_id") != F.col("vec_id"))
         .select("probe_id", "vec_id", F.round(cos * 10000).cast("int").alias("cos_e4"))
     )
@@ -727,25 +773,14 @@ SELECT probe_id, rank, vec_id, cos_e4 FROM (
 """
 
 
-# sign-LSH hyperplane count.  Expected bucket size is n / 2^bits for
-# roughly sign-balanced embeddings, so the within-bucket self-join does
-# ~n * (n / 2^bits) / 2 comparisons: bits must GROW with n to keep bucket
-# size bounded — bits ~ log2(n) - log2(target_bucket_size).  16 bits keeps
-# expected bucket size <= 1 up to n ~ 10^5; a 10^12-row corpus wants ~32
-# bits (or banded signatures for recall), never a fixed small constant.
-_LSH_BITS = 16
-
-
 def q_sim_lsh_buckets(spark, sf_dir, n_bits: int = _LSH_BITS):
     """Sign-LSH scale path: bucket on the sign pattern of the first n_bits
-    dims, compare only within buckets — an equi-join on the bucket key, no
-    cross join.  Sign comparison is float-free (>= 0), engine-exact."""
+    dims (see _LSH_BITS for the bucket-size-vs-n rule), compare only within
+    buckets — an equi-join on the bucket key, no cross join.  Sign
+    comparison is float-free (>= 0), engine-exact."""
     e = t(spark, sf_dir, "embeddings")
-    bucket = F.concat(*[
-        F.when(F.element_at("embedding", d + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
-        for d in range(n_bits)
-    ])
-    eb = e.select("vec_id", "embedding", bucket.alias("bucket"))
+    eb = e.select("vec_id", "embedding",
+                  _lsh_bucket_expr(F.col("embedding"), n_bits).alias("bucket"))
     a = eb.alias("a")
     b = eb.alias("b")
     cos = _cos_expr(F.col("a.embedding"), F.col("b.embedding"))

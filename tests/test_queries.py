@@ -128,6 +128,30 @@ def test_explode_queries_repartition_before_expansion(spark):
         assert rr > gen, f"{name}: repartition must feed the explode (below it)"
 
 
+def test_probe_join_scale_guard(spark):
+    """Embedding probe pairing: exact broadcast below the crossover, sign-LSH
+    bucket equi-join above it (never a broadcast of a huge probe table)."""
+    from htmpark.queries import q_dedup_embedding_cosine
+
+    # default: small probe set -> BroadcastNestedLoopJoin (exact, streams)
+    dflt = q_dedup_embedding_cosine(spark, SF)
+    plan = dflt._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+
+    # forced crossover: probe table must NOT broadcast-nested-loop; the
+    # pairing becomes an equi-join on the sign-LSH bucket key
+    guarded = q_dedup_embedding_cosine(spark, SF, max_broadcast_probes=0)
+    gplan = guarded._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in gplan
+    assert "CartesianProduct" not in gplan
+    assert "_b" in gplan  # bucket equi-join key
+
+    # semantics: bucketed results are a subset of the exact results
+    exact = {(r.probe_id, r.vec_id, r.cos_e4) for r in dflt.collect()}
+    approx = {(r.probe_id, r.vec_id, r.cos_e4) for r in guarded.collect()}
+    assert approx <= exact
+
+
 def test_lsh_bucket_width():
     """Sign-LSH must use >= 16 hyperplanes (bucket count grows with n, not a
     fixed small constant — the round-1 scale-killer)."""

@@ -474,6 +474,61 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_rel_event_sessions(spark, sf_dir):
+    """Gap-based sessionization (the batch twin of the stateful-streaming
+    operator in htmpark.streaming): a new session starts when a user's
+    inter-event gap exceeds 300 s.  One shuffle on user_id; both window
+    passes and the final aggregate stay inside that partitioning (no second
+    exchange on the same key).  Gaps via timestampdiff on the NTZ column —
+    timezone-free and engine-exact."""
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    # gaps in exact MICROSECONDS: second-granularity differs across engines
+    # (Spark timestampdiff floors elapsed time, DuckDB date_diff counts
+    # boundary crossings) — micros are the parquet resolution, exact both
+    is_new = F.when(
+        prev.isNull()
+        | (F.expr("timestampdiff(MICROSECOND, _prev_ts, ts)") > 300 * 1_000_000),
+        1).otherwise(0)
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id") \
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s = (e.withColumn("_prev_ts", prev)
+          .withColumn("_new", is_new)
+          .withColumn("session_id", F.sum("_new").over(cum).cast("int")))
+    return (
+        s.groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"),
+             F.expr("timestampdiff(MICROSECOND, min(ts), max(ts)) div 1000000")
+              .cast("bigint").alias("duration_s"),
+             F.sum(_cents(F.col("value"))).alias("value_cents"))
+    )
+
+
+SQL_REL_EVENT_SESSIONS = """
+WITH o AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR date_diff('microsecond', lag(ts) OVER w, ts) > 300000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, value, ts,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS INT) AS session_id
+  FROM o
+)
+SELECT user_id, session_id,
+       COUNT(*) AS n_events,
+       CAST(date_diff('microsecond', MIN(ts), MAX(ts)) // 1000000 AS BIGINT) AS duration_s,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM s GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # dedup suite (documents)
 
@@ -573,6 +628,62 @@ bands AS (
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+"""
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Duplicate-cluster assignment: connected components over the MinHash
+    candidate pairs via iterative min-label propagation — the step that
+    turns pairwise candidates into keep/drop groups in a dedup pipeline.
+
+    Shape per iteration: one equi-join (edges x labels) + one min-aggregate;
+    labels only decrease, so the exact integer label-sum is a monotone
+    convergence metric (fixpoint <=> sum unchanged).  Iterations are
+    O(diameter) — near-dup clusters are shallow (2-4 hops), and at 10^12
+    edges the same loop (or its large-star/small-star refinement) is the
+    standard MapReduce connected-components plan; each pass shuffles on the
+    join key only.  Driver involvement is one tiny sum per pass, never row
+    data."""
+    pairs = q_dedup_minhash_pairs(spark, sf_dir)
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+                   .withColumn("label", F.col("id")).persist())
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    while True:
+        prop = (edges.join(labels, edges.dst == labels.id)
+                     .groupBy("src").agg(F.min("label").alias("nlabel")))
+        new_labels = (labels.join(prop, labels.id == prop.src, "left")
+                      .select(labels.id,
+                              F.least(F.col("label"),
+                                      F.coalesce("nlabel", "label")).alias("label"))
+                      .persist())
+        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    edges.unpersist()
+    return labels.select(F.col("id").alias("doc_id"),
+                         F.col("label").alias("cluster_id"))
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS ({SQL_DEDUP_MINHASH_PAIRS}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(id, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id
+)
+SELECT id AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY id
 """
 
 
@@ -1033,9 +1144,11 @@ REGISTRY = {
     "rel_customers_without_orders": (q_rel_customers_without_orders, SQL_REL_CUSTOMERS_WITHOUT_ORDERS),
     "rel_topk_expensive_parts": (q_rel_topk_expensive_parts, SQL_REL_TOPK_EXPENSIVE_PARTS),
     "rel_events_minutely": (q_rel_events_minutely, SQL_REL_EVENTS_MINUTELY),
+    "rel_event_sessions": (q_rel_event_sessions, SQL_REL_EVENT_SESSIONS),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_sig": (q_dedup_minhash_sig, SQL_DEDUP_MINHASH_SIG),
     "dedup_minhash_pairs": (q_dedup_minhash_pairs, SQL_DEDUP_MINHASH_PAIRS),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING_COSINE),

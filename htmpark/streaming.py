@@ -56,6 +56,101 @@ def windowed_event_counts(events: DataFrame, window: str = "1 minute",
     )
 
 
+SESSION_OUTPUT_DDL = ("user_id long, session_start timestamp, n_events long, "
+                      "duration_s long, value_cents long")
+_SESSION_STATE_DDL = ("start_us long, last_us long, n_events long, "
+                      "value_cents long")
+
+
+def sessionize_stream(events: DataFrame, gap_s: int = 300,
+                      watermark: str = "1 second") -> DataFrame:
+    """Custom stateful operator: gap-based sessionization via
+    ``applyInPandasWithState`` (the streaming twin of the batch
+    ``rel_event_sessions`` query; stream-equals-batch is pinned in tests).
+
+    State per active user: (session_start, last_event, n_events,
+    value_cents) as int64 epoch-micros/counters — no timezone-dependent
+    objects cross the Arrow boundary.  Sessions close two ways: a
+    same-batch gap (emitted immediately) or an event-time timeout at
+    last_event + gap once the watermark passes it.  At scale: state is
+    per-ACTIVE-user only, the watermark bounds state size and late data,
+    and the shuffle key is user_id (same partitioning as the batch twin).
+    Money stays integer cents (engine-exact against the batch/DuckDB
+    oracle)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_s * 1_000_000
+
+    def fn(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_us, last_us, n, cents = state.get
+            state.remove()
+            yield pd.DataFrame({
+                "user_id": [user_id],
+                "session_start": [pd.Timestamp(start_us, unit="us")],
+                "n_events": [n],
+                "duration_s": [(last_us - start_us) // 1_000_000],
+                "value_cents": [cents],
+            })
+            return
+        rows = pd.concat(list(pdf_iter)).sort_values(["ts", "event_id"])
+        # normalize to epoch micros regardless of pandas ns/us resolution
+        ts_us = rows["ts"].values.astype("datetime64[us]").astype("int64")
+        cents = (rows["value"] * 100).round().astype("int64")
+        if state.exists:
+            start_us, last_us, n, total = state.get
+        else:
+            start_us, last_us, n, total = -1, -1, 0, 0
+        out = {"user_id": [], "session_start": [], "n_events": [],
+               "duration_s": [], "value_cents": []}
+        for t_us, c in zip(ts_us, cents):
+            t_us = int(t_us)
+            if start_us >= 0 and t_us - last_us > gap_us:
+                out["user_id"].append(user_id)
+                out["session_start"].append(pd.Timestamp(start_us, unit="us"))
+                out["n_events"].append(n)
+                out["duration_s"].append((last_us - start_us) // 1_000_000)
+                out["value_cents"].append(total)
+                start_us, n, total = -1, 0, 0
+            if start_us < 0:
+                start_us = t_us
+            last_us = t_us
+            n += 1
+            total += int(c)
+        state.update((start_us, last_us, n, total))
+        state.setTimeoutTimestamp((last_us + gap_us) // 1000 + 1)  # ms
+        if out["user_id"]:
+            yield pd.DataFrame(out)
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, SESSION_OUTPUT_DDL, _SESSION_STATE_DDL, "append",
+            GroupStateTimeout.EventTimeTimeout)
+    )
+
+
+def run_sessionize_stream(spark: SparkSession, input_path: str,
+                          output_path: str, checkpoint_path: str,
+                          gap_s: int = 300, max_files_per_trigger: int = 1):
+    """readStream(events parquet) -> stateful sessionize -> parquet sink."""
+    sdf = (spark.readStream
+           .schema("event_id long, ts timestamp, user_id long, "
+                   "event_type string, value double, props string")
+           .option("maxFilesPerTrigger", str(max_files_per_trigger))
+           .parquet(input_path))
+    out = sessionize_stream(sdf, gap_s=gap_s)
+    return (out.writeStream.format("parquet")
+            .option("path", output_path)
+            .option("checkpointLocation", checkpoint_path)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start())
+
+
 def run_windowed_events_stream(spark: SparkSession, input_path: str,
                                output_path: str, checkpoint_path: str):
     """readStream(events parquet) -> watermark+window agg -> parquet sink."""

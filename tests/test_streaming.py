@@ -33,6 +33,51 @@ def test_stream_extraction_equals_batch(spark, tmp_out):
     assert spark.read.parquet(out).count() == 300
 
 
+def test_sessionize_stream_equals_batch(spark, tmp_out):
+    """Stateful streaming sessionization (applyInPandasWithState) emits
+    exactly the sessions the gap rule defines — verified against an
+    independently hand-computed expected set.  Sentinel users written as
+    later files advance the watermark so every real session closes via
+    event-time timeout; multi-file triggers exercise cross-microbatch
+    state."""
+    import datetime
+
+    from htmpark.streaming import run_sessionize_stream
+
+    base = datetime.datetime(2025, 1, 1)
+    rows, expected, eid = [], set(), 0
+    for u in range(5):
+        tcur = base + datetime.timedelta(seconds=u * 7)
+        for _sess in range(3):
+            start = tcur
+            for k in range(4):
+                rows.append((eid, tcur, u, "click", 1.25 * (k + 1), ""))
+                eid += 1
+                tcur += datetime.timedelta(seconds=60)
+            tcur -= datetime.timedelta(seconds=60)
+            expected.add((u, start, 4, 180, 1250))  # 125+250+375+500 cents
+            tcur += datetime.timedelta(seconds=400)  # > 300s gap -> close
+    schema = ("event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+    src = os.path.join(tmp_out, "sess_src")
+    far1 = base + datetime.timedelta(days=1)
+    far2 = far1 + datetime.timedelta(days=1)
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame([(990000, far1, 9001, "x", 0.0, "")], schema) \
+         .coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame([(990001, far2, 9002, "x", 0.0, "")], schema) \
+         .coalesce(1).write.mode("append").parquet(src)
+
+    out = os.path.join(tmp_out, "sess_out")
+    ckpt = os.path.join(tmp_out, "sess_ckpt")
+    q = run_sessionize_stream(spark, src, out, ckpt, gap_s=300)
+    q.awaitTermination(240)
+
+    got = {(r.user_id, r.session_start, r.n_events, r.duration_s, r.value_cents)
+           for r in spark.read.parquet(out).collect() if r.user_id < 9000}
+    assert got == expected
+
+
 def test_windowed_events_stream_matches_batch(spark, tmp_out):
     import shutil
 

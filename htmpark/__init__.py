@@ -16,7 +16,8 @@ Public API:
 """
 
 from .parser import Parser, TreeBuilder, norm_whitespaces
-from .sinks import EventListSink, SimpleTreeSink, TextSink, NodeTableSink
+from .sinks import (EventListSink, FoldSink, SimpleTreeSink, TextSink,
+                    NodeTableSink)
 from .serialize import encode_entities, serialize_nodes, serialize_tree
 
 __version__ = "0.1.0"
@@ -33,6 +34,29 @@ def parse_events(html, preserve_ws: bool = False, with_lines: bool = False):
     if with_lines:
         return list(zip(sink.events, sink.lines)), tb
     return sink.events, tb
+
+
+def sax(html, event_fun=None, user_state=None, preserve_ws: bool = False):
+    """htmerl:sax/2 equivalent (reference src/htmerl.erl:27-41): folds
+    ``event_fun(event, line_num, state)`` over the SAX stream — the same
+    three-argument signature the reference hands every user fold
+    (htmerl_sax_utf8.erl:3437-3447) — and returns (final_state, tb), the
+    analogue of ``{ok, UserState, Warnings}`` (Warnings is always [] in the
+    reference; warning formatting is an unreached TODO at :3585).
+
+    With no event_fun, the default fold collects events in document order
+    (the reference's default_state fun, :114-119, accumulates reversed and
+    flips at endDocument — net effect identical)."""
+    if event_fun is None:
+        user_state = [] if user_state is None else user_state
+
+        def event_fun(ev, _line, acc):
+            acc.append(ev)
+            return acc
+
+    sink = FoldSink(event_fun, user_state)
+    tb = Parser().parse(html, sink, preserve_ws)
+    return sink.state, tb
 
 
 def parse_simple(html, preserve_ws: bool = False):

@@ -241,6 +241,80 @@ def _corpus_n_pages(n_docs: int) -> int:
     return max(500, n_docs * 2 // 5)
 
 
+def q_html_sax_events(spark, sf_dir):
+    """The SAX event stream itself as an exploded Spark table: one row per
+    event with (seq, event kind, local name, text payload, tokenizer line)
+    — the htmerl:sax/2 fold surface (event + LineNum) made columnar.  The
+    multi-line wrapper yields a deterministic 20-event stream per document
+    (only event 12's characters payload varies), so the oracle reconstructs
+    it exactly including per-event line numbers."""
+    import pandas as pd
+
+    pre, post = _WRAP_NODETAB
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.lit(pre), F.col("text"), F.lit(post)).alias("page"))
+
+    def run(batches):
+        import htmpark
+
+        for pdf in batches:
+            out = {"doc_id": [], "seq": [], "event": [], "name": [],
+                   "text": [], "line": []}
+            for did, page in zip(pdf["doc_id"], pdf["page"]):
+                pairs, _tb = htmpark.parse_events(page.encode("utf-8"),
+                                                  with_lines=True)
+                for i, (ev, ln) in enumerate(pairs):
+                    if isinstance(ev, str):
+                        kind, name, text = ev, "", ""
+                    elif ev[0] in ("startElement", "endElement"):
+                        kind, name, text = ev[0], ev[2], ""
+                    elif ev[0] in ("characters", "comment"):
+                        kind, name, text = ev[0], "", ev[1]
+                    else:
+                        kind, name, text = ev[0], "", ""
+                    out["doc_id"].append(did)
+                    out["seq"].append(i)
+                    out["event"].append(kind)
+                    out["name"].append(name)
+                    out["text"].append(text)
+                    out["line"].append(ln)
+            yield pd.DataFrame(out)
+
+    schema = ("doc_id long, seq int, event string, name string, "
+              "text string, line int")
+    return docs.mapInPandas(run, schema)
+
+
+SQL_HTML_SAX_EVENTS = """
+SELECT d.doc_id, v.seq, v.event, v.name,
+       CASE WHEN v.seq = 12 THEN d.text ELSE '' END AS text,
+       v.line
+FROM documents d
+CROSS JOIN (VALUES
+  (0,  'startDocument',      '',      1),
+  (1,  'startPrefixMapping', '',      1),
+  (2,  'startElement',       'html',  1),
+  (3,  'characters',         '',      2),
+  (4,  'startElement',       'head',  2),
+  (5,  'startElement',       'title', 2),
+  (6,  'endElement',         'title', 2),
+  (7,  'endElement',         'head',  2),
+  (8,  'characters',         '',      3),
+  (9,  'startElement',       'body',  3),
+  (10, 'characters',         '',      4),
+  (11, 'startElement',       'p',     4),
+  (12, 'characters',         '',      4),
+  (13, 'endElement',         'p',     4),
+  (14, 'characters',         '',      5),
+  (15, 'endElement',         'body',  5),
+  (16, 'characters',         '',      6),
+  (17, 'endElement',         'html',  6),
+  (18, 'endPrefixMapping',   '',      6),
+  (19, 'endDocument',        '',      6)
+) AS v(seq, event, name, line)
+"""
+
+
 def q_html_corpus_pipeline(spark, sf_dir):
     """The production pipeline end-to-end on the synthetic web corpus:
     JVM-side page synthesis (skewed hosts) -> salted repartition ->
@@ -1137,6 +1211,7 @@ REGISTRY = {
     "html_parse_entities": (q_html_parse_entities, SQL_HTML_PARSE_ENTITIES),
     "html_node_stats": (q_html_node_stats, SQL_HTML_NODE_STATS),
     "html_node_table": (q_html_node_table, SQL_HTML_NODE_TABLE),
+    "html_sax_events": (q_html_sax_events, SQL_HTML_SAX_EVENTS),
     "html_corpus_pipeline": (q_html_corpus_pipeline, SQL_HTML_CORPUS_PIPELINE),
     "rel_pricing_summary": (q_rel_pricing_summary, SQL_REL_PRICING_SUMMARY),
     "rel_top_revenue_nations": (q_rel_top_revenue_nations, SQL_REL_TOP_REVENUE_NATIONS),

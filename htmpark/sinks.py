@@ -86,6 +86,54 @@ class EventListSink(BaseSink):
         self._append(("comment", text))
 
 
+class FoldSink(BaseSink):
+    """htmerl:sax/2 user-fold adapter (reference src/htmerl.erl:27-41,
+    htmerl_sax_utf8.erl:3437-3447): every SAX event becomes
+    ``state = event_fun(event, line_num, state)``, with the same xmerl-style
+    event tuples as EventListSink."""
+
+    wants_lines = True
+
+    def __init__(self, event_fun, user_state):
+        self.fun = event_fun
+        self.state = user_state
+        self.tb = None  # set by Parser.parse
+
+    def _ev(self, ev):
+        self.state = self.fun(ev, self.tb.line if self.tb is not None else 1,
+                              self.state)
+
+    def start_document(self):
+        self._ev("startDocument")
+
+    def end_document(self):
+        self._ev("endDocument")
+
+    def start_dtd(self, name, public, system):
+        self._ev(("startDTD", name, public, system))
+
+    def end_dtd(self):
+        self._ev("endDTD")
+
+    def start_prefix_mapping(self, prefix, uri):
+        self._ev(("startPrefixMapping", prefix, uri))
+
+    def end_prefix_mapping(self, prefix):
+        self._ev(("endPrefixMapping", prefix))
+
+    def start_element(self, uri, local, attrs):
+        self._ev(("startElement", uri, local, ("", local), list(attrs)))
+
+    def end_element(self, uri, local):
+        self._ev(("endElement", uri, local, ("", local)))
+
+    def characters(self, text):
+        self._ev(("characters", text))
+
+    def comment(self, text):
+        self._ev(("comment", text))
+
+
 class SimpleTreeSink(BaseSink):
     """Builds the simple-form tree (htmerl_simple.erl:21-97) as dicts.
 

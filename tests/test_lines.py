@@ -148,6 +148,47 @@ def test_node_table_lines():
     assert rows[8][6] == "Doc text here"
 
 
+def test_sax_fold_default_equals_parse_events():
+    html = b"<p>a\nb</p><ul><li>x<li>y</ul>"
+    events, _ = htmpark.parse_events(html)
+    folded, tb = htmpark.sax(html)
+    assert folded == events
+    assert tb.finished
+
+
+def test_sax_fold_linenum_argument():
+    """An htmerl event_fun that logs LineNum ports directly: same 3-arg
+    signature, same values."""
+    def fun(ev, line, acc):
+        if isinstance(ev, tuple) and ev[0] == "startElement":
+            acc.append((ev[2], line))
+        return acc
+
+    acc, _ = htmpark.sax(b"<div>\n<p>x</p>\n<p>y</p>\n</div>",
+                         event_fun=fun, user_state=[])
+    assert acc == [("html", 1), ("head", 1), ("body", 1), ("div", 1),
+                   ("p", 2), ("p", 3)]
+
+
+def test_line_invariants_property():
+    """For inputs without '&' (no Q30) every event line is monotonic and the
+    final endDocument line equals 1 + #newlines (all consumed newlines count
+    exactly once)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(alphabet="a<>/pdiv \n\"'=!-", max_size=120))
+    def check(s):
+        pairs, tb = htmpark.parse_events(s.encode(), with_lines=True)
+        lines = [ln for _, ln in pairs]
+        assert all(b >= a for a, b in zip(lines, lines[1:]))
+        if tb.finished:  # D5 stub paths never dispatch eof
+            assert pairs[-1][0] == "endDocument"
+            assert pairs[-1][1] == 1 + s.count("\n")
+
+    check()
+
+
 def test_crlf_normalized_before_counting():
     # Q1: \r\n and \r normalize to \n before tokenizing; counting follows
     pairs, _ = ev_lines(b"<p>a\r\nb\rc</p>")

@@ -799,14 +799,17 @@ SELECT doc_id, CAST({bits} AS INT) AS simhash16 FROM v
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """n-gram Jaccard against a probe set (doc_id % 97 == 0): exploded
     shingle equi-join -> exact intersection/union counts (no floats).
-    Scale path: the probe side broadcasts; the big side never self-joins."""
-    sh = _shingles(t(spark, sf_dir, "documents"))
-    sizes = sh.groupBy("doc_id").agg(F.countDistinct("shingle").alias("n_sh"))
-    probes = sh.where(F.col("doc_id") % 97 == 0).select(
-        F.col("doc_id").alias("probe_id"), "shingle").distinct()
+    Scale path: the probe side broadcasts; the big side never self-joins.
+    The (doc_id, shingle) DISTINCT is canonicalized once: sizes become a
+    plain count over it (no per-group distinct-aggregate rewrite), and the
+    probe branch's doc_id filter pushes below the dedup into the scan —
+    the probe side only ever deduplicates 1/97th of the corpus."""
+    d = _shingles(t(spark, sf_dir, "documents")).distinct()
+    sizes = d.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    probes = d.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("probe_id"), "shingle")
     inter = (
-        sh.select("doc_id", "shingle").distinct()
-        .join(F.broadcast(probes), "shingle")
+        d.join(F.broadcast(probes), "shingle")
         .where(F.col("probe_id") != F.col("doc_id"))
         .groupBy("probe_id", "doc_id")
         .agg(F.count("*").alias("n_common"))

@@ -1207,6 +1207,59 @@ FROM documents
 """
 
 
+def q_mm_frame_sample(spark, sf_dir):
+    """Multimodal frame sampling: treat each payload as a 100-byte-per-frame
+    pseudo-video, uniformly sample up to 4 frames per doc
+    (htmpark.multimodal.frame_sample_indices — the real video-path helper),
+    and emit one row per sampled frame with its byte offset and a 2-byte
+    frame fingerprint.  The row-expanding shape (doc -> k frames) is the
+    same plumbing a real frame decoder feeds; the decode itself stays the
+    documented stub."""
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload"))
+
+    def run(batches):
+        from .multimodal import frame_sample_indices
+
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_off": [],
+                   "frame_hex": []}
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(p)
+                n_frames = len(p) // 100
+                for fi in frame_sample_indices(n_frames, 4):
+                    off = fi * 100
+                    out["doc_id"].append(did)
+                    out["frame_idx"].append(fi)
+                    out["frame_off"].append(off)
+                    out["frame_hex"].append(p[off:off + 2].hex().upper())
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        run, "doc_id long, frame_idx int, frame_off int, frame_hex string")
+
+
+SQL_MM_FRAME_SAMPLE = """
+WITH m AS (
+  SELECT doc_id, encode(text) AS p,
+         CAST(octet_length(encode(text)) // 100 AS INT) AS nf
+  FROM documents
+), s AS (
+  SELECT doc_id, p,
+         unnest(CASE WHEN nf > 4
+                     THEN [0, nf // 4, (2 * nf) // 4, (3 * nf) // 4]
+                     ELSE range(nf) END) AS frame_idx
+  FROM m WHERE nf > 0
+)
+SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(frame_idx * 100 AS INT) AS frame_off,
+       substr(hex(p), frame_idx * 200 + 1, 4) AS frame_hex
+FROM s
+"""
+
+
 # ---------------------------------------------------------------------------
 
 REGISTRY = {
@@ -1238,4 +1291,5 @@ REGISTRY = {
     "text_token_count": (q_text_token_count, SQL_TEXT_TOKEN_COUNT),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     "mm_binary_meta": (q_mm_binary_meta, SQL_MM_BINARY_META),
+    "mm_frame_sample": (q_mm_frame_sample, SQL_MM_FRAME_SAMPLE),
 }

@@ -1144,6 +1144,31 @@ FROM documents
 """
 
 
+def q_text_top_terms(spark, sf_dir):
+    """Corpus vocabulary head: top-100 terms by collection frequency with
+    document frequency alongside — the vocabulary/stop-word-mining shape.
+    Scale: pre-explode repartition, map-side partial counts shrink the
+    shuffle to distinct terms per task, global top-k is
+    TakeOrderedAndProject (per-partition heaps, no full sort).
+    Deterministic tiebreak (cf desc, word) keeps both engines exact."""
+    d = t(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    w = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    agg = w.groupBy("word").agg(
+        F.count("*").alias("cf"),
+        F.countDistinct("doc_id").alias("df"))
+    return agg.orderBy(F.col("cf").desc(), "word").limit(100)
+
+
+SQL_TEXT_TOP_TERMS = """
+SELECT word, COUNT(*) AS cf, COUNT(DISTINCT doc_id) AS df
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+GROUP BY word
+ORDER BY cf DESC, word
+LIMIT 100
+"""
+
+
 def q_text_fingerprint(spark, sf_dir):
     """Document fingerprint: word-fold polynomial hash mod 1e9+7 (exact
     integer arithmetic; the rolling-hash shape used for content-defined
@@ -1290,6 +1315,7 @@ REGISTRY = {
     "text_lang_id": (q_text_lang_id, SQL_TEXT_LANG_ID),
     "text_token_count": (q_text_token_count, SQL_TEXT_TOKEN_COUNT),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
+    "text_top_terms": (q_text_top_terms, SQL_TEXT_TOP_TERMS),
     "mm_binary_meta": (q_mm_binary_meta, SQL_MM_BINARY_META),
     "mm_frame_sample": (q_mm_frame_sample, SQL_MM_FRAME_SAMPLE),
 }

@@ -34,8 +34,8 @@ def duck():
 FAST = [
     "rel_pricing_summary", "rel_top_revenue_nations", "rel_window_latest_orders",
     "rel_customers_without_orders", "rel_topk_expensive_parts",
-    "dedup_exact", "text_quality", "text_token_count", "text_fingerprint",
-    "sim_topk_bruteforce",
+    "rel_event_sessions", "dedup_exact", "text_quality", "text_token_count",
+    "text_fingerprint", "text_top_terms", "sim_topk_bruteforce",
 ]
 
 

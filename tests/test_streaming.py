@@ -78,6 +78,75 @@ def test_sessionize_stream_equals_batch(spark, tmp_out):
     assert got == expected
 
 
+def test_sessionize_stream_randomized_against_python_oracle(spark, tmp_out):
+    """Randomized (seeded) event streams through the stateful sessionizer,
+    split across three microbatches, must equal an independent pure-Python
+    sessionization of the same events."""
+    import datetime
+    import random
+
+    from htmpark.streaming import run_sessionize_stream
+
+    rng = random.Random(20260816)
+    base = datetime.datetime(2025, 3, 1)
+    rows, eid = [], 0
+    per_user = {}
+    for u in range(8):
+        tcur = base + datetime.timedelta(seconds=rng.randrange(0, 50))
+        evs = []
+        for _ in range(rng.randrange(5, 40)):
+            # mix of intra-session gaps and session-breaking gaps
+            tcur += datetime.timedelta(seconds=rng.choice(
+                [1, 7, 45, 200, 299, 301, 900, 2000]))
+            v = rng.randrange(0, 50000) / 100.0
+            rows.append((eid, tcur, u, "e", v, ""))
+            evs.append((tcur, v))
+            eid += 1
+        per_user[u] = evs
+
+    # independent python oracle: gap > 300s closes a session
+    expected = set()
+    for u, evs in per_user.items():
+        cur = [evs[0]]
+        for t, v in evs[1:]:
+            if (t - cur[-1][0]).total_seconds() > 300:
+                expected.add((u, cur[0][0], len(cur),
+                              int((cur[-1][0] - cur[0][0]).total_seconds()),
+                              sum(round(v * 100) for _, v in cur)))
+                cur = []
+            cur.append((t, v))
+        expected.add((u, cur[0][0], len(cur),
+                      int((cur[-1][0] - cur[0][0]).total_seconds()),
+                      sum(round(v * 100) for _, v in cur)))
+
+    schema = ("event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+    src = os.path.join(tmp_out, "rs_src")
+    # split files in GLOBAL time order: the file source advances the
+    # watermark per microbatch, and rows older than it would be dropped
+    # (that's correct streaming semantics, not what this parity test probes)
+    rows.sort(key=lambda r: r[1])
+    third = len(rows) // 3
+    spark.createDataFrame(rows[:third], schema).coalesce(1) \
+         .write.mode("append").parquet(src)
+    spark.createDataFrame(rows[third:], schema).coalesce(1) \
+         .write.mode("append").parquet(src)
+    far = base + datetime.timedelta(days=2)
+    spark.createDataFrame([(999999, far, 9001, "x", 0.0, "")], schema) \
+         .coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame([(999998, far + datetime.timedelta(days=1), 9002,
+                            "x", 0.0, "")], schema) \
+         .coalesce(1).write.mode("append").parquet(src)
+
+    q = run_sessionize_stream(spark, src, os.path.join(tmp_out, "rs_out"),
+                              os.path.join(tmp_out, "rs_ckpt"), gap_s=300)
+    q.awaitTermination(240)
+    got = {(r.user_id, r.session_start, r.n_events, r.duration_s, r.value_cents)
+           for r in spark.read.parquet(os.path.join(tmp_out, "rs_out")).collect()
+           if r.user_id < 9000}
+    assert got == expected
+
+
 def test_windowed_events_stream_matches_batch(spark, tmp_out):
     import shutil
 

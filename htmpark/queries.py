@@ -999,6 +999,87 @@ WHERE CAST(round({_duck_cos('a.embedding', 'b.embedding')} * 10000) AS INT) >= 2
 """
 
 
+def q_sim_ivf_topk(spark, sf_dir):
+    """IVF (inverted-file) ANN: the coarse-quantizer scale path.
+
+    Cells: a fixed centroid subset (vec_id % 50 == 7, ~n/50 centroids —
+    a deterministic stand-in for trained k-means so the oracle stays
+    engine-exact).  Every vector is assigned to its best cell (argmax
+    cosine, tiebreak centroid id); probes search their top-2 cells
+    (nprobe=2) and exact-rerank only the candidates in those cells.
+
+    Scale shape: assignment is a broadcast(centroids) nested-loop — O(n*k)
+    but map-local, no shuffle of the big side; candidate generation is an
+    equi-join on cell id; rerank touches ~nprobe/k of the corpus instead of
+    all of it.  Cell assignment would be written once as a table in
+    production, amortized across every query batch.  Float ordering is safe
+    cross-engine because both sides fold the cosine identically
+    (bit-identical doubles)."""
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "embeddings")
+    cents = e.where(F.col("vec_id") % 50 == 7).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce"))
+
+    def best_cells(vecs, id_col, vec_col, n_cells):
+        cos = _cos_expr(F.col("ce"), F.col(vec_col))
+        w = Window.partitionBy(id_col).orderBy(F.col("_c").desc(), "cent_id")
+        return (vecs.crossJoin(F.broadcast(cents))
+                .select(id_col, vec_col, "cent_id", cos.alias("_c"))
+                .withColumn("_r", F.row_number().over(w))
+                .where(F.col("_r") <= n_cells)
+                .drop("_c", "_r"))
+
+    assign = best_cells(e, "vec_id", "embedding", 1)
+    probes = e.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe"))
+    passign = best_cells(probes, "probe_id", "pe", 2)
+    cands = (passign.join(assign, "cent_id")
+             .where(F.col("probe_id") != F.col("vec_id")))
+    cos = _cos_expr(F.col("pe"), F.col("embedding"))
+    scored = cands.select(
+        "probe_id", "vec_id", F.round(cos * 10000).cast("int").alias("cos_e4"))
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos_e4").desc(), "vec_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 3)
+            .select("probe_id", "rank", "vec_id", "cos_e4"))
+
+
+SQL_SIM_IVF_TOPK = f"""
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding AS ce FROM embeddings WHERE vec_id % 50 = 7
+), assign AS (
+  SELECT vec_id, embedding, cent_id FROM (
+    SELECT e.vec_id, e.embedding, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_duck_cos('c.ce', 'e.embedding')} DESC,
+                                       c.cent_id) AS r
+    FROM embeddings e, cents c
+  ) WHERE r <= 1
+), probes AS (
+  SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id % 100 = 0
+), passign AS (
+  SELECT probe_id, pe, cent_id FROM (
+    SELECT p.probe_id, p.pe, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY p.probe_id
+                              ORDER BY {_duck_cos('c.ce', 'p.pe')} DESC,
+                                       c.cent_id) AS r
+    FROM probes p, cents c
+  ) WHERE r <= 2
+), scored AS (
+  SELECT pa.probe_id, a.vec_id,
+         CAST(round({_duck_cos('pa.pe', 'a.embedding')} * 10000) AS INT) AS cos_e4
+  FROM passign pa JOIN assign a USING (cent_id)
+  WHERE pa.probe_id != a.vec_id
+)
+SELECT probe_id, rank, vec_id, cos_e4 FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                               ORDER BY cos_e4 DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis (documents)
 
@@ -1310,6 +1391,7 @@ REGISTRY = {
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING_COSINE),
     "sim_topk_bruteforce": (q_sim_topk_bruteforce, SQL_SIM_TOPK_BRUTEFORCE),
     "sim_lsh_buckets": (q_sim_lsh_buckets, SQL_SIM_LSH_BUCKETS),
+    "sim_ivf_topk": (q_sim_ivf_topk, SQL_SIM_IVF_TOPK),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_quality_filter": (q_text_quality_filter, SQL_TEXT_QUALITY_FILTER),
     "text_lang_id": (q_text_lang_id, SQL_TEXT_LANG_ID),

@@ -999,7 +999,7 @@ WHERE CAST(round({_duck_cos('a.embedding', 'b.embedding')} * 10000) AS INT) >= 2
 """
 
 
-def q_sim_ivf_topk(spark, sf_dir):
+def q_sim_ivf_topk(spark, sf_dir, nprobe: int = 2):
     """IVF (inverted-file) ANN: the coarse-quantizer scale path.
 
     Cells: a fixed centroid subset (vec_id % 50 == 7, ~n/50 centroids —
@@ -1033,7 +1033,7 @@ def q_sim_ivf_topk(spark, sf_dir):
     assign = best_cells(e, "vec_id", "embedding", 1)
     probes = e.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe"))
-    passign = best_cells(probes, "probe_id", "pe", 2)
+    passign = best_cells(probes, "probe_id", "pe", nprobe)
     cands = (passign.join(assign, "cent_id")
              .where(F.col("probe_id") != F.col("vec_id")))
     cos = _cos_expr(F.col("pe"), F.col("embedding"))
@@ -1277,6 +1277,87 @@ FROM documents
 """
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """Capstone training-data curation: one pass over the corpus combining
+    the quality gate, exact dedup (keep the min doc_id per md5 group), and
+    near-dup cluster keep-one (keep only each MinHash cluster's min doc_id)
+    into a per-document keep/drop verdict with per-rule flags.
+
+    Scale shape: quality flags fuse with the scan; the exact-dedup keep set
+    is a groupBy on the md5 key joined back (at 10^12 docs both sides
+    shuffle on the 128-bit hash — co-partitioned, no broadcast needed); the
+    near-dup verdict left-joins the (tiny relative to corpus) cluster
+    assignment.  kept = all three gates pass — exactly the boolean algebra
+    a curation DAG applies before tokenization."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_words = F.size(words)
+    n_chars = F.length("text")
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+    quality_ok = (
+        (n_words >= 10) & (n_words <= 1000)
+        & (n_chars - n_words + 1 >= 3 * n_words)
+        & (n_chars - n_words + 1 <= 10 * n_words)
+        & (n_stop * 50 >= n_words)
+    )
+    flagged = d.select("doc_id", F.md5("text").alias("h"),
+                       quality_ok.alias("q"))
+    keepers = flagged.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    exact = flagged.join(keepers, "h").select(
+        "doc_id", "q", (F.col("doc_id") == F.col("keep_id")).alias("x"))
+    clusters = q_dedup_clusters(spark, sf_dir)
+    nd = exact.join(clusters, "doc_id", "left").select(
+        "doc_id", "q", "x",
+        (F.col("cluster_id").isNull()
+         | (F.col("cluster_id") == F.col("doc_id"))).alias("n"))
+    return nd.select(
+        "doc_id",
+        F.col("q").cast("int").alias("quality_ok"),
+        F.col("x").cast("int").alias("exact_keep"),
+        F.col("n").cast("int").alias("neardup_keep"),
+        (F.col("q") & F.col("x") & F.col("n")).cast("int").alias("kept"))
+
+
+SQL_CURATION_PIPELINE = f"""
+WITH RECURSIVE pairs AS ({SQL_DEDUP_MINHASH_PAIRS}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(id, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id
+),
+clusters AS (SELECT id AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY id),
+flagged AS (
+  SELECT doc_id, md5(text) AS h,
+         (len(string_split(text, ' ')) >= 10
+          AND len(string_split(text, ' ')) <= 1000
+          AND length(text) - len(string_split(text, ' ')) + 1
+              >= 3 * len(string_split(text, ' '))
+          AND length(text) - len(string_split(text, ' ')) + 1
+              <= 10 * len(string_split(text, ' '))
+          AND len(list_filter(string_split(text, ' '),
+              w -> list_contains(['the','a','and','of','to','in','is','on','for','with'], w))) * 50
+              >= len(string_split(text, ' '))) AS q
+  FROM documents
+),
+keepers AS (SELECT h, MIN(doc_id) AS keep_id FROM flagged GROUP BY h)
+SELECT f.doc_id,
+       CAST(f.q AS INT) AS quality_ok,
+       CAST(f.doc_id = k.keep_id AS INT) AS exact_keep,
+       CAST(c.cluster_id IS NULL OR c.cluster_id = f.doc_id AS INT) AS neardup_keep,
+       CAST(f.q AND f.doc_id = k.keep_id
+            AND (c.cluster_id IS NULL OR c.cluster_id = f.doc_id) AS INT) AS kept
+FROM flagged f
+JOIN keepers k USING (h)
+LEFT JOIN clusters c ON c.doc_id = f.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing (binary columns + typed metadata)
 
@@ -1398,6 +1479,7 @@ REGISTRY = {
     "text_token_count": (q_text_token_count, SQL_TEXT_TOKEN_COUNT),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     "text_top_terms": (q_text_top_terms, SQL_TEXT_TOP_TERMS),
+    "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
     "mm_binary_meta": (q_mm_binary_meta, SQL_MM_BINARY_META),
     "mm_frame_sample": (q_mm_frame_sample, SQL_MM_FRAME_SAMPLE),
 }

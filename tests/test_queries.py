@@ -152,6 +152,17 @@ def test_probe_join_scale_guard(spark):
     assert approx <= exact
 
 
+def test_sessionization_single_exchange(spark):
+    """Both window passes and the final (user_id, session_id) aggregate must
+    reuse ONE hashpartitioning(user_id) exchange: HashPartitioning(user_id)
+    satisfies the aggregate's clustered distribution because user_id is a
+    subset of its keys."""
+    fn, _ = REGISTRY["rel_event_sessions"]
+    plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "hashpartitioning(user_id" in plan
+
+
 def test_lsh_bucket_width():
     """Sign-LSH must use >= 16 hyperplanes (bucket count grows with n, not a
     fixed small constant — the round-1 scale-killer)."""

@@ -548,6 +548,86 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_rel_revenue_rollup(spark, sf_dir):
+    """ROLLUP aggregation over a fact-fact join: revenue by (order year,
+    priority) with subtotal and grand-total rows.  Deliberately NO broadcast
+    hint — lineitem x orders is the both-sides-huge join, so the correct
+    10^12-row plan is the co-partitioned shuffle join on the order key; the
+    rollup itself is one expand + hash aggregate.  The level marker is
+    composed from per-column GROUPING() bits identically on both engines;
+    the year is a string cut from the NTZ timestamp (timezone-free)."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    j = (li.join(o, li.l_orderkey == o.o_orderkey)
+         .withColumn("o_year", F.substring(F.col("o_orderdate").cast("string"), 1, 4)))
+    return (
+        j.rollup("o_year", "o_orderpriority")
+        .agg(F.sum(_cents(F.col("l_extendedprice"))).alias("revenue_cents"),
+             F.count("*").alias("n_items"),
+             (F.grouping("o_year").cast("int") * 2
+              + F.grouping("o_orderpriority").cast("int")).alias("lvl"))
+    )
+
+
+SQL_REL_REVENUE_ROLLUP = """
+SELECT substr(CAST(o_orderdate AS VARCHAR), 1, 4) AS o_year,
+       o_orderpriority,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       COUNT(*) AS n_items,
+       CAST(GROUPING(substr(CAST(o_orderdate AS VARCHAR), 1, 4)) * 2
+            + GROUPING(o_orderpriority) AS INT) AS lvl
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY ROLLUP(o_year, o_orderpriority)
+"""
+
+
+def q_sketch_distinct_kmv(spark, sf_dir, k: int = 64):
+    """Distributed cardinality sketch: KMV / bottom-k.  Distinct-user
+    estimate per event type from the k-th smallest 60-bit hash of user_id —
+    estimate = (2^60 div h_k) * (k-1), integer-divided FIRST so both
+    engines compute the identical value without int64 overflow.  Groups
+    with fewer than k distinct hashes fall back to the exact count.
+
+    Scale: this is the mergeable-sketch shape (each partition keeps its k
+    minima; merge = k smallest of the union) — here expressed as distinct +
+    per-group window because the oracle needs exact reproducibility; the
+    exact n_exact column is emitted alongside to judge the estimate."""
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "events")
+    h = (F.conv(F.substring(F.md5(F.col("user_id").cast("string").cast("binary")),
+                            1, 15), 16, 10).cast("bigint"))
+    d = e.select("event_type", h.alias("h")).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    kth = (d.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == k)
+            .select("event_type", F.col("h").alias("hk")))
+    n = d.groupBy("event_type").agg(F.count("*").alias("n_exact"))
+    hspace = 1 << 60
+    return (n.join(kth, "event_type", "left")
+            .select("event_type", "n_exact",
+                    F.coalesce(F.expr(f"{hspace} div hk") * (k - 1),
+                               F.col("n_exact")).alias("kmv_estimate")))
+
+
+SQL_SKETCH_DISTINCT_KMV = """
+WITH d AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events
+), r AS (
+  SELECT event_type, h,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM d
+), kth AS (SELECT event_type, h AS hk FROM r WHERE rn = 64),
+n AS (SELECT event_type, COUNT(*) AS n_exact FROM d GROUP BY 1)
+SELECT n.event_type, n.n_exact,
+       CAST(COALESCE((1152921504606846976 // kth.hk) * 63, n.n_exact)
+            AS BIGINT) AS kmv_estimate
+FROM n LEFT JOIN kth USING (event_type)
+"""
+
+
 def q_rel_event_sessions(spark, sf_dir):
     """Gap-based sessionization (the batch twin of the stateful-streaming
     operator in htmpark.streaming): a new session starts when a user's
@@ -1464,6 +1544,8 @@ REGISTRY = {
     "rel_topk_expensive_parts": (q_rel_topk_expensive_parts, SQL_REL_TOPK_EXPENSIVE_PARTS),
     "rel_events_minutely": (q_rel_events_minutely, SQL_REL_EVENTS_MINUTELY),
     "rel_event_sessions": (q_rel_event_sessions, SQL_REL_EVENT_SESSIONS),
+    "rel_revenue_rollup": (q_rel_revenue_rollup, SQL_REL_REVENUE_ROLLUP),
+    "sketch_distinct_kmv": (q_sketch_distinct_kmv, SQL_SKETCH_DISTINCT_KMV),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_sig": (q_dedup_minhash_sig, SQL_DEDUP_MINHASH_SIG),
     "dedup_minhash_pairs": (q_dedup_minhash_pairs, SQL_DEDUP_MINHASH_PAIRS),

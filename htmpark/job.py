@@ -187,6 +187,28 @@ def extract_pages(df: DataFrame, salt_buckets: int = 8,
     return df.mapInPandas(fn, OUTPUT_SCHEMA)
 
 
+def export_jsonl(df: DataFrame, output_path: str,
+                 text_col: str = "text",
+                 keep_cols: tuple = ("url", "lang", "title"),
+                 min_text_chars: int = 1,
+                 compression: str | None = "gzip") -> None:
+    """Training-data handoff: write extracted documents as JSON Lines —
+    the interchange format LLM tokenizer pipelines consume.
+
+    JVM-side end to end: the filter and column pruning fuse with the scan,
+    and Spark's native JSON writer streams partition-parallel .json(.gz)
+    part files (no driver collection, no Python serialization).  At 100 TB
+    the same call holds: output parallelism = input partitions, gzip is
+    splittable-enough for downstream line readers because each PART is an
+    independent file."""
+    cols = [c for c in keep_cols if c in df.columns] + [text_col]
+    out = df.select(*cols).where(F.length(text_col) >= min_text_chars)
+    w = out.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(output_path)
+
+
 MANIFEST_SCHEMA = ("part_id", "n_pages", "n_ok", "tok_errors", "tree_errors",
                    "text_chars", "min_ts", "max_ts", "num_parts")
 

@@ -173,6 +173,34 @@ def test_oversize_guard_is_byte_exact_on_strings(spark):
     assert not out["fat"].parse_ok  # 608 chars but ~1807 bytes -> nulled
 
 
+def test_export_jsonl_roundtrip(spark, tmp_out):
+    """JSONL training-data export: every kept document round-trips through
+    Spark's JSON reader byte-identically; empty-text docs are dropped."""
+    import json
+    import gzip
+    import glob
+
+    from htmpark.job import export_jsonl
+
+    df = synthesize_pages(spark, 60)
+    parsed = extract_pages(df, salt_buckets=0)
+    out = os.path.join(tmp_out, "jsonl")
+    export_jsonl(parsed, out)
+
+    back = {r.url: (r.text, r.lang, r.title)
+            for r in spark.read.json(out).collect()}
+    src = {r.url: (r.text, r.lang, r.title) for r in parsed.collect() if r.text}
+    assert back == src and len(back) == 60
+
+    # the files really are gzipped JSON lines (downstream tokenizers read
+    # them without Spark)
+    files = glob.glob(os.path.join(out, "part-*.json.gz"))
+    assert files
+    with gzip.open(files[0], "rt", encoding="utf-8") as fh:
+        row = json.loads(fh.readline())
+    assert set(row) <= {"url", "lang", "title", "text"}
+
+
 def test_poisoned_row_becomes_error_row(spark):
     from pyspark.sql.types import (BinaryType, StringType, StructField,
                                    StructType, TimestampType)

@@ -33,6 +33,29 @@ def test_stream_extraction_equals_batch(spark, tmp_out):
     assert spark.read.parquet(out).count() == 300
 
 
+def test_stream_restart_with_new_files_exactly_once(spark, tmp_out):
+    """Exactly-once across restarts WITH NEW DATA: stop after the first
+    file set, append more files, restart on the same checkpoint — every
+    page appears exactly once, old files are not reprocessed."""
+    src = os.path.join(tmp_out, "r2_src")
+    out = os.path.join(tmp_out, "r2_out")
+    ckpt = os.path.join(tmp_out, "r2_ckpt")
+    all_pages = synthesize_pages(spark, 200)
+    ids = F.split(F.col("url"), "/p/").getItem(1).cast("long")
+    all_pages.where(ids < 120).coalesce(1).write.mode("append").parquet(src)
+
+    q = extract_pages_stream(spark, src, out, ckpt)
+    q.awaitTermination(240)
+    assert spark.read.parquet(out).count() == 120
+
+    all_pages.where(ids >= 120).coalesce(1).write.mode("append").parquet(src)
+    q2 = extract_pages_stream(spark, src, out, ckpt)
+    q2.awaitTermination(240)
+    got = [r.url for r in spark.read.parquet(out).collect()]
+    assert len(got) == 200
+    assert len(set(got)) == 200  # no duplicates: old files not reprocessed
+
+
 def test_sessionize_stream_equals_batch(spark, tmp_out):
     """Stateful streaming sessionization (applyInPandasWithState) emits
     exactly the sessions the gap rule defines — verified against an

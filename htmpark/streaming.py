@@ -56,6 +56,20 @@ def windowed_event_counts(events: DataFrame, window: str = "1 minute",
     )
 
 
+def dedup_pages_stream(pages: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup (the streaming twin of the dedup_exact query):
+    keep the first page per content hash seen within the watermark window.
+
+    ``dropDuplicatesWithinWatermark`` keeps one state row per distinct hash
+    and EVICTS it once the watermark passes — bounded state at any scale,
+    which plain dropDuplicates (grow-forever state) cannot promise on an
+    unbounded crawl stream.  Dedup key is md5 of the raw html bytes."""
+    return (pages
+            .withColumn("content_md5", F.md5(F.col("html")))
+            .withWatermark("warc_ts", watermark)
+            .dropDuplicatesWithinWatermark(["content_md5"]))
+
+
 SESSION_OUTPUT_DDL = ("user_id long, session_start timestamp, n_events long, "
                       "duration_s long, value_cents long")
 _SESSION_STATE_DDL = ("start_us long, last_us long, n_events long, "

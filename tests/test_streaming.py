@@ -33,6 +33,38 @@ def test_stream_extraction_equals_batch(spark, tmp_out):
     assert spark.read.parquet(out).count() == 300
 
 
+def test_dedup_pages_stream_drops_copies(spark, tmp_out):
+    """Streaming exact dedup: duplicated pages across microbatch files come
+    out exactly once; distinct contents all survive."""
+    from htmpark.streaming import dedup_pages_stream
+
+    src = os.path.join(tmp_out, "dd_src")
+    base = synthesize_pages(spark, 50)
+    # same content twice: second file re-writes the same 50 pages under
+    # shifted urls (content hash identical because html depends on i only
+    # through the page body... use identical urls to keep html identical)
+    base.coalesce(1).write.mode("append").parquet(src)
+    base.coalesce(1).write.mode("append").parquet(src)
+
+    sdf = (spark.readStream
+           .schema("url string, warc_ts timestamp, html binary, text string, "
+                   "lang string")
+           .option("maxFilesPerTrigger", "1")
+           .parquet(src))
+    out = os.path.join(tmp_out, "dd_out")
+    q = (dedup_pages_stream(sdf)
+         .writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", os.path.join(tmp_out, "dd_ckpt"))
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(240)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 50  # each content exactly once
+    assert len({r.content_md5 for r in rows}) == 50
+
+
 def test_stream_restart_with_new_files_exactly_once(spark, tmp_out):
     """Exactly-once across restarts WITH NEW DATA: stop after the first
     file set, append more files, restart on the same checkpoint — every

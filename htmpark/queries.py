@@ -581,6 +581,66 @@ GROUP BY ROLLUP(o_year, o_orderpriority)
 """
 
 
+def q_rel_order_value_median(spark, sf_dir):
+    """Exact per-group median via kth-element: engines disagree on
+    percentile interpolation, so the median is DEFINED as the element at
+    row floor((n+1)/2) under a total order (cents, orderkey) — exact and
+    identical everywhere.  One shuffle on the group key; the window and the
+    aggregate share it."""
+    from pyspark.sql.window import Window
+
+    o = t(spark, sf_dir, "orders")
+    v = o.select("o_orderpriority",
+                 _cents(F.col("o_totalprice")).alias("cents"),
+                 "o_orderkey")
+    w = Window.partitionBy("o_orderpriority").orderBy("cents", "o_orderkey")
+    cnt = Window.partitionBy("o_orderpriority")
+    r = (v.withColumn("rn", F.row_number().over(w))
+          .withColumn("n", F.count("*").over(cnt)))
+    return (r.where(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+            .select("o_orderpriority", F.col("cents").alias("median_cents"),
+                    F.col("n").alias("n_orders")))
+
+
+SQL_REL_ORDER_VALUE_MEDIAN = """
+WITH v AS (
+  SELECT o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey
+  FROM orders
+), r AS (
+  SELECT o_orderpriority, cents,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY cents, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM v
+)
+SELECT o_orderpriority, cents AS median_cents, n AS n_orders
+FROM r WHERE rn = (n + 1) // 2
+"""
+
+
+def q_rel_events_pivot(spark, sf_dir):
+    """Pivot as conditional aggregation: per-user event-type counts in
+    fixed columns (engine-portable SUM(CASE ...) instead of PIVOT syntax),
+    restricted to heavy users so the output stays small.  One shuffle on
+    user_id; at 10^12 rows this is a plain partial-aggregated hash agg."""
+    e = t(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    aggs = [F.sum(F.when(F.col("event_type") == ty, 1).otherwise(0))
+             .alias(f"n_{ty}") for ty in types]
+    return (e.groupBy("user_id").agg(F.count("*").alias("n_total"), *aggs)
+            .where(F.col("n_total") >= 50))
+
+
+SQL_REL_EVENTS_PIVOT = """
+SELECT user_id, COUNT(*) AS n_total,
+       {cols}
+FROM events GROUP BY user_id HAVING COUNT(*) >= 50
+""".format(cols=",\n       ".join(
+    f"CAST(SUM(CASE WHEN event_type = '{ty}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{ty}"
+    for ty in ("click", "view", "purchase", "signup", "error")))
+
+
 def q_sketch_distinct_kmv(spark, sf_dir, k: int = 64):
     """Distributed cardinality sketch: KMV / bottom-k.  Distinct-user
     estimate per event type from the k-th smallest 60-bit hash of user_id —
@@ -1545,6 +1605,8 @@ REGISTRY = {
     "rel_events_minutely": (q_rel_events_minutely, SQL_REL_EVENTS_MINUTELY),
     "rel_event_sessions": (q_rel_event_sessions, SQL_REL_EVENT_SESSIONS),
     "rel_revenue_rollup": (q_rel_revenue_rollup, SQL_REL_REVENUE_ROLLUP),
+    "rel_order_value_median": (q_rel_order_value_median, SQL_REL_ORDER_VALUE_MEDIAN),
+    "rel_events_pivot": (q_rel_events_pivot, SQL_REL_EVENTS_PIVOT),
     "sketch_distinct_kmv": (q_sketch_distinct_kmv, SQL_SKETCH_DISTINCT_KMV),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_sig": (q_dedup_minhash_sig, SQL_DEDUP_MINHASH_SIG),

@@ -46,7 +46,7 @@ class ExtractSink(BaseSink):
 
     __slots__ = ("parts", "_parity_skip", "_chrome_depth", "_link_depth",
                  "_block", "_blocks", "n_elements", "n_text", "n_comments",
-                 "_title_depth", "title_parts")
+                 "_title_depth", "title_parts", "outlinks")
 
     def __init__(self):
         self.parts = []          # parity text pieces
@@ -60,6 +60,9 @@ class ExtractSink(BaseSink):
         self.n_comments = 0
         self._title_depth = 0
         self.title_parts = []    # text inside <title> (page metadata)
+        self.outlinks = []       # href of every HTML <a>, document order,
+                                 # entity-decoded by the tokenizer (the
+                                 # crawl-frontier / web-graph surface)
 
     def _close_block(self):
         if self._block:
@@ -79,6 +82,9 @@ class ExtractSink(BaseSink):
                     self._title_depth += 1
             elif local == "a":
                 self._link_depth += 1
+                for _uri, _prefix, alocal, aval in attrs:
+                    if alocal == "href":
+                        self.outlinks.append(aval)
         else:
             # foreign content (svg/math) is never main text
             self._chrome_depth += 1
@@ -144,6 +150,7 @@ def extract_doc(html, preserve_ws: bool = False) -> dict:
         "text": sink.text,
         "main_text": sink.main_text,
         "title": "".join(sink.title_parts),
+        "outlinks": sink.outlinks,
         "n_elements": sink.n_elements,
         "n_text_nodes": sink.n_text,
         "tok_errors": p.tok_errors,

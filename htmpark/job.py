@@ -32,7 +32,8 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
-    BooleanType, IntegerType, StringType, StructField, StructType, TimestampType,
+    ArrayType, BooleanType, IntegerType, StringType, StructField, StructType,
+    TimestampType,
 )
 
 from .extract import extract_doc
@@ -44,6 +45,7 @@ OUTPUT_SCHEMA = StructType([
     StructField("text", StringType()),
     StructField("main_text", StringType()),
     StructField("title", StringType()),
+    StructField("outlinks", ArrayType(StringType())),
     StructField("n_elements", IntegerType()),
     StructField("n_text_nodes", IntegerType()),
     StructField("tok_errors", IntegerType()),
@@ -99,6 +101,7 @@ def _parse_batches(batches, preserve_ws: bool = False):
         texts = [None] * n
         mains = [None] * n
         titles = [None] * n
+        links = [[]] * n
         n_els = [0] * n
         n_txts = [0] * n
         toks = [0] * n
@@ -111,6 +114,7 @@ def _parse_batches(batches, preserve_ws: bool = False):
                 texts[k] = row["text"]
                 mains[k] = row["main_text"]
                 titles[k] = row["title"]
+                links[k] = row["outlinks"]
                 n_els[k] = row["n_elements"]
                 n_txts[k] = row["n_text_nodes"]
                 toks[k] = row["tok_errors"]
@@ -130,6 +134,7 @@ def _parse_batches(batches, preserve_ws: bool = False):
             "text": texts,
             "main_text": mains,
             "title": titles,
+            "outlinks": links,
             "n_elements": pd.array(n_els, dtype="int32"),
             "n_text_nodes": pd.array(n_txts, dtype="int32"),
             "tok_errors": pd.array(toks, dtype="int32"),

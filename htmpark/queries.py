@@ -315,6 +315,46 @@ CROSS JOIN (VALUES
 """
 
 
+# link-rich wrapper: double-quoted href with an entity (tokenizer must
+# decode &amp; inside the attribute value), plus a single-quoted one
+_WRAP_LINKS = ('<body><a href="/a?x=1&amp;y=2">l1</a><p>',
+               "</p><a href='/b'>l2</a></body>")
+
+
+def q_html_outlinks(spark, sf_dir):
+    """Outlink extraction — the crawl-frontier / web-graph surface: every
+    <a href> in document order, entity-decoded by the tokenizer (the
+    wrapper's first href carries &amp; inside the attribute value).  The
+    array column explodes JVM-side (posexplode) after the vectorized
+    parse."""
+    import pandas as pd
+
+    pre, post = _WRAP_LINKS
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.lit(pre), F.col("text"), F.lit(post)).alias("page"))
+
+    def run(batches):
+        from .extract import extract_doc
+
+        for pdf in batches:
+            out = {"doc_id": [], "outlinks": []}
+            for did, page in zip(pdf["doc_id"], pdf["page"]):
+                out["doc_id"].append(did)
+                out["outlinks"].append(extract_doc(page.encode("utf-8"))["outlinks"])
+            yield pd.DataFrame(out)
+
+    parsed = docs.mapInPandas(run, "doc_id long, outlinks array<string>")
+    return parsed.select(
+        "doc_id", F.posexplode("outlinks").alias("link_idx", "outlink"))
+
+
+SQL_HTML_OUTLINKS = """
+SELECT d.doc_id, v.link_idx, v.outlink
+FROM documents d
+CROSS JOIN (VALUES (0, '/a?x=1&y=2'), (1, '/b')) AS v(link_idx, outlink)
+"""
+
+
 def q_html_corpus_pipeline(spark, sf_dir):
     """The production pipeline end-to-end on the synthetic web corpus:
     JVM-side page synthesis (skewed hosts) -> salted repartition ->
@@ -900,6 +940,79 @@ reach(id, label) AS (
 )
 SELECT id AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY id
 """
+
+
+_PR_SCALE = 10**12
+_PR_ITERS = 5
+
+
+def q_graph_pagerank(spark, sf_dir, iters: int = _PR_ITERS):
+    """Integer-exact PageRank over the near-dup candidate graph: canonical-
+    document selection — the best-connected variant of a duplicate family
+    ranks highest.  All arithmetic is floored int64 (r0 = 1e12; contrib =
+    r div out_deg; r' = 0.15*SCALE + (85 * sum contribs) div 100), so Spark
+    and the unrolled DuckDB iteration chain produce bit-identical ranks —
+    float PageRank would diverge on summation order.  Fixed 5 iterations.
+
+    Scale shape per iteration: one equi-join on the edge source + one
+    aggregate on the destination — the standard Pregel-style plan; at 10^12
+    edges both shuffles key on vertex ids and the rank table stays one row
+    per vertex.  Only vertices with candidate edges participate (documented:
+    singletons have no centrality to rank)."""
+    pairs = q_dedup_minhash_pairs(spark, sf_dir)
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    deg = edges.groupBy("src").agg(F.count("*").alias("out_deg")).persist()
+    base = 15 * _PR_SCALE // 100
+    ranks = deg.select(F.col("src").alias("id"),
+                       F.lit(_PR_SCALE).cast("bigint").alias("r"))
+    for _ in range(iters):
+        contrib = (edges.join(ranks, edges.src == ranks.id)
+                   .join(deg, "src")
+                   .select(F.col("dst"), F.expr("r div out_deg").alias("c"))
+                   .groupBy("dst").agg(F.sum("c").alias("s")))
+        ranks = (deg.select(F.col("src").alias("id"))
+                 .join(contrib, F.col("id") == F.col("dst"), "left")
+                 .select("id",
+                         (F.lit(base).cast("bigint")
+                          + F.expr("(85 * coalesce(s, 0)) div 100")).alias("r")))
+    return ranks.select(F.col("id").alias("doc_id"),
+                        F.col("r").alias("rank_scaled"))
+
+
+def _pagerank_sql(iters: int = _PR_ITERS) -> str:
+    base = 15 * _PR_SCALE // 100
+    blocks = [f"r0 AS (SELECT src AS id, CAST({_PR_SCALE} AS BIGINT) AS r FROM deg)"]
+    for k in range(1, iters + 1):
+        blocks.append(f"""r{k} AS (
+  SELECT deg.src AS id,
+         CAST({base} AS BIGINT) + (85 * COALESCE(c.s, 0)) // 100 AS r
+  FROM deg
+  LEFT JOIN (
+    SELECT e.dst, CAST(SUM(rk.r // dg.out_deg) AS BIGINT) AS s
+    FROM edges e
+    JOIN r{k - 1} rk ON rk.id = e.src
+    JOIN deg dg ON dg.src = e.src
+    GROUP BY e.dst
+  ) c ON c.dst = deg.src
+)""")
+    chain = ",\n".join(blocks)
+    return f"""
+WITH RECURSIVE pairs AS ({SQL_DEDUP_MINHASH_PAIRS}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+deg AS (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src),
+{chain}
+SELECT id AS doc_id, CAST(r AS BIGINT) AS rank_scaled FROM r{iters}
+"""
+
+
+SQL_GRAPH_PAGERANK = _pagerank_sql()
 
 
 def q_dedup_simhash(spark, sf_dir):
@@ -1596,6 +1709,7 @@ REGISTRY = {
     "html_node_stats": (q_html_node_stats, SQL_HTML_NODE_STATS),
     "html_node_table": (q_html_node_table, SQL_HTML_NODE_TABLE),
     "html_sax_events": (q_html_sax_events, SQL_HTML_SAX_EVENTS),
+    "html_outlinks": (q_html_outlinks, SQL_HTML_OUTLINKS),
     "html_corpus_pipeline": (q_html_corpus_pipeline, SQL_HTML_CORPUS_PIPELINE),
     "rel_pricing_summary": (q_rel_pricing_summary, SQL_REL_PRICING_SUMMARY),
     "rel_top_revenue_nations": (q_rel_top_revenue_nations, SQL_REL_TOP_REVENUE_NATIONS),
@@ -1612,6 +1726,7 @@ REGISTRY = {
     "dedup_minhash_sig": (q_dedup_minhash_sig, SQL_DEDUP_MINHASH_SIG),
     "dedup_minhash_pairs": (q_dedup_minhash_pairs, SQL_DEDUP_MINHASH_PAIRS),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "graph_pagerank": (q_graph_pagerank, SQL_GRAPH_PAGERANK),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING_COSINE),

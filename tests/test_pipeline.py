@@ -173,6 +173,27 @@ def test_oversize_guard_is_byte_exact_on_strings(spark):
     assert not out["fat"].parse_ok  # 608 chars but ~1807 bytes -> nulled
 
 
+def test_outlinks_extraction():
+    """Outlinks: every <a href> in document order, entity-decoded, including
+    chrome/nav links (frontier building wants ALL links; main-text chrome
+    rules do not apply here)."""
+    html = (b'<body><a href="/a?x=1&amp;y=2">l1</a><p>t</p>'
+            b"<a href='/b'>l2</a><nav><a href=n>n</a></nav>"
+            b'<a name=x>no-href</a></body>')
+    row = extract_doc(html)
+    assert row["outlinks"] == ["/a?x=1&y=2", "/b", "n"]
+
+
+def test_outlinks_through_pipeline(spark):
+    df = synthesize_pages(spark, 20)
+    out = extract_pages(df, salt_buckets=0).collect()
+    # corpus fragment 1 carries nav/footer links; fragment 9 an inline link
+    linked = [r for r in out if r.outlinks]
+    assert linked and all(isinstance(l, str) for r in linked for l in r.outlinks)
+    frag1 = [r for r in out if "/p/1" == r.url[-4:]]
+    assert frag1 and list(frag1[0].outlinks) == ["/a", "/b", "/c"]
+
+
 def test_export_jsonl_roundtrip(spark, tmp_out):
     """JSONL training-data export: every kept document round-trips through
     Spark's JSON reader byte-identically; empty-text docs are dropped."""

@@ -46,7 +46,7 @@ class ExtractSink(BaseSink):
 
     __slots__ = ("parts", "_parity_skip", "_chrome_depth", "_link_depth",
                  "_block", "_blocks", "n_elements", "n_text", "n_comments",
-                 "_title_depth", "title_parts", "outlinks")
+                 "_title_depth", "title_parts", "outlinks", "meta_pairs")
 
     def __init__(self):
         self.parts = []          # parity text pieces
@@ -63,6 +63,10 @@ class ExtractSink(BaseSink):
         self.outlinks = []       # href of every HTML <a>, document order,
                                  # entity-decoded by the tokenizer (the
                                  # crawl-frontier / web-graph surface)
+        self.meta_pairs = []     # (name, content) of every <meta name=...>
+                                 # (robots/noindex gates, descriptions);
+                                 # charset/http-equiv variants reach the
+                                 # same hook via their own attr names
 
     def _close_block(self):
         if self._block:
@@ -85,6 +89,15 @@ class ExtractSink(BaseSink):
                 for _uri, _prefix, alocal, aval in attrs:
                     if alocal == "href":
                         self.outlinks.append(aval)
+            elif local == "meta":
+                name = content = None
+                for _uri, _prefix, alocal, aval in attrs:
+                    if alocal == "name":
+                        name = aval
+                    elif alocal == "content":
+                        content = aval
+                if name is not None:
+                    self.meta_pairs.append((name, content or ""))
         else:
             # foreign content (svg/math) is never main text
             self._chrome_depth += 1
@@ -151,6 +164,8 @@ def extract_doc(html, preserve_ws: bool = False) -> dict:
         "main_text": sink.main_text,
         "title": "".join(sink.title_parts),
         "outlinks": sink.outlinks,
+        "meta_names": [n for n, _ in sink.meta_pairs],
+        "meta_contents": [c for _, c in sink.meta_pairs],
         "n_elements": sink.n_elements,
         "n_text_nodes": sink.n_text,
         "tok_errors": p.tok_errors,

@@ -46,6 +46,8 @@ OUTPUT_SCHEMA = StructType([
     StructField("main_text", StringType()),
     StructField("title", StringType()),
     StructField("outlinks", ArrayType(StringType())),
+    StructField("meta_names", ArrayType(StringType())),
+    StructField("meta_contents", ArrayType(StringType())),
     StructField("n_elements", IntegerType()),
     StructField("n_text_nodes", IntegerType()),
     StructField("tok_errors", IntegerType()),
@@ -102,6 +104,8 @@ def _parse_batches(batches, preserve_ws: bool = False):
         mains = [None] * n
         titles = [None] * n
         links = [[]] * n
+        mnames = [[]] * n
+        mconts = [[]] * n
         n_els = [0] * n
         n_txts = [0] * n
         toks = [0] * n
@@ -115,6 +119,8 @@ def _parse_batches(batches, preserve_ws: bool = False):
                 mains[k] = row["main_text"]
                 titles[k] = row["title"]
                 links[k] = row["outlinks"]
+                mnames[k] = row["meta_names"]
+                mconts[k] = row["meta_contents"]
                 n_els[k] = row["n_elements"]
                 n_txts[k] = row["n_text_nodes"]
                 toks[k] = row["tok_errors"]
@@ -135,6 +141,8 @@ def _parse_batches(batches, preserve_ws: bool = False):
             "main_text": mains,
             "title": titles,
             "outlinks": links,
+            "meta_names": mnames,
+            "meta_contents": mconts,
             "n_elements": pd.array(n_els, dtype="int32"),
             "n_text_nodes": pd.array(n_txts, dtype="int32"),
             "tok_errors": pd.array(toks, dtype="int32"),
@@ -190,6 +198,17 @@ def extract_pages(df: DataFrame, salt_buckets: int = 8,
         df = salted_repartition(df, salt_buckets, num_partitions)
     fn = (lambda it: _parse_batches(it, True)) if preserve_ws else _parse_batches
     return df.mapInPandas(fn, OUTPUT_SCHEMA)
+
+
+def drop_noindex(df: DataFrame) -> DataFrame:
+    """Curation gate: drop pages whose <meta name=robots> contains noindex
+    (crawl etiquette: the page owner opted out of indexing/training use).
+    Pure JVM array expression — fuses with the scan, no UDF."""
+    flagged = F.exists(
+        F.arrays_zip("meta_names", "meta_contents"),
+        lambda x: (x["meta_names"] == "robots")
+        & F.contains(x["meta_contents"], F.lit("noindex")))
+    return df.where(~F.coalesce(flagged, F.lit(False)))
 
 
 def export_jsonl(df: DataFrame, output_path: str,

@@ -355,6 +355,55 @@ CROSS JOIN (VALUES (0, '/a?x=1&y=2'), (1, '/b')) AS v(link_idx, outlink)
 """
 
 
+_WRAP_META = ('<head><meta name="robots" content="index,follow">'
+              '<meta name="description" content="',
+              '"></head><body><p>x</p></body>')
+
+
+def q_html_meta(spark, sf_dir):
+    """Page-metadata extraction: <meta name=...> pairs through the
+    vectorized parse, exploded to one row per pair — the surface the
+    robots/noindex curation gate (job.drop_noindex) reads.  The wrapper
+    puts the document text inside an attribute value, so attribute-value
+    tokenization is part of the checked path."""
+    import pandas as pd
+
+    pre, post = _WRAP_META
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.lit(pre), F.col("text"), F.lit(post)).alias("page"))
+
+    def run(batches):
+        from .extract import extract_doc
+
+        for pdf in batches:
+            out = {"doc_id": [], "meta_names": [], "meta_contents": []}
+            for did, page in zip(pdf["doc_id"], pdf["page"]):
+                r = extract_doc(page.encode("utf-8"))
+                out["doc_id"].append(did)
+                out["meta_names"].append(r["meta_names"])
+                out["meta_contents"].append(r["meta_contents"])
+            yield pd.DataFrame(out)
+
+    parsed = docs.mapInPandas(
+        run, "doc_id long, meta_names array<string>, meta_contents array<string>")
+    z = F.posexplode(F.arrays_zip("meta_names", "meta_contents"))
+    return (parsed.select("doc_id", z.alias("seq", "m"))
+            .select("doc_id", "seq",
+                    F.col("m.meta_names").alias("meta_name"),
+                    F.col("m.meta_contents").alias("meta_content")))
+
+
+SQL_HTML_META = """
+SELECT d.doc_id, v.seq, v.meta_name,
+       CASE WHEN v.seq = 1 THEN d.text ELSE v.meta_content END AS meta_content
+FROM documents d
+CROSS JOIN (VALUES
+  (0, 'robots', 'index,follow'),
+  (1, 'description', '')
+) AS v(seq, meta_name, meta_content)
+"""
+
+
 def q_html_corpus_pipeline(spark, sf_dir):
     """The production pipeline end-to-end on the synthetic web corpus:
     JVM-side page synthesis (skewed hosts) -> salted repartition ->
@@ -1710,6 +1759,7 @@ REGISTRY = {
     "html_node_table": (q_html_node_table, SQL_HTML_NODE_TABLE),
     "html_sax_events": (q_html_sax_events, SQL_HTML_SAX_EVENTS),
     "html_outlinks": (q_html_outlinks, SQL_HTML_OUTLINKS),
+    "html_meta": (q_html_meta, SQL_HTML_META),
     "html_corpus_pipeline": (q_html_corpus_pipeline, SQL_HTML_CORPUS_PIPELINE),
     "rel_pricing_summary": (q_rel_pricing_summary, SQL_REL_PRICING_SUMMARY),
     "rel_top_revenue_nations": (q_rel_top_revenue_nations, SQL_REL_TOP_REVENUE_NATIONS),

@@ -194,6 +194,31 @@ def test_outlinks_through_pipeline(spark):
     assert frag1 and list(frag1[0].outlinks) == ["/a", "/b", "/c"]
 
 
+def test_noindex_gate(spark):
+    """drop_noindex removes exactly the pages whose <meta name=robots>
+    contains noindex — pure JVM expression, no UDF."""
+    import datetime
+    from pyspark.sql.types import (BinaryType, StringType, StructField,
+                                   StructType, TimestampType)
+
+    from htmpark.job import drop_noindex
+
+    schema = StructType([
+        StructField("url", StringType()), StructField("warc_ts", TimestampType()),
+        StructField("html", BinaryType()), StructField("lang", StringType()),
+    ])
+    ts = datetime.datetime(2025, 1, 1)
+    rows = [
+        ("keep1", ts, b"<head><meta name=robots content='index,follow'></head><p>a</p>", "en"),
+        ("keep2", ts, b"<p>no meta at all</p>", "en"),
+        ("drop1", ts, b"<head><meta name=robots content='noindex'></head><p>b</p>", "en"),
+        ("drop2", ts, b'<head><meta name="robots" content="all,noindex,nofollow"></head>', "en"),
+    ]
+    out = drop_noindex(extract_pages(spark.createDataFrame(rows, schema),
+                                     salt_buckets=1))
+    assert {r.url for r in out.collect()} == {"keep1", "keep2"}
+
+
 def test_export_jsonl_roundtrip(spark, tmp_out):
     """JSONL training-data export: every kept document round-trips through
     Spark's JSON reader byte-identically; empty-text docs are dropped."""

@@ -189,6 +189,55 @@ def test_line_invariants_property():
     check()
 
 
+def test_script_escaped_newlines():
+    # escaped-script state newlines go through per-char ?i emission
+    pairs, _ = ev_lines(b"<script>x<!--a\nb--></script>")
+    assert line_of(pairs, is_chars("x<!--a b-->")) == 2
+    assert line_of(pairs, is_end("script")) == 2
+
+
+def test_plaintext_and_cdata_and_rawtext_runs():
+    pairs, _ = ev_lines(b"<p></p><plaintext>a\nb")
+    assert line_of(pairs, is_chars("a b")) == 2
+    assert line_of(pairs, lambda e: e == "endDocument") == 2
+
+    cd, _ = ev_lines(b"<p><![CDATA[a\nb]]>c</p>")  # Q14: CDATA unconditional
+    assert line_of(cd, is_chars("a bc")) == 2
+
+    st, _ = ev_lines(b"<style>a\nb</style>")
+    assert line_of(st, is_chars("a b")) == 2
+
+
+def test_doctype_identifier_newline_and_lazy_start_document():
+    """Newlines inside quoted DOCTYPE identifiers count (?i clauses), and
+    startDocument is sent LAZILY at the first token dispatch with the line
+    current at that moment (reference initial mode, :1916-1929)."""
+    pairs, _ = ev_lines(b'<!DOCTYPE html PUBLIC "p\nq">\n<p>x</p>')
+    assert line_of(pairs, lambda e: e == "startDocument") == 2
+    assert line_of(pairs, lambda e: isinstance(e, tuple) and e[0] == "startDTD") == 2
+    assert line_of(pairs, is_start("p")) == 3
+
+
+def test_attr_value_charref_newline_q30():
+    # Q30 also fires inside quoted attribute values
+    pairs, _ = ev_lines(b'<div class="x &\ny">t</div>')
+    assert line_of(pairs, is_start("div")) == 3
+
+
+def test_rcdata_end_tag_with_ws_newline():
+    pairs, _ = ev_lines(b"<title>a</title\n>done")
+    assert line_of(pairs, is_end("title")) == 2
+    assert line_of(pairs, is_chars("done")) == 2
+
+
+def test_bogus_comment_eof_unfinished_line():
+    # D5: comment emitted without eof; its line includes consumed newlines
+    pairs, tb = ev_lines(b"<!xa\nb")
+    assert not tb.finished
+    assert pairs[-1][0] == ("comment", "xa\nb")
+    assert pairs[-1][1] == 2
+
+
 def test_crlf_normalized_before_counting():
     # Q1: \r\n and \r normalize to \n before tokenizing; counting follows
     pairs, _ = ev_lines(b"<p>a\r\nb\rc</p>")

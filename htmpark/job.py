@@ -203,11 +203,16 @@ def extract_pages(df: DataFrame, salt_buckets: int = 8,
 def drop_noindex(df: DataFrame) -> DataFrame:
     """Curation gate: drop pages whose <meta name=robots> contains noindex
     (crawl etiquette: the page owner opted out of indexing/training use).
-    Pure JVM array expression — fuses with the scan, no UDF."""
+    Pure JVM array expression — fuses with the scan, no UDF.
+
+    Matching is case-INSENSITIVE on both fields: the tokenizer lowercases
+    attribute NAMES but not attribute VALUES, and real pages write
+    <meta name="Robots" content="NOINDEX"> — an opt-out gate must not be
+    bypassable by capitalization."""
     flagged = F.exists(
         F.arrays_zip("meta_names", "meta_contents"),
-        lambda x: (x["meta_names"] == "robots")
-        & F.contains(x["meta_contents"], F.lit("noindex")))
+        lambda x: (F.lower(x["meta_names"]) == "robots")
+        & F.contains(F.lower(x["meta_contents"]), F.lit("noindex")))
     return df.where(~F.coalesce(flagged, F.lit(False)))
 
 
@@ -316,9 +321,11 @@ def run_extraction(spark: SparkSession, input_df: DataFrame, output_path: str,
 
         # AUDIT + PUBLISH: aggregate lineage from the written files
         # (columnar scan of counters only, partition-pruned to this wave's
-        # part_id dirs — no re-parse), append to the manifest
-        written = spark.read.parquet(data_path).where(F.col("part_id").isin(wave))
-        manifest = written.groupBy("part_id").agg(
+        # part_id dirs — no re-parse), append to the manifest.  The explicit
+        # schema keeps the read valid even when the wave produced zero rows.
+        written = (spark.read.schema(parsed.schema).parquet(data_path)
+                   .where(F.col("part_id").isin(wave)))
+        agg = written.groupBy("part_id").agg(
             F.count("*").alias("n_pages"),
             F.sum(F.col("parse_ok").cast("int")).alias("n_ok"),
             F.sum("tok_errors").alias("tok_errors"),
@@ -326,7 +333,24 @@ def run_extraction(spark: SparkSession, input_df: DataFrame, output_path: str,
             F.sum(F.length("text")).alias("text_chars"),
             F.min("warc_ts").alias("min_ts"),
             F.max("warc_ts").alias("max_ts"),
-        ).withColumn("num_parts", F.lit(num_parts))
+        )
+        # EVERY part_id in the wave publishes a row — including empty parts
+        # (n_pages=0), which are guaranteed whenever distinct urls hash into
+        # fewer than num_parts buckets.  Without the zero rows an empty part
+        # stays in `remaining` forever: each resume re-scans + re-parses it
+        # and a completed job never reaches the parts_done==0 early exit.
+        wave_ids = spark.createDataFrame([(int(p),) for p in wave], "part_id int")
+        manifest = (
+            wave_ids.join(agg, "part_id", "left")
+            .select(
+                "part_id",
+                F.coalesce("n_pages", F.lit(0)).cast("bigint").alias("n_pages"),
+                F.coalesce("n_ok", F.lit(0)).cast("bigint").alias("n_ok"),
+                F.coalesce("tok_errors", F.lit(0)).cast("bigint").alias("tok_errors"),
+                F.coalesce("tree_errors", F.lit(0)).cast("bigint").alias("tree_errors"),
+                F.coalesce("text_chars", F.lit(0)).cast("bigint").alias("text_chars"),
+                F.col("min_ts"), F.col("max_ts"))
+            .withColumn("num_parts", F.lit(num_parts)))
         manifest.write.mode("append").parquet(manifest_path)
         stats = manifest.agg(
             F.count("*").alias("parts"), F.sum("n_pages").alias("pages")

@@ -91,6 +91,7 @@ def sessionize_stream(events: DataFrame, gap_s: int = 300,
     and the shuffle key is user_id (same partitioning as the batch twin).
     Money stays integer cents (engine-exact against the batch/DuckDB
     oracle)."""
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -112,7 +113,11 @@ def sessionize_stream(events: DataFrame, gap_s: int = 300,
         rows = pd.concat(list(pdf_iter)).sort_values(["ts", "event_id"])
         # normalize to epoch micros regardless of pandas ns/us resolution
         ts_us = rows["ts"].values.astype("datetime64[us]").astype("int64")
-        cents = (rows["value"] * 100).round().astype("int64")
+        # half-UP cents, matching the batch twin's F.round and the DuckDB
+        # oracle's round(); pandas Series.round is half-to-even and would
+        # emit 12 for value=0.125 where batch emits 13 (values are
+        # non-negative, so floor(x+0.5) is exactly half-away-from-zero)
+        cents = np.floor(rows["value"].values * 100 + 0.5).astype("int64")
         if state.exists:
             start_us, last_us, n, total = state.get
         else:

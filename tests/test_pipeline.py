@@ -67,13 +67,11 @@ def test_run_extraction_and_resume(spark, tmp_out):
     full = {r.url: r.text for r in spark.read.parquet(full_out + "/data").collect()}
     assert len(full) == N
 
-    # interrupted run: simulate a crash after 3 of 8 parts committed by
-    # pre-publishing a partial manifest, then resuming
+    # interrupted run: crash after 3 of 8 parts committed — simulated
+    # deterministically via one published wave of 3 parts
     part_out = os.path.join(tmp_out, "partial")
-    sub = df.withColumn(
-        "part_id", F.pmod(F.xxhash64("url"), F.lit(8)).cast("int")
-    ).where(F.col("part_id") < 3).drop("part_id")
-    run_extraction(spark, sub, part_out, num_parts=8, salt_buckets=4)
+    run_extraction(spark, df, part_out, num_parts=8, salt_buckets=4,
+                   publish_every=3, max_waves=1)
     done_before = spark.read.parquet(part_out + "/manifest").select("part_id").distinct().count()
     assert done_before == 3
 
@@ -91,6 +89,27 @@ def test_run_extraction_and_resume(spark, tmp_out):
     # re-running a completed job is a no-op
     res3 = run_extraction(spark, df, part_out, num_parts=8, salt_buckets=4)
     assert res3 == {"parts_done": 0, "pages": 0}
+
+
+def test_run_extraction_publishes_empty_parts(spark, tmp_out):
+    """Empty partitions (guaranteed when distinct urls hash into fewer than
+    num_parts buckets) must still publish manifest rows (n_pages=0) —
+    otherwise they stay in `remaining` forever and every resume re-runs a
+    full scan+parse wave for a job that already finished."""
+    df = synthesize_pages(spark, 3)  # 3 urls can fill at most 3 of 16 parts
+    out = os.path.join(tmp_out, "sparse")
+    res = run_extraction(spark, df, out, num_parts=16, salt_buckets=2)
+    assert res["parts_done"] == 16 and res["pages"] == 3
+
+    man = spark.read.parquet(out + "/manifest")
+    assert man.select("part_id").distinct().count() == 16
+    assert man.where(F.col("n_pages") == 0).count() == 16 - man.where(
+        F.col("n_pages") > 0).count()
+    assert man.agg(F.sum("n_pages")).collect()[0][0] == 3
+
+    # completed job -> resume is the parts_done==0 early exit, no new wave
+    res2 = run_extraction(spark, df, out, num_parts=16, salt_buckets=2)
+    assert res2 == {"parts_done": 0, "pages": 0}
 
 
 def test_static_overwrite_session_does_not_truncate(spark, tmp_out):
@@ -213,6 +232,10 @@ def test_noindex_gate(spark):
         ("keep2", ts, b"<p>no meta at all</p>", "en"),
         ("drop1", ts, b"<head><meta name=robots content='noindex'></head><p>b</p>", "en"),
         ("drop2", ts, b'<head><meta name="robots" content="all,noindex,nofollow"></head>', "en"),
+        # meta name/content are attribute VALUES (tokenizer lowercases names,
+        # not values) — the opt-out must match case-insensitively
+        ("drop3", ts, b'<head><meta name="Robots" content="NOINDEX"></head><p>c</p>', "en"),
+        ("drop4", ts, b"<head><meta name=ROBOTS content='NoIndex,nofollow'></head>", "en"),
     ]
     out = drop_noindex(extract_pages(spark.createDataFrame(rows, schema),
                                      salt_buckets=1))

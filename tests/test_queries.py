@@ -108,9 +108,12 @@ def test_corpus_oracle_constants_match_live_parse():
 
 def test_minhash_pairs_reuses_sig_subtree(spark):
     """The band self-join's two sides are the same signature DAG; AQE must
-    reuse the shuffle stage (ReusedExchange) so signatures compute once."""
-    fn, _ = REGISTRY["dedup_minhash_pairs"]
-    df = fn(spark, SF)
+    reuse the shuffle stage (ReusedExchange) so signatures compute once.
+    (Tests the pure builder: the registry entry wraps it in a per-session
+    materialization whose plan is an InMemoryTableScan.)"""
+    from htmpark.queries import q_dedup_minhash_pairs
+
+    df = q_dedup_minhash_pairs(spark, SF)
     df.collect()  # AQE reuse is decided at runtime; inspect the final plan
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
@@ -170,6 +173,115 @@ def test_lsh_bucket_width():
 
     assert _LSH_BITS >= 16
     assert _MH_PERMS >= 16 and _MH_BANDS >= 4
+
+
+def test_median_two_phase_selection(spark):
+    """Exact median must not funnel a whole group through one task: phase 1
+    locates the rank-k bucket on the per-group HISTOGRAM, phase 2 ranks only
+    that bucket (broadcast-gated).  Identity with the naive single-window
+    definition is asserted, plus the bounded-candidate scale property."""
+    from pyspark.sql.window import Window
+
+    from htmpark.queries import _cents, q_rel_order_value_median, t as tbl
+
+    df = q_rel_order_value_median(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # the phase-2 bucket gate
+
+    o = tbl(spark, SF, "orders")
+    v = o.select("o_orderpriority",
+                 _cents(F.col("o_totalprice")).alias("cents"), "o_orderkey")
+    w = Window.partitionBy("o_orderpriority").orderBy("cents", "o_orderkey")
+    cnt = Window.partitionBy("o_orderpriority")
+    naive = (v.withColumn("rn", F.row_number().over(w))
+              .withColumn("n", F.count("*").over(cnt))
+              .where(F.col("rn") == F.floor((F.col("n") + 1) / 2)))
+    exp = {(r.o_orderpriority, r.cents, r.n) for r in naive.collect()}
+    got = {(r.o_orderpriority, r.median_cents, r.n_orders) for r in df.collect()}
+    assert got == exp
+
+    # scale property: the target bucket holds a small fraction of its group
+    pops = (v.withColumn("bkt", F.expr("cents div 65536"))
+             .groupBy("o_orderpriority", "bkt").count().collect())
+    by_group: dict = {}
+    for r in pops:
+        by_group.setdefault(r.o_orderpriority, {})[r.bkt] = r["count"]
+    for g, med, _n in got:
+        buckets = by_group[g]
+        frac = buckets[med // 65536] / sum(buckets.values())
+        assert frac < 0.2, f"{g}: median bucket holds {frac:.0%} of the group"
+
+
+def test_kmv_two_phase_and_merge_agreement(spark):
+    """Bottom-k selection: phase 1 windows over (event_type, salt) — never
+    the bare 5-value group key — and the explicit mergeable-sketch query
+    agrees with the KMV query on every estimate."""
+    from htmpark.queries import q_sketch_distinct_kmv, q_sketch_kminima_merge
+
+    kmv_df = q_sketch_distinct_kmv(spark, SF)
+    plan = kmv_df._jdf.queryExecution().executedPlan().toString()
+    # the phase-1 row_number window must include salt in its partition spec
+    # (windowspecdefinition(event_type, salt, ...)), never the bare group key
+    import re
+    specs = re.findall(r"windowspecdefinition\(event_type#\d+,?\s*(\w*)", plan)
+    assert specs and any(s.startswith("salt") for s in specs), plan[:2000]
+
+    kmv = {r.event_type: (r.n_exact, r.kmv_estimate) for r in kmv_df.collect()}
+    mrg = {r.event_type: r.kmv_estimate
+           for r in q_sketch_kminima_merge(spark, SF).collect()}
+    assert set(mrg) == set(kmv)
+    for ty, est in mrg.items():
+        assert est == kmv[ty][1], f"{ty}: merge={est} kmv={kmv[ty][1]}"
+
+
+def test_ivf_assignment_aggregates_map_side(spark):
+    """IVF corpus assignment: argmax via max_by aggregate — the partial
+    aggregate runs below the exchange (n rows shuffled, not n*k; the r2
+    window shape shuffled every scored row)."""
+    fn, _ = REGISTRY["sim_ivf_topk"]
+    plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "partial_max_by" in plan
+
+
+def test_probe_pairs_never_counts_eagerly(spark):
+    """Building a probe-pairing query must not launch a count job (the
+    r1->r2 bench regression): regime selection is hint-driven."""
+    from pyspark.sql import DataFrame
+
+    from htmpark import queries as qm
+
+    orig = DataFrame.count
+
+    def boom(self):
+        raise AssertionError("probe regime selection ran an eager count")
+
+    DataFrame.count = boom
+    try:
+        qm.q_dedup_embedding_cosine(spark, SF)
+        qm.q_sim_topk_bruteforce(spark, SF)
+        qm._probe_pairs(
+            tblq := qm.t(spark, SF, "embeddings"),
+            tblq.select(F.col("vec_id").alias("probe_id"),
+                        F.col("embedding").alias("pe")),
+            probe_count=10**9)  # hinted huge -> bucketed, still no count
+    finally:
+        DataFrame.count = orig
+
+
+def test_candidate_pairs_cache_is_shared_and_exact(spark):
+    """candidate_pairs memoizes one persisted DataFrame per (session,
+    sf_dir) and returns exactly the pure builder's rows."""
+    from htmpark.queries import (candidate_pairs, clear_candidate_pairs_cache,
+                                 q_dedup_minhash_pairs)
+
+    clear_candidate_pairs_cache()
+    a = candidate_pairs(spark, SF)
+    b = candidate_pairs(spark, SF)
+    assert a is b
+    assert a.storageLevel.useMemory
+    pure = {(r.doc_a, r.doc_b) for r in q_dedup_minhash_pairs(spark, SF).collect()}
+    assert {(r.doc_a, r.doc_b) for r in a.collect()} == pure
+    clear_candidate_pairs_cache()
 
 
 def test_multimodal_stub_and_plumbing(spark):

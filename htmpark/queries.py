@@ -938,6 +938,125 @@ FROM s GROUP BY 1, 2
 """
 
 
+def q_rel_asof_attribution(spark, sf_dir):
+    """AS-OF JOIN (point-in-time attribution): for every click, the user's
+    most recent purchase at-or-before the click — the operator behind
+    conversion attribution, slowly-changing-dimension lookups, and
+    point-in-time feature joins.
+
+    Spark has no native as-of join; the union+running-last WINDOW expresses
+    it with ONE shuffle on user_id and NO join at all: purchases and clicks
+    interleave on the (ts, kind, event_id) axis — kind orders purchases
+    BEFORE clicks at equal ts, giving at-or-before semantics — and each
+    click reads the running last(purchase, ignoreNulls).  Same-instant
+    purchases need no pre-dedup: the running last resolves them to the max
+    event_id, exactly the oracle's MAX per (user, ts).  At 10^12 events
+    this is the sort-merge as-of plan: one exchange, one sort, linear scan
+    per user (plan-asserted); the naive join+filter alternative is
+    quadratic per user.
+
+    The DuckDB oracle uses the engine's NATIVE ASOF LEFT JOIN — the two
+    sides are independent derivations of the same semantics, which is the
+    strongest oracle shape in this registry."""
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "events")
+    pur = (e.where(F.col("event_type") == "purchase")
+            .select("user_id", "ts", F.col("event_id").alias("pid")))
+    clk = (e.where(F.col("event_type") == "click")
+            .select("user_id", "ts", F.col("event_id").alias("click_id")))
+    tagged = (
+        pur.select("user_id", "ts", F.lit(0).alias("kind"), "pid",
+                   F.lit(None).cast("long").alias("click_id"))
+        .unionByName(
+            clk.select("user_id", "ts", F.lit(1).alias("kind"),
+                       F.lit(None).cast("long").alias("pid"), "click_id")))
+    w = (Window.partitionBy("user_id")
+         .orderBy("ts", "kind", F.coalesce("pid", "click_id"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    p_struct = F.when(F.col("kind") == 0, F.struct("ts", "pid"))
+    return (tagged
+            .withColumn("lp", F.last(p_struct, ignorenulls=True).over(w))
+            .where(F.col("kind") == 1)
+            .select("user_id", "click_id", F.col("ts").alias("click_ts"),
+                    F.col("lp.pid").alias("purchase_id"),
+                    F.col("lp.ts").alias("purchase_ts")))
+
+
+SQL_REL_ASOF_ATTRIBUTION = """
+WITH pur AS (
+  SELECT user_id, ts, MAX(event_id) AS purchase_id
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+), clk AS (
+  SELECT user_id AS c_uid, ts AS click_ts, event_id AS click_id
+  FROM events WHERE event_type = 'click'
+)
+SELECT c_uid AS user_id, click_id, click_ts,
+       pur.purchase_id, pur.ts AS purchase_ts
+FROM clk ASOF LEFT JOIN pur
+  ON c_uid = pur.user_id AND click_ts >= pur.ts
+"""
+
+
+def q_rel_rolling_revenue(spark, sf_dir):
+    """RANGE-frame rolling aggregate: each order's trailing-90-day order
+    value per customer, framed on the epoch-DAY axis (rangeBetween(-89, 0))
+    so same-day orders always share a frame — deterministic regardless of
+    row order, unlike a ROWS frame.  Integer cents + integer days keep both
+    engines bit-exact.  One shuffle on o_custkey; the frame scan is linear
+    per customer (Spark keeps a sliding range pointer, not O(n^2))."""
+    from pyspark.sql.window import Window
+
+    o = t(spark, sf_dir, "orders")
+    v = o.select(
+        "o_custkey", "o_orderkey",
+        F.expr("datediff(o_orderdate, DATE '1970-01-01')").alias("day"),
+        _cents(F.col("o_totalprice")).alias("cents"))
+    w = (Window.partitionBy("o_custkey").orderBy("day")
+         .rangeBetween(-89, Window.currentRow))
+    return v.select("o_custkey", "o_orderkey", "day", "cents",
+                    F.sum("cents").over(w).alias("roll90_cents"))
+
+
+SQL_REL_ROLLING_REVENUE = """
+SELECT o_custkey, o_orderkey,
+       date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+         PARTITION BY o_custkey
+         ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+         RANGE BETWEEN 89 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll90_cents
+FROM orders
+"""
+
+
+def q_text_hash_split(spark, sf_dir):
+    """Deterministic train/val/test split (90/5/5): md5-bucket of doc_id —
+    the reproducible held-out-split primitive every training pipeline
+    needs.  Pure stateless map fused with the scan; adding corpus later
+    never reshuffles earlier assignments (hash of the id, not of position).
+    Engine-exact: same md5-prefix-to-int rule as the KMV sketch."""
+    d = t(spark, sf_dir, "documents")
+    b = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")
+                                  .cast("binary")), 1, 8), 16, 10)
+         .cast("bigint") % 100)
+    split = (F.when(b < 90, "train").when(b < 95, "val").otherwise("test"))
+    return d.select("doc_id", b.cast("int").alias("bucket"),
+                    split.alias("split"))
+
+
+SQL_TEXT_HASH_SPLIT = """
+SELECT doc_id,
+       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+            AS INT) AS bucket,
+       CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90
+            THEN 'train'
+            WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 95
+            THEN 'val' ELSE 'test' END AS split
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # dedup suite (documents)
 
@@ -2015,6 +2134,9 @@ REGISTRY = {
     "rel_revenue_rollup": (q_rel_revenue_rollup, SQL_REL_REVENUE_ROLLUP),
     "rel_order_value_median": (q_rel_order_value_median, SQL_REL_ORDER_VALUE_MEDIAN),
     "rel_events_pivot": (q_rel_events_pivot, SQL_REL_EVENTS_PIVOT),
+    "rel_asof_attribution": (q_rel_asof_attribution, SQL_REL_ASOF_ATTRIBUTION),
+    "rel_rolling_revenue": (q_rel_rolling_revenue, SQL_REL_ROLLING_REVENUE),
+    "text_hash_split": (q_text_hash_split, SQL_TEXT_HASH_SPLIT),
     "sketch_distinct_kmv": (q_sketch_distinct_kmv, SQL_SKETCH_DISTINCT_KMV),
     "sketch_kminima_merge": (q_sketch_kminima_merge, SQL_SKETCH_KMINIMA_MERGE),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),

@@ -268,6 +268,61 @@ def test_probe_pairs_never_counts_eagerly(spark):
         DataFrame.count = orig
 
 
+def test_asof_attribution_single_exchange_and_python_oracle(spark):
+    """The as-of join must be the one-exchange sort-merge plan (no join
+    operator at all), and must equal an independent pure-Python as-of
+    computation of the same events."""
+    fn, _ = REGISTRY["rel_asof_attribution"]
+    df = fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+    ev = sorted(
+        ((r.user_id, r.ts, r.event_id, r.event_type)
+         for r in spark.read.parquet(f"{SF}/events.parquet").collect()),
+        key=lambda x: (x[0], x[1], x[3] != "purchase", x[2]))
+    expected = set()
+    last_p: dict = {}
+    for uid, ts, eid, ty in ev:
+        if ty == "purchase":
+            last_p[uid] = (ts, eid)
+        elif ty == "click":
+            p = last_p.get(uid)
+            expected.add((uid, eid, ts, p[1] if p else None,
+                          p[0] if p else None))
+    got = {(r.user_id, r.click_id, r.click_ts, r.purchase_id, r.purchase_ts)
+           for r in df.collect()}
+    assert got == expected
+
+
+def test_rolling_revenue_range_frame(spark):
+    """RANGE frame must include every same-day order (order-independent)
+    and match a brute-force python trailing-90-day sum."""
+    fn, _ = REGISTRY["rel_rolling_revenue"]
+    got = {(r.o_custkey, r.o_orderkey): (r.day, r.cents, r.roll90_cents)
+           for r in fn(spark, SF).collect()}
+    by_cust: dict = {}
+    for (ck, ok), (day, cents, _roll) in got.items():
+        by_cust.setdefault(ck, []).append((day, cents))
+    for (ck, ok), (day, cents, roll) in got.items():
+        want = sum(c for d, c in by_cust[ck] if day - 89 <= d <= day)
+        assert roll == want, (ck, ok)
+
+
+def test_hash_split_is_stable_and_complete(spark):
+    """Split assignment is a pure function of doc_id (append-stable) with
+    the 90/5/5 rule exactly."""
+    fn, _ = REGISTRY["text_hash_split"]
+    rows = fn(spark, SF).collect()
+    assert len(rows) == 500
+    for r in rows:
+        want = "train" if r.bucket < 90 else ("val" if r.bucket < 95 else "test")
+        assert r.split == want
+    again = {(r.doc_id, r.split) for r in fn(spark, SF).collect()}
+    assert again == {(r.doc_id, r.split) for r in rows}
+
+
 def test_candidate_pairs_cache_is_shared_and_exact(spark):
     """candidate_pairs memoizes one persisted DataFrame per (session,
     sf_dir) and returns exactly the pure builder's rows."""

@@ -1030,6 +1030,101 @@ FROM orders
 """
 
 
+_RANGE_W_US = 60_000_000  # range-join window: 60s in exact microseconds
+_EPOCH_US = "timestampdiff(MICROSECOND, TIMESTAMP '1970-01-01 00:00:00', ts)"
+
+
+def q_rel_range_join(spark, sf_dir):
+    """RANGE JOIN without an equality key: for every error event, how many
+    purchase events (any user) happened within +-60s — the incident-
+    correlation shape.  Spark has no native range join; the naive
+    theta-join is a cartesian product, so the scalable plan BUCKETS time
+    into window-width granules: purchases keep their single bucket, errors
+    explode to {b-1, b, b+1} (the small side takes the 3x), the pairing
+    becomes a hash EQUI-join on the bucket, and the exact |dt| <= 60s
+    filter prunes the corners.  Each qualifying pair matches in exactly
+    one bucket (the purchase's), so no dedup is needed.
+
+    Scale: shuffle keys on the time bucket — comparisons are bounded by
+    events-per-2-windows instead of |err| x |pur|; skew equals the busiest
+    minute, not the table size.  Timestamps diff against a fixed NTZ
+    anchor in exact microseconds (timezone-free on both engines).  The
+    DuckDB oracle is the direct inequality join — an independent
+    derivation of the semantics."""
+    e = t(spark, sf_dir, "events")
+    us = F.expr(_EPOCH_US)
+    err = (e.where(F.col("event_type") == "error")
+            .select(F.col("event_id").alias("err_id"), us.alias("eus")))
+    pur = (e.where(F.col("event_type") == "purchase")
+            .select(us.alias("pus")))
+    w = _RANGE_W_US
+    errx = err.withColumn(
+        "bkt", F.explode(F.array(*[F.expr(f"(eus div {w}) + ({d})")
+                                   for d in (-1, 0, 1)])))
+    purb = pur.withColumn("bkt", F.expr(f"pus div {w}"))
+    hits = (errx.join(purb, "bkt")
+            .where(F.abs(F.col("eus") - F.col("pus")) <= w)
+            .groupBy("err_id").agg(F.count("*").alias("n")))
+    return (err.join(hits, "err_id", "left")
+            .select("err_id", "eus",
+                    F.coalesce("n", F.lit(0)).cast("bigint")
+                     .alias("n_purchases_60s")))
+
+
+SQL_REL_RANGE_JOIN = f"""
+WITH err AS (
+  SELECT event_id AS err_id,
+         date_diff('microsecond', TIMESTAMP '1970-01-01', ts) AS eus
+  FROM events WHERE event_type = 'error'
+), pur AS (
+  SELECT date_diff('microsecond', TIMESTAMP '1970-01-01', ts) AS pus
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT err_id, eus, CAST(COUNT(pus) AS BIGINT) AS n_purchases_60s
+FROM err LEFT JOIN pur ON abs(eus - pus) <= {_RANGE_W_US}
+GROUP BY err_id, eus
+"""
+
+
+# per-language sampling rates (percent) — planning-time constants: the
+# stratified sample must not depend on observed counts (a count-dependent
+# rate re-assigns documents when the corpus grows; these never do)
+_STRATA_PCT = {"en": 10, "de": 50, "fr": 50, "es": 50, "zh": 100}
+
+
+def q_text_stratified_sample(spark, sf_dir):
+    """Stratified sampling: per-language keep rates (down-sample the
+    majority language, keep all of the rarest) applied through the same
+    deterministic md5 bucket as text_hash_split — the data-mixing
+    primitive for rebalancing a training corpus.  Stateless scan filter:
+    no windows, no counts, no shuffle; append-stable at any corpus size."""
+    d = t(spark, sf_dir, "documents")
+    b = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")
+                                  .cast("binary")), 1, 8), 16, 10)
+         .cast("bigint") % 100)
+    rate = F.lit(None).cast("int")
+    for lang, pct in _STRATA_PCT.items():
+        rate = F.when(F.col("lang") == lang, pct).otherwise(rate)
+    return (d.select("doc_id", "lang", b.cast("int").alias("bucket"),
+                     F.coalesce(rate, F.lit(0)).alias("keep_pct"))
+             .where(F.col("bucket") < F.col("keep_pct")))
+
+
+_DUCK_SPLIT_BUCKET = ("('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
+                      "::BIGINT % 100")
+
+SQL_TEXT_STRATIFIED_SAMPLE = f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         CAST({_DUCK_SPLIT_BUCKET} AS INT) AS bucket,
+         CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 50 WHEN 'fr' THEN 50
+                   WHEN 'es' THEN 50 WHEN 'zh' THEN 100 ELSE 0 END AS keep_pct
+  FROM documents
+)
+SELECT doc_id, lang, bucket, keep_pct FROM s WHERE bucket < keep_pct
+"""
+
+
 def q_text_hash_split(spark, sf_dir):
     """Deterministic train/val/test split (90/5/5): md5-bucket of doc_id —
     the reproducible held-out-split primitive every training pipeline
@@ -2136,7 +2231,9 @@ REGISTRY = {
     "rel_events_pivot": (q_rel_events_pivot, SQL_REL_EVENTS_PIVOT),
     "rel_asof_attribution": (q_rel_asof_attribution, SQL_REL_ASOF_ATTRIBUTION),
     "rel_rolling_revenue": (q_rel_rolling_revenue, SQL_REL_ROLLING_REVENUE),
+    "rel_range_join": (q_rel_range_join, SQL_REL_RANGE_JOIN),
     "text_hash_split": (q_text_hash_split, SQL_TEXT_HASH_SPLIT),
+    "text_stratified_sample": (q_text_stratified_sample, SQL_TEXT_STRATIFIED_SAMPLE),
     "sketch_distinct_kmv": (q_sketch_distinct_kmv, SQL_SKETCH_DISTINCT_KMV),
     "sketch_kminima_merge": (q_sketch_kminima_merge, SQL_SKETCH_KMINIMA_MERGE),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),

@@ -310,6 +310,56 @@ def test_rolling_revenue_range_frame(spark):
         assert roll == want, (ck, ok)
 
 
+def test_range_join_matches_bruteforce(spark):
+    """Bucketed range join must equal the O(n*m) brute-force pairing, and
+    its plan must be a hash equi-join on the bucket (no cartesian)."""
+    fn, _ = REGISTRY["rel_range_join"]
+    df = fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    import datetime
+    anchor = datetime.datetime(1970, 1, 1)
+    us = lambda ts: int((ts - anchor).total_seconds() * 1_000_000)
+    purchases = [us(r.ts) for r in ev if r.event_type == "purchase"]
+    expected = {}
+    for r in ev:
+        if r.event_type == "error":
+            e_us = us(r.ts)
+            expected[r.event_id] = sum(
+                1 for p in purchases if abs(e_us - p) <= 60_000_000)
+    got = {r.err_id: r.n_purchases_60s for r in df.collect()}
+    assert got == expected
+
+
+def test_stratified_sample_rates_and_stability(spark):
+    """Every kept row obeys its stratum's bucket threshold; the kept set is
+    a pure function of doc_id (re-run identical); realized rates land near
+    the configured percentages."""
+    from htmpark.queries import _STRATA_PCT
+
+    fn, _ = REGISTRY["text_stratified_sample"]
+    rows = fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.keep_pct == _STRATA_PCT[r.lang]
+        assert r.bucket < r.keep_pct
+    again = {(r.doc_id, r.lang) for r in fn(spark, SF).collect()}
+    assert again == {(r.doc_id, r.lang) for r in rows}
+
+    total = spark.read.parquet(f"{SF}/documents.parquet") \
+        .groupBy("lang").count().collect()
+    by_lang_total = {r.lang: r["count"] for r in total}
+    kept: dict = {}
+    for r in rows:
+        kept[r.lang] = kept.get(r.lang, 0) + 1
+    assert kept.get("zh", 0) == by_lang_total.get("zh", 0)  # 100% stratum
+    en_rate = kept.get("en", 0) / by_lang_total["en"]
+    assert 0.02 <= en_rate <= 0.25  # 10% target, small-sample slack
+
+
 def test_hash_split_is_stable_and_complete(spark):
     """Split assignment is a pure function of doc_id (append-stable) with
     the 90/5/5 rule exactly."""

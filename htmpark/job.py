@@ -238,6 +238,25 @@ def export_jsonl(df: DataFrame, output_path: str,
     w.json(output_path)
 
 
+def write_bucketed(df: DataFrame, table: str, key: str, buckets: int = 64,
+                   path: str | None = None, sort_col: str | None = None) -> None:
+    """Bucketed sink: pay the shuffle ONCE at write time so every later
+    join/aggregate on ``key`` between co-bucketed tables is exchange-free
+    (Spark reads bucket i of both sides into the same task).  This is the
+    co-located-join strategy for 100 TB star joins and repeated self-joins:
+    the extraction output bucketed by url-hash joins the next pipeline
+    stage with zero shuffle, forever.  ``sort_col`` additionally sorts
+    within buckets (sort-merge join then needs no per-task sort either).
+    Bucketing requires the table catalog (``saveAsTable``); ``path`` makes
+    it an external table so the files live where the caller says."""
+    w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
 MANIFEST_SCHEMA = ("part_id", "n_pages", "n_ok", "tok_errors", "tree_errors",
                    "text_chars", "min_ts", "max_ts", "num_parts")
 

@@ -170,6 +170,40 @@ def test_wave_publish_bounds_redo(spark, tmp_out):
     assert spark.read.parquet(out + "/data").count() == N
 
 
+def test_bucketed_join_is_exchange_free(spark, tmp_out):
+    """write_bucketed pays the shuffle at write time: a join between two
+    co-bucketed tables must contain NO Exchange in the plan (bucket i of
+    both sides is read into the same task), and with sortBy no per-task
+    Sort either."""
+    from htmpark.job import write_bucketed
+
+    a = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 7 % 97).alias("x"))
+    b = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 13 % 89).alias("y"))
+    try:
+        write_bucketed(a, "bk_a", "doc_id", buckets=8,
+                       path=os.path.join(tmp_out, "bk_a"), sort_col="doc_id")
+        write_bucketed(b, "bk_b", "doc_id", buckets=8,
+                       path=os.path.join(tmp_out, "bk_b"), sort_col="doc_id")
+        # merge hint = what the planner picks on its own once both sides
+        # exceed the broadcast threshold (these test tables are tiny)
+        j = spark.table("bk_a").hint("merge").join(spark.table("bk_b"), "doc_id")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        got = {(r.doc_id, r.x, r.y) for r in j.collect()}
+        assert len(got) == 1000
+        assert (5, 35, 65) in got
+        # aggregation on the bucket key is exchange-free too
+        g = spark.table("bk_a").groupBy("doc_id").agg(F.sum("x").alias("sx"))
+        gplan = g._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in gplan, gplan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk_a")
+        spark.sql("DROP TABLE IF EXISTS bk_b")
+
+
 def test_oversize_guard_is_byte_exact_on_strings(spark):
     """max_html_bytes counts BYTES even for string html columns: a
     multi-byte-heavy page over the byte limit must be nulled."""

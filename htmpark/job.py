@@ -239,7 +239,8 @@ def export_jsonl(df: DataFrame, output_path: str,
 
 
 def write_bucketed(df: DataFrame, table: str, key: str, buckets: int = 64,
-                   path: str | None = None, sort_col: str | None = None) -> None:
+                   path: str | None = None, sort_col: str | None = None,
+                   mode: str = "errorifexists") -> None:
     """Bucketed sink: pay the shuffle ONCE at write time so every later
     join/aggregate on ``key`` between co-bucketed tables is exchange-free
     (Spark reads bucket i of both sides into the same task).  This is the
@@ -248,8 +249,11 @@ def write_bucketed(df: DataFrame, table: str, key: str, buckets: int = 64,
     stage with zero shuffle, forever.  ``sort_col`` additionally sorts
     within buckets (sort-merge join then needs no per-task sort either).
     Bucketing requires the table catalog (``saveAsTable``); ``path`` makes
-    it an external table so the files live where the caller says."""
-    w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
+    it an external table so the files live where the caller says.  The
+    default ``mode`` FAILS on an existing table name — silently replacing
+    a shared catalog entry (and orphaning its files) must be opted into
+    with mode="overwrite"."""
+    w = df.write.mode(mode).format("parquet").bucketBy(buckets, key)
     if sort_col:
         w = w.sortBy(sort_col)
     if path:

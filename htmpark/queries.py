@@ -1086,6 +1086,20 @@ GROUP BY err_id, eus
 """
 
 
+def _doc_bucket():
+    """Deterministic 0-99 bucket of doc_id (md5-prefix rule, same family
+    as _kmv_hash) — THE shared assignment axis for text_hash_split and
+    text_stratified_sample: one definition, so the split and the sample
+    can never drift apart."""
+    return (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")
+                                     .cast("binary")), 1, 8), 16, 10)
+            .cast("bigint") % 100)
+
+
+_DUCK_DOC_BUCKET = ("('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
+                    "::BIGINT % 100")
+
+
 # per-language sampling rates (percent) — planning-time constants: the
 # stratified sample must not depend on observed counts (a count-dependent
 # rate re-assigns documents when the corpus grows; these never do)
@@ -1099,24 +1113,18 @@ def q_text_stratified_sample(spark, sf_dir):
     primitive for rebalancing a training corpus.  Stateless scan filter:
     no windows, no counts, no shuffle; append-stable at any corpus size."""
     d = t(spark, sf_dir, "documents")
-    b = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")
-                                  .cast("binary")), 1, 8), 16, 10)
-         .cast("bigint") % 100)
     rate = F.lit(None).cast("int")
     for lang, pct in _STRATA_PCT.items():
         rate = F.when(F.col("lang") == lang, pct).otherwise(rate)
-    return (d.select("doc_id", "lang", b.cast("int").alias("bucket"),
+    return (d.select("doc_id", "lang", _doc_bucket().cast("int").alias("bucket"),
                      F.coalesce(rate, F.lit(0)).alias("keep_pct"))
              .where(F.col("bucket") < F.col("keep_pct")))
 
 
-_DUCK_SPLIT_BUCKET = ("('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
-                      "::BIGINT % 100")
-
 SQL_TEXT_STRATIFIED_SAMPLE = f"""
 WITH s AS (
   SELECT doc_id, lang,
-         CAST({_DUCK_SPLIT_BUCKET} AS INT) AS bucket,
+         CAST({_DUCK_DOC_BUCKET} AS INT) AS bucket,
          CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 50 WHEN 'fr' THEN 50
                    WHEN 'es' THEN 50 WHEN 'zh' THEN 100 ELSE 0 END AS keep_pct
   FROM documents
@@ -1130,25 +1138,21 @@ def q_text_hash_split(spark, sf_dir):
     the reproducible held-out-split primitive every training pipeline
     needs.  Pure stateless map fused with the scan; adding corpus later
     never reshuffles earlier assignments (hash of the id, not of position).
-    Engine-exact: same md5-prefix-to-int rule as the KMV sketch."""
+    Engine-exact: _doc_bucket, shared with text_stratified_sample."""
     d = t(spark, sf_dir, "documents")
-    b = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")
-                                  .cast("binary")), 1, 8), 16, 10)
-         .cast("bigint") % 100)
+    b = _doc_bucket()
     split = (F.when(b < 90, "train").when(b < 95, "val").otherwise("test"))
     return d.select("doc_id", b.cast("int").alias("bucket"),
                     split.alias("split"))
 
 
-SQL_TEXT_HASH_SPLIT = """
-SELECT doc_id,
-       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
-            AS INT) AS bucket,
-       CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90
-            THEN 'train'
-            WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 95
-            THEN 'val' ELSE 'test' END AS split
-FROM documents
+SQL_TEXT_HASH_SPLIT = f"""
+WITH s AS (SELECT doc_id, CAST({_DUCK_DOC_BUCKET} AS INT) AS bucket
+           FROM documents)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+FROM s
 """
 
 
@@ -1266,7 +1270,18 @@ def candidate_pairs(spark, sf_dir) -> DataFrame:
     """Memoized + persisted MinHash candidate pairs.  The cached DataFrame
     is tiny (two bigints per candidate pair — banding keeps |pairs| near
     the true near-dup count, never all-pairs), so persisting it is safe at
-    any corpus size where clustering itself is feasible."""
+    any corpus size where clustering itself is feasible.  Entries whose
+    session has been stopped are evicted on the next call (their cached
+    blocks are gone with the executors), bounding the cache at
+    (live sessions x sf_dirs); clear_candidate_pairs_cache() frees
+    everything explicitly."""
+    for k in list(_PAIRS_CACHE):
+        try:
+            stale = _PAIRS_CACHE[k].sparkSession.sparkContext._jsc.sc().isStopped()
+        except Exception:
+            stale = True
+        if stale:
+            del _PAIRS_CACHE[k]
     key = (id(spark), sf_dir)
     df = _PAIRS_CACHE.get(key)
     if df is None:
@@ -1284,7 +1299,13 @@ def _no_aqe(spark):
     wall-clock on the CC loop at sf0.1.  The expensive DAG underneath
     (candidate pairs) is always materialized BEFORE entering; everything a
     caller sees afterwards is persisted/checkpointed, so the toggle never
-    leaks into downstream plans."""
+    leaks into downstream plans.
+
+    Caveat: the conf is SESSION-global — a query planned concurrently on
+    another thread of the same session during the loop would also see AQE
+    off.  The registry's driver/bench path is sequential; concurrent
+    callers should inject precomputed pairs/clusters and keep their own
+    session."""
     from contextlib import contextmanager
 
     @contextmanager
@@ -1576,7 +1597,13 @@ def _fan_out(df: DataFrame) -> DataFrame:
     inherit the scan's partitioning, so a 1-split input would evaluate all
     n*k cosines — and the map-side partial aggregate — in one task.  At
     corpus scale the scan already carries >= cluster parallelism and this
-    is a no-op (no shuffle), unlike an unconditional repartition."""
+    is a no-op (no shuffle), unlike an unconditional repartition.
+
+    The partition probe is DRIVER METADATA only — it forces physical
+    planning and file listing at build time, but never a Spark job or a
+    data scan, and the listed FileIndex is cached and reused by the
+    action itself (it is NOT the eager probes.count() class of regression
+    this round removed)."""
     par = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
         return df.repartition(par)
@@ -1621,15 +1648,23 @@ def _probe_pairs(e: DataFrame, probes: DataFrame,
 
 
 def q_dedup_embedding_cosine(spark, sf_dir,
-                             max_broadcast_probes: int = _MAX_BROADCAST_PROBES):
+                             max_broadcast_probes: int = _MAX_BROADCAST_PROBES,
+                             probe_count: int | None = None,
+                             force_bucketed: bool = False):
     """Embedding near-dup: probe rows (vec_id % 100 == 0) vs all vectors,
     cosine in double with identical fold order both engines, emitted as a
-    round(1e4)-scaled int.  Scale: probes broadcast below the crossover in
-    _probe_pairs, sign-LSH bucket equi-join above it."""
+    round(1e4)-scaled int.  Scale: regime is hint-driven (see
+    _probe_pairs) — the DEFAULT is the exact broadcast plan, correct for
+    bounded probe batches; a caller whose probe set scales with the corpus
+    (as this query's %-100 rule does at 10^12 vectors) must pass
+    probe_count or force_bucketed=True to take the sign-LSH bucket
+    equi-join instead (both regimes plan-asserted in tests)."""
     e = t(spark, sf_dir, "embeddings")
     probes = e.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe"))
-    pairs = (_probe_pairs(e, probes, max_broadcast_probes)
+    pairs = (_probe_pairs(e, probes, max_broadcast_probes,
+                          probe_count=probe_count,
+                          force_bucketed=force_bucketed)
              .where(F.col("probe_id") != F.col("vec_id")))
     cos = _cos_expr(F.col("pe"), F.col("embedding"))
     return (
@@ -1655,11 +1690,14 @@ WHERE probe_id != vec_id
 # similarity search (embeddings)
 
 def q_sim_topk_bruteforce(spark, sf_dir,
-                          max_broadcast_probes: int = _MAX_BROADCAST_PROBES):
+                          max_broadcast_probes: int = _MAX_BROADCAST_PROBES,
+                          probe_count: int | None = None,
+                          force_bucketed: bool = False):
     """ANN baseline: brute-force cosine top-5 for each probe vector.
-    Deterministic ordering: (scaled cosine desc, vec_id).  At scale: probes
-    broadcast below the _probe_pairs crossover (bucketed equi-join above),
-    map-side partial top-k via window over shuffled probe_id."""
+    Deterministic ordering: (scaled cosine desc, vec_id).  Regime is
+    hint-driven (see _probe_pairs): exact broadcast by default, sign-LSH
+    bucket equi-join when the caller declares a corpus-scale probe set
+    via probe_count/force_bucketed."""
     from pyspark.sql.window import Window
 
     e = t(spark, sf_dir, "embeddings")
@@ -1667,7 +1705,8 @@ def q_sim_topk_bruteforce(spark, sf_dir,
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe"))
     cos = _cos_expr(F.col("pe"), F.col("embedding"))
     scored = (
-        _probe_pairs(e, probes, max_broadcast_probes)
+        _probe_pairs(e, probes, max_broadcast_probes,
+                     probe_count=probe_count, force_bucketed=force_bucketed)
         .where(F.col("probe_id") != F.col("vec_id"))
         .select("probe_id", "vec_id", F.round(cos * 10000).cast("int").alias("cos_e4"))
     )

@@ -91,7 +91,6 @@ def sessionize_stream(events: DataFrame, gap_s: int = 300,
     and the shuffle key is user_id (same partitioning as the batch twin).
     Money stays integer cents (engine-exact against the batch/DuckDB
     oracle)."""
-    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -113,11 +112,20 @@ def sessionize_stream(events: DataFrame, gap_s: int = 300,
         rows = pd.concat(list(pdf_iter)).sort_values(["ts", "event_id"])
         # normalize to epoch micros regardless of pandas ns/us resolution
         ts_us = rows["ts"].values.astype("datetime64[us]").astype("int64")
-        # half-UP cents, matching the batch twin's F.round and the DuckDB
-        # oracle's round(); pandas Series.round is half-to-even and would
-        # emit 12 for value=0.125 where batch emits 13 (values are
-        # non-negative, so floor(x+0.5) is exactly half-away-from-zero)
-        cents = np.floor(rows["value"].values * 100 + 0.5).astype("int64")
+        # half-UP cents, BIT-matching the batch twin's F.round and the
+        # DuckDB oracle.  pandas .round() is half-to-even (emits 12 for
+        # value=0.125 where batch emits 13), and floor(x*100 + 0.5) is
+        # wrong one ulp below the boundary (0.49999999999999994 + 0.5
+        # rounds UP to 1.0 in binary64).  Spark's Round is
+        # BigDecimal.valueOf(double) -> HALF_UP, and Double.toString is
+        # the shortest round-trip repr — exactly Python repr(float) — so
+        # Decimal(repr(v*100)) + ROUND_HALF_UP reproduces it bit-for-bit
+        # (the *100 stays a binary64 multiply on both sides).
+        from decimal import ROUND_HALF_UP, Decimal
+
+        one = Decimal(1)
+        cents = [int(Decimal(repr(float(v) * 100)).quantize(one, ROUND_HALF_UP))
+                 for v in rows["value"]]
         if state.exists:
             start_us, last_us, n, total = state.get
         else:

@@ -141,6 +141,15 @@ def test_probe_join_scale_guard(spark):
     plan = dflt._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan
 
+    # a declared corpus-scale probe set (probe_count hint over threshold)
+    # must route to the bucketed regime without any counting job
+    hinted = q_dedup_embedding_cosine(spark, SF, probe_count=10**9)
+    hplan = hinted._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in hplan
+    forced = q_dedup_embedding_cosine(spark, SF, force_bucketed=True)
+    assert "BroadcastNestedLoopJoin" not in \
+        forced._jdf.queryExecution().executedPlan().toString()
+
     # forced crossover: probe table must NOT broadcast-nested-loop; the
     # pairing becomes an equi-join on the sign-LSH bucket key
     guarded = q_dedup_embedding_cosine(spark, SF, max_broadcast_probes=0)

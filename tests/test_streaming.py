@@ -112,17 +112,20 @@ def test_sessionize_stream_equals_batch(spark, tmp_out):
             tcur -= datetime.timedelta(seconds=60)
             expected.add((u, start, 4, 180, 1250))  # 125+250+375+500 cents
             tcur += datetime.timedelta(seconds=400)  # > 300s gap -> close
-    # half-cent values: 0.125 -> 12.5 cents and 0.625 -> 62.5 cents are
-    # exactly representable doubles, so rounding MODE is what decides the
-    # emitted cents — half-up (batch F.round / DuckDB) gives 13 + 63,
-    # half-to-even (pandas .round) would give 12 + 62 and fail here
+    # rounding-boundary values (Spark F.round and DuckDB both verified to
+    # emit [13, 63, 0, 1] cents): 0.125/0.625 are exact .5 boundaries that
+    # half-to-even (pandas .round) would emit as 12/62, and
+    # 0.004999999999999999*100 == 0.49999999999999994 is one ulp BELOW the
+    # boundary, which floor(x+0.5) would wrongly emit as 1 (the addition
+    # rounds up to 1.0 in binary64) — together they pin the stateful fn to
+    # Spark's exact BigDecimal HALF_UP semantics
     h_start = base + datetime.timedelta(seconds=990)
     tcur = h_start
-    for k, v in enumerate([0.125, 0.625, 0.125, 0.625]):
+    for v in [0.125, 0.625, 0.004999999999999999, 0.005]:
         rows.append((eid, tcur, 7, "click", v, ""))
         eid += 1
         tcur += datetime.timedelta(seconds=60)
-    expected.add((7, h_start, 4, 180, 13 + 63 + 13 + 63))
+    expected.add((7, h_start, 4, 180, 13 + 63 + 0 + 1))
     schema = ("event_id long, ts timestamp, user_id long, event_type string, "
               "value double, props string")
     src = os.path.join(tmp_out, "sess_src")

@@ -1030,6 +1030,71 @@ FROM orders
 """
 
 
+def q_rel_user_gap_stats(spark, sf_dir):
+    """Grouped vectorized custom aggregate — the ``applyInPandas`` surface
+    (groupBy -> one Arrow batch per group -> pandas fn), completing the
+    engine's UDF matrix alongside mapInPandas (stateless map) and
+    applyInPandasWithState (streaming state): exact per-user inter-event
+    gap statistics in integer microseconds, with the median DEFINED as the
+    kth element (k = (n+1) div 2) so both engines agree bit-for-bit.
+
+    Scale: one shuffle on user_id; each task holds one user's events (the
+    bounded-group case grouped-map is FOR — a user's event history, not a
+    corpus-sized group).  Gaps are exact int64 micros (numpy datetime64[us]
+    on the Arrow side == DuckDB date_diff('microsecond') on the oracle
+    side), never floats."""
+    import pandas as pd
+
+    e = t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+
+    def stats(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts", "event_id"])
+        us = pdf["ts"].values.astype("datetime64[us]").astype("int64")
+        uid = int(pdf["user_id"].iat[0])
+        gaps = (us[1:] - us[:-1]).tolist()
+        if not gaps:
+            return pd.DataFrame({
+                "user_id": [uid], "n_events": [len(pdf)], "n_gaps": [0],
+                "min_gap_us": pd.array([None], dtype="Int64"),
+                "max_gap_us": pd.array([None], dtype="Int64"),
+                "median_gap_us": pd.array([None], dtype="Int64")})
+        g = sorted(gaps)
+        k = (len(g) + 1) // 2
+        return pd.DataFrame({
+            "user_id": [uid], "n_events": [len(pdf)], "n_gaps": [len(g)],
+            "min_gap_us": [g[0]], "max_gap_us": [g[-1]],
+            "median_gap_us": [g[k - 1]]})
+
+    return e.groupBy("user_id").applyInPandas(
+        stats, "user_id long, n_events long, n_gaps long, "
+               "min_gap_us long, max_gap_us long, median_gap_us long")
+
+
+SQL_REL_USER_GAP_STATS = """
+WITH g AS (
+  SELECT user_id, date_diff('microsecond', lag(ts) OVER w, ts) AS gap
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), gg AS (SELECT user_id, gap FROM g WHERE gap IS NOT NULL),
+r AS (
+  SELECT user_id, gap,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY gap) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM gg
+), med AS (SELECT user_id, gap AS median_gap_us FROM r WHERE rn = (n + 1) // 2),
+agg AS (
+  SELECT user_id, COUNT(*) AS n_gaps,
+         MIN(gap) AS min_gap_us, MAX(gap) AS max_gap_us
+  FROM gg GROUP BY 1
+), base AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY 1)
+SELECT base.user_id, base.n_events,
+       CAST(COALESCE(agg.n_gaps, 0) AS BIGINT) AS n_gaps,
+       agg.min_gap_us, agg.max_gap_us, med.median_gap_us
+FROM base
+LEFT JOIN agg USING (user_id)
+LEFT JOIN med USING (user_id)
+"""
+
+
 _RANGE_W_US = 60_000_000  # range-join window: 60s in exact microseconds
 _EPOCH_US = "timestampdiff(MICROSECOND, TIMESTAMP '1970-01-01 00:00:00', ts)"
 
@@ -2271,6 +2336,7 @@ REGISTRY = {
     "rel_asof_attribution": (q_rel_asof_attribution, SQL_REL_ASOF_ATTRIBUTION),
     "rel_rolling_revenue": (q_rel_rolling_revenue, SQL_REL_ROLLING_REVENUE),
     "rel_range_join": (q_rel_range_join, SQL_REL_RANGE_JOIN),
+    "rel_user_gap_stats": (q_rel_user_gap_stats, SQL_REL_USER_GAP_STATS),
     "text_hash_split": (q_text_hash_split, SQL_TEXT_HASH_SPLIT),
     "text_stratified_sample": (q_text_stratified_sample, SQL_TEXT_STRATIFIED_SAMPLE),
     "sketch_distinct_kmv": (q_sketch_distinct_kmv, SQL_SKETCH_DISTINCT_KMV),

@@ -1030,6 +1030,60 @@ FROM orders
 """
 
 
+def q_stream_windowed_counts(spark, sf_dir):
+    """STRUCTURED STREAMING inside the correctness gate: the watermark +
+    tumbling-window aggregation (htmpark.streaming.windowed_event_counts)
+    executed as a REAL availableNow stream over the events table — file
+    source -> stateful windowed agg -> parquet sink -> read back.  Append
+    mode emits exactly the windows the FINAL watermark (max event time -
+    5 min) closed, and the DuckDB oracle applies the same closure rule
+    (window end <= max_ts - 5 min), so the watermark/eviction semantics
+    themselves are oracle-checked — not just the arithmetic.  (The events
+    file is staged into a temp dir: the file stream source requires a
+    directory.)  win_start is compared as a tz-free string, same rule as
+    rel_events_minutely.
+
+    Scale: the file-source stream over a 10^12-row table is the backfill
+    pattern (maxFilesPerTrigger bounds each micro-batch); aggregation
+    state is one row per open (window, type) and the watermark evicts
+    closed windows — bounded state on an unbounded stream."""
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming import windowed_event_counts
+
+    src = tempfile.mkdtemp(prefix="htmpark_sq_src_")
+    shutil.copy(os.path.join(sf_dir, "events.parquet"),
+                os.path.join(src, "events.parquet"))
+    sdf = (spark.readStream
+           .schema("event_id long, ts timestamp, user_id long, "
+                   "event_type string, value double, props string")
+           .parquet(src))
+    out = tempfile.mkdtemp(prefix="htmpark_sq_out_")
+    ck = tempfile.mkdtemp(prefix="htmpark_sq_ck_")
+    q = (windowed_event_counts(sdf)
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ck).outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return (spark.read.parquet(out)
+            .select(F.col("win_start").cast("string").alias("win_start"),
+                    "event_type", "n_events", "value_cents"))
+
+
+SQL_STREAM_WINDOWED_COUNTS = """
+WITH w AS (
+  SELECT date_trunc('minute', ts) AS ws, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+  FROM events GROUP BY 1, 2
+), m AS (SELECT MAX(ts) AS mx FROM events)
+SELECT CAST(ws AS VARCHAR) AS win_start, event_type, n_events, value_cents
+FROM w WHERE ws + INTERVAL 1 MINUTE <= (SELECT mx FROM m) - INTERVAL 5 MINUTE
+"""
+
+
 def q_rel_user_gap_stats(spark, sf_dir):
     """Grouped vectorized custom aggregate — the ``applyInPandas`` surface
     (groupBy -> one Arrow batch per group -> pandas fn), completing the
@@ -2337,6 +2391,7 @@ REGISTRY = {
     "rel_rolling_revenue": (q_rel_rolling_revenue, SQL_REL_ROLLING_REVENUE),
     "rel_range_join": (q_rel_range_join, SQL_REL_RANGE_JOIN),
     "rel_user_gap_stats": (q_rel_user_gap_stats, SQL_REL_USER_GAP_STATS),
+    "stream_windowed_counts": (q_stream_windowed_counts, SQL_STREAM_WINDOWED_COUNTS),
     "text_hash_split": (q_text_hash_split, SQL_TEXT_HASH_SPLIT),
     "text_stratified_sample": (q_text_stratified_sample, SQL_TEXT_STRATIFIED_SAMPLE),
     "sketch_distinct_kmv": (q_sketch_distinct_kmv, SQL_SKETCH_DISTINCT_KMV),

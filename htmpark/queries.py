@@ -692,29 +692,47 @@ def q_rel_order_value_median(spark, sf_dir, bucket_width: int = 1 << 16):
     Max per-task rows: max(n_buckets, n / n_buckets) per group — and the
     same phase pair recurses for n / n_buckets^2 if one bucket is still
     hot at 100x.  Result and oracle are unchanged from the single-window
-    definition (plan-asserted in tests)."""
+    definition (plan-asserted + hypothesis-property-tested via the
+    two_phase_group_median library function)."""
+    o = t(spark, sf_dir, "orders")
+    v = o.select("o_orderpriority",
+                 _cents(F.col("o_totalprice")).alias("cents"),
+                 "o_orderkey")
+    med = two_phase_group_median(v, "o_orderpriority", "cents", "o_orderkey",
+                                 bucket_width)
+    return med.select("o_orderpriority",
+                      F.col("median").alias("median_cents"),
+                      F.col("n").alias("n_orders"))
+
+
+def two_phase_group_median(v: DataFrame, group_col: str, value_col: str,
+                           tiebreak_col: str,
+                           bucket_width: int = 1 << 16) -> DataFrame:
+    """Library form of the two-phase exact selection (see
+    q_rel_order_value_median for the full rationale): per-group element at
+    rank (n+1) div 2 under the total order (value, tiebreak), computed
+    without ever sorting a whole group in one task.  Values must be
+    non-negative integers (``value div bucket_width`` bucketing).
+    Returns one row per group: (group_col, median, n)."""
     from pyspark.sql.window import Window
 
-    o = t(spark, sf_dir, "orders")
-    v = (o.select("o_orderpriority",
-                  _cents(F.col("o_totalprice")).alias("cents"),
-                  "o_orderkey")
-         .withColumn("bkt", F.expr(f"cents div {bucket_width}")))
-    hist = v.groupBy("o_orderpriority", "bkt").agg(F.count("*").alias("c"))
-    wc = Window.partitionBy("o_orderpriority").orderBy("bkt")
-    cum = (hist.withColumn("hi", F.sum("c").over(wc))
-               .withColumn("below", F.col("hi") - F.col("c")))
-    nk = (v.groupBy("o_orderpriority").agg(F.count("*").alias("n"))
-           .withColumn("k", F.expr("(n + 1) div 2")))
-    target = (cum.join(F.broadcast(nk), "o_orderpriority")
-              .where((F.col("below") < F.col("k")) & (F.col("k") <= F.col("hi")))
-              .select("o_orderpriority", "bkt", "below", "k", "n"))
-    cand = v.join(F.broadcast(target), ["o_orderpriority", "bkt"])
-    w2 = Window.partitionBy("o_orderpriority").orderBy("cents", "o_orderkey")
-    return (cand.withColumn("rn", F.row_number().over(w2))
-            .where(F.col("rn") == F.col("k") - F.col("below"))
-            .select("o_orderpriority", F.col("cents").alias("median_cents"),
-                    F.col("n").alias("n_orders")))
+    g, val, tb = group_col, value_col, tiebreak_col
+    v = v.withColumn("_bkt", F.expr(f"{val} div {bucket_width}"))
+    hist = v.groupBy(g, "_bkt").agg(F.count("*").alias("_c"))
+    wc = Window.partitionBy(g).orderBy("_bkt")
+    cum = (hist.withColumn("_hi", F.sum("_c").over(wc))
+               .withColumn("_below", F.col("_hi") - F.col("_c")))
+    nk = (v.groupBy(g).agg(F.count("*").alias("n"))
+           .withColumn("_k", F.expr("(n + 1) div 2")))
+    target = (cum.join(F.broadcast(nk), g)
+              .where((F.col("_below") < F.col("_k"))
+                     & (F.col("_k") <= F.col("_hi")))
+              .select(g, "_bkt", "_below", "_k", "n"))
+    cand = v.join(F.broadcast(target), [g, "_bkt"])
+    w2 = Window.partitionBy(g).orderBy(val, tb)
+    return (cand.withColumn("_rn", F.row_number().over(w2))
+            .where(F.col("_rn") == F.col("_k") - F.col("_below"))
+            .select(g, F.col(val).alias("median"), "n"))
 
 
 SQL_REL_ORDER_VALUE_MEDIAN = """
@@ -1394,13 +1412,7 @@ def candidate_pairs(spark, sf_dir) -> DataFrame:
     blocks are gone with the executors), bounding the cache at
     (live sessions x sf_dirs); clear_candidate_pairs_cache() frees
     everything explicitly."""
-    for k in list(_PAIRS_CACHE):
-        try:
-            stale = _PAIRS_CACHE[k].sparkSession.sparkContext._jsc.sc().isStopped()
-        except Exception:
-            stale = True
-        if stale:
-            del _PAIRS_CACHE[k]
+    _evict_stale(_PAIRS_CACHE)
     key = (id(spark), sf_dir)
     df = _PAIRS_CACHE.get(key)
     if df is None:
@@ -1438,13 +1450,29 @@ def _no_aqe(spark):
     return ctx()
 
 
-def clear_candidate_pairs_cache() -> None:
-    for df in _PAIRS_CACHE.values():
+# cluster assignments are memoized the same way: the curation capstone and
+# any repeated dedup query reuse one CC fixpoint per (session, sf_dir)
+_CLUSTERS_CACHE: dict = {}
+
+
+def _evict_stale(cache: dict) -> None:
+    for k in list(cache):
         try:
-            df.unpersist()
+            stale = cache[k].sparkSession.sparkContext._jsc.sc().isStopped()
         except Exception:
-            pass
-    _PAIRS_CACHE.clear()
+            stale = True
+        if stale:
+            del cache[k]
+
+
+def clear_candidate_pairs_cache() -> None:
+    for cache in (_PAIRS_CACHE, _CLUSTERS_CACHE):
+        for df in cache.values():
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        cache.clear()
 
 
 def q_dedup_clusters(spark, sf_dir, pairs: DataFrame | None = None):
@@ -1463,8 +1491,10 @@ def q_dedup_clusters(spark, sf_dir, pairs: DataFrame | None = None):
     driver involvement is one tiny sum per pass, never row data.
 
     ``pairs``: inject a precomputed candidate-pair DataFrame (columns
-    doc_a, doc_b); default shares the per-session materialization from
-    ``candidate_pairs`` with pagerank and the curation capstone.
+    doc_a, doc_b); the default path shares the per-session pairs
+    materialization with pagerank and the curation capstone AND memoizes
+    the finished (persisted) label table itself, so repeated consumers
+    never re-run the fixpoint.
 
     Per-pass cost (r3 restructure): SELF-edges are folded into the edge set
     once, so ``min(label over N(v) + {v})`` needs ONE join + ONE aggregate
@@ -1472,7 +1502,13 @@ def q_dedup_clusters(spark, sf_dir, pairs: DataFrame | None = None):
     gone.  The static edge table is pre-partitioned on the join key (dst)
     and persisted: only the LABEL side (one row per vertex) shuffles per
     pass."""
-    pairs = pairs if pairs is not None else candidate_pairs(spark, sf_dir)
+    use_memo = pairs is None
+    if use_memo:
+        _evict_stale(_CLUSTERS_CACHE)
+        cached = _CLUSTERS_CACHE.get((id(spark), sf_dir))
+        if cached is not None:
+            return cached
+        pairs = candidate_pairs(spark, sf_dir)
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     verts = (fwd.select("src")
              .union(fwd.select(F.col("dst").alias("src"))).distinct())
@@ -1502,8 +1538,11 @@ def q_dedup_clusters(spark, sf_dir, pairs: DataFrame | None = None):
                 break
             prev_sum = new_sum
     edges.unpersist()
-    return labels.select(F.col("id").alias("doc_id"),
-                         F.col("label").alias("cluster_id"))
+    result = labels.select(F.col("id").alias("doc_id"),
+                           F.col("label").alias("cluster_id"))
+    if use_memo:
+        _CLUSTERS_CACHE[(id(spark), sf_dir)] = result
+    return result
 
 
 SQL_DEDUP_CLUSTERS = f"""

@@ -221,6 +221,54 @@ def test_median_two_phase_selection(spark):
         assert frac < 0.2, f"{g}: median bucket holds {frac:.0%} of the group"
 
 
+def test_two_phase_median_property(spark):
+    """two_phase_group_median == python sorted-multiset kth element on
+    randomized (group, value, tiebreak) datasets, exercised with a small
+    bucket width so the histogram/locate/rank phases all do real work."""
+    from hypothesis import given, settings, strategies as st
+
+    from htmpark.queries import two_phase_group_median
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(st.tuples(st.integers(0, 2), st.integers(0, 500),
+                              st.integers(0, 10**6)),
+                    min_size=1, max_size=60))
+    def run(rows):
+        df = spark.createDataFrame(rows, "g int, v long, tb long")
+        got = {(r.g): (r.median, r.n)
+               for r in two_phase_group_median(df, "g", "v", "tb",
+                                               bucket_width=16).collect()}
+        expected = {}
+        by_g: dict = {}
+        for g, v, tb in rows:
+            by_g.setdefault(g, []).append((v, tb))
+        for g, vals in by_g.items():
+            vals.sort()
+            expected[g] = (vals[(len(vals) + 1) // 2 - 1][0], len(vals))
+        assert got == expected
+
+    run()
+
+
+def test_clusters_memoized_per_session(spark):
+    """Default-path cluster assignment is computed once per (session,
+    sf_dir): the second call returns the identical DataFrame object, and
+    an injected-pairs call bypasses the memo."""
+    from htmpark.queries import (clear_candidate_pairs_cache,
+                                 q_dedup_clusters, q_dedup_minhash_pairs)
+
+    clear_candidate_pairs_cache()
+    a = q_dedup_clusters(spark, SF)
+    b = q_dedup_clusters(spark, SF)
+    assert a is b
+    injected = q_dedup_clusters(spark, SF,
+                                pairs=q_dedup_minhash_pairs(spark, SF))
+    assert injected is not a
+    assert ({(r.doc_id, r.cluster_id) for r in injected.collect()}
+            == {(r.doc_id, r.cluster_id) for r in a.collect()})
+    clear_candidate_pairs_cache()
+
+
 def test_kmv_two_phase_and_merge_agreement(spark):
     """Bottom-k selection: phase 1 windows over (event_type, salt) — never
     the bare 5-value group key — and the explicit mergeable-sketch query

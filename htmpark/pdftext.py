@@ -141,21 +141,33 @@ def _content_text(data: bytes) -> tuple[bytes, int]:
     return bytes(out), n_ops
 
 
-_STREAM_KW = re.compile(rb"stream\r?\n")
+# (?<!end): the 'stream' suffix of an 'endstream' keyword is not a
+# stream-object opener
+_STREAM_KW = re.compile(rb"(?<!end)stream\r?\n")
 _PAGE_RE = re.compile(rb"/Type\s*/Page(?![a-zA-Z])")
 
 
-_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+0\s+R)")
+# (?!\d) stops backtracking from shortening a multi-digit indirect-ref
+# number into a bogus match ('/Length 80 0 R' must not yield 8); the
+# second lookahead rejects indirect refs of ANY generation number
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)")
 
 
 def _iter_streams(data: bytes):
-    """Yield (dict_bytes, raw_stream_bytes) for every stream object.
+    """Yield (dict_bytes, raw_stream_bytes, payload_start, extent_end) for
+    every stream object, scanning SEQUENTIALLY past each stream's extent —
+    a 'stream\\n' byte pattern INSIDE a stream's payload (e.g. corpus text
+    that says "video stream") must never spawn a phantom stream object.
     The dictionary is located by balanced backward scan from 'stream';
     the stream extent comes from the dict's direct /Length when present
     (the spec-correct boundary — an EOL-trim heuristic would eat a real
     trailing 0x0D/0x0A byte of COMPRESSED data), else falls back to the
     next 'endstream' keyword minus one separator EOL."""
-    for m in _STREAM_KW.finditer(data):
+    pos = 0
+    while True:
+        m = _STREAM_KW.search(data, pos)
+        if m is None:
+            return
         start = m.end()
         # walk back to the matching '<<' of the innermost dict before it
         j = m.start()
@@ -176,21 +188,26 @@ def _iter_streams(data: bytes):
         d = data[max(k - 1, 0):j]
         lm = _LENGTH_RE.search(d)
         raw = None
+        end = None
         if lm:
             length = int(lm.group(1))
             tail = data[start + length:start + length + 16]
             if re.match(rb"\s*endstream", tail):
                 raw = data[start:start + length]
+                end = start + length
         if raw is None:
             end = data.find(b"endstream", start)
             if end < 0:
-                continue
+                return
             raw = data[start:end]
             if raw.endswith(b"\r\n"):
                 raw = raw[:-2]
             elif raw.endswith(b"\n") or raw.endswith(b"\r"):
                 raw = raw[:-1]
-        yield d, raw
+        # resume scanning AFTER the closing keyword, never inside it
+        m2 = re.compile(rb"\s*endstream").match(data, end)
+        pos = m2.end() if m2 else end + 9
+        yield d, raw, start, end
 
 
 def extract_pdf_text(data: bytes) -> dict:
@@ -199,15 +216,29 @@ def extract_pdf_text(data: bytes) -> dict:
     Returns {"text": str, "n_pages": int, "n_text_ops": int,
     "stream_errors": int, "parse_ok": bool}.  parse_ok is False when the
     header is missing or any stream failed to decode — the same
-    error-row-not-crash contract as the HTML engine."""
+    error-row-not-crash contract as the HTML engine.
+
+    Structural markers (/Encrypt, /Type /Page) are matched against the
+    STRUCTURE bytes only — the file with every stream payload excised —
+    so document text that happens to contain '/Type /Page' or '/Encrypt'
+    can never be mistaken for objects (payload bytes are data, not
+    structure)."""
     ok = data[:5] == b"%PDF-"
     errors = 0
     text = bytearray()
     n_ops = 0
-    if ok and b"/Encrypt" in data:
+    streams = []
+    cursor = 0
+    structure = bytearray()
+    for d, raw, payload_start, end in _iter_streams(data):
+        streams.append((d, raw))
+        structure += data[cursor:payload_start]
+        cursor = end
+    structure += data[cursor:]
+    if ok and re.search(rb"/Encrypt\s", bytes(structure)):
         return {"text": "", "n_pages": 0, "n_text_ops": 0,
                 "stream_errors": 1, "parse_ok": False}
-    for d, raw in _iter_streams(data):
+    for d, raw in streams:
         if b"/FlateDecode" in d:
             try:
                 raw = zlib.decompress(raw)
@@ -222,7 +253,7 @@ def extract_pdf_text(data: bytes) -> dict:
         n_ops += k
     return {
         "text": text.decode("utf-8", errors="replace"),
-        "n_pages": len(_PAGE_RE.findall(data)),
+        "n_pages": len(_PAGE_RE.findall(bytes(structure))),
         "n_text_ops": n_ops,
         "stream_errors": errors,
         "parse_ok": bool(ok) and errors == 0,

@@ -713,7 +713,10 @@ def two_phase_group_median(v: DataFrame, group_col: str, value_col: str,
     rank (n+1) div 2 under the total order (value, tiebreak), computed
     without ever sorting a whole group in one task.  Values must be
     non-negative integers (``value div bucket_width`` bucketing).
-    Returns one row per group: (group_col, median, n)."""
+    Returns one row per group: (group_col, median, n).  Internal
+    temporaries are all underscore-prefixed so caller columns named
+    'median' or 'n' never collide mid-plan (they are only introduced by
+    the final aliasing select)."""
     from pyspark.sql.window import Window
 
     g, val, tb = group_col, value_col, tiebreak_col
@@ -722,17 +725,17 @@ def two_phase_group_median(v: DataFrame, group_col: str, value_col: str,
     wc = Window.partitionBy(g).orderBy("_bkt")
     cum = (hist.withColumn("_hi", F.sum("_c").over(wc))
                .withColumn("_below", F.col("_hi") - F.col("_c")))
-    nk = (v.groupBy(g).agg(F.count("*").alias("n"))
-           .withColumn("_k", F.expr("(n + 1) div 2")))
+    nk = (v.groupBy(g).agg(F.count("*").alias("_n"))
+           .withColumn("_k", F.expr("(_n + 1) div 2")))
     target = (cum.join(F.broadcast(nk), g)
               .where((F.col("_below") < F.col("_k"))
                      & (F.col("_k") <= F.col("_hi")))
-              .select(g, "_bkt", "_below", "_k", "n"))
+              .select(g, "_bkt", "_below", "_k", "_n"))
     cand = v.join(F.broadcast(target), [g, "_bkt"])
     w2 = Window.partitionBy(g).orderBy(val, tb)
     return (cand.withColumn("_rn", F.row_number().over(w2))
             .where(F.col("_rn") == F.col("_k") - F.col("_below"))
-            .select(g, F.col(val).alias("median"), "n"))
+            .select(g, F.col(val).alias("median"), F.col("_n").alias("n")))
 
 
 SQL_REL_ORDER_VALUE_MEDIAN = """
@@ -1071,6 +1074,11 @@ def q_pdf_parse_extract(spark, sf_dir):
         for pdf in batches:
             texts, pages, oks = [], [], []
             for did, tx in zip(pdf["doc_id"], pdf["text"]):
+                if tx is None:  # no text -> no document; error row, no crash
+                    texts.append(None)
+                    pages.append(0)
+                    oks.append(False)
+                    continue
                 blob = synthesize_pdf(tx, compress=(did % 2 == 0),
                                       tj_array=(did % 4 == 1))
                 r = extract_pdf_text(blob)
@@ -1087,7 +1095,9 @@ def q_pdf_parse_extract(spark, sf_dir):
 
 
 SQL_PDF_PARSE_EXTRACT = """
-SELECT doc_id, text, CAST(1 AS INT) AS n_pages, TRUE AS parse_ok
+SELECT doc_id, text,
+       CAST(CASE WHEN text IS NULL THEN 0 ELSE 1 END AS INT) AS n_pages,
+       text IS NOT NULL AS parse_ok
 FROM documents
 """
 
@@ -1116,19 +1126,30 @@ def q_stream_windowed_counts(spark, sf_dir):
     from .streaming import windowed_event_counts
 
     src = tempfile.mkdtemp(prefix="htmpark_sq_src_")
-    shutil.copy(os.path.join(sf_dir, "events.parquet"),
-                os.path.join(src, "events.parquet"))
-    sdf = (spark.readStream
-           .schema("event_id long, ts timestamp, user_id long, "
-                   "event_type string, value double, props string")
-           .parquet(src))
     out = tempfile.mkdtemp(prefix="htmpark_sq_out_")
     ck = tempfile.mkdtemp(prefix="htmpark_sq_ck_")
-    q = (windowed_event_counts(sdf)
-         .writeStream.format("parquet").option("path", out)
-         .option("checkpointLocation", ck).outputMode("append")
-         .trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    try:
+        shutil.copy(os.path.join(sf_dir, "events.parquet"),
+                    os.path.join(src, "events.parquet"))
+        sdf = (spark.readStream
+               .schema("event_id long, ts timestamp, user_id long, "
+                       "event_type string, value double, props string")
+               .parquet(src))
+        q = (windowed_event_counts(sdf)
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ck).outputMode("append")
+             .trigger(availableNow=True).start())
+        # a timeout returns False (it does NOT raise): falling through to
+        # read a half-written sink would report garbage as a mismatch
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError(
+                f"stream did not finish: {q.exception() or 'timeout'}")
+    finally:
+        # the sink dir `out` must outlive the returned (lazy) DataFrame;
+        # the staged copy and the checkpoint are dead weight once done
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
     return (spark.read.parquet(out)
             .select(F.col("win_start").cast("string").alias("win_start"),
                     "event_type", "n_events", "value_cents"))

@@ -86,6 +86,35 @@ def test_length_bounds_stream_ending_in_eol_bytes():
         assert r["parse_ok"] is True and r["text"] == f"payload {i}"
 
 
+@pytest.mark.parametrize("text", [
+    "video stream\nnext line " + "x" * 100,   # phantom-stream keyword
+    "a line ending in stream\n(then parens)",
+    "dict /Type /Page demo",                   # page marker in payload
+    "about /Encrypt ion settings",             # encryption marker in payload
+    "endstream inside text",
+    "stream\n" * 5 + "tail",
+])
+@pytest.mark.parametrize("compress", [False, True])
+@pytest.mark.parametrize("tj_array", [False, True])
+def test_structural_keywords_in_payload_are_data(text, compress, tj_array):
+    """Bytes inside stream payloads are DATA: 'stream\\n', '/Type /Page',
+    and '/Encrypt' appearing in document text must not spawn phantom
+    streams, inflate the page count, or trip the encryption refusal."""
+    r = extract_pdf_text(synthesize_pdf(text, compress, tj_array))
+    assert r["text"] == text
+    assert r["parse_ok"] is True
+    assert r["n_pages"] == 1
+
+
+def test_indirect_length_not_misparsed():
+    """'/Length 80 0 R' (indirect ref) must not backtrack-match as 8; the
+    fallback endstream scan still bounds the stream."""
+    raw = (b"%PDF-1.4\n1 0 obj\n<< /Length 80 0 R >>\nstream\n"
+           b"BT (indirect) Tj ET\nendstream\nendobj\n")
+    r = extract_pdf_text(raw)
+    assert r["text"] == "indirect" and r["parse_ok"]
+
+
 def test_error_contract():
     assert extract_pdf_text(b"GIF89a not a pdf")["parse_ok"] is False
     # corrupt Flate stream -> error counter, no crash

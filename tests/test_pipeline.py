@@ -204,6 +204,41 @@ def test_bucketed_join_is_exchange_free(spark, tmp_out):
         spark.sql("DROP TABLE IF EXISTS bk_b")
 
 
+def test_aqe_splits_skewed_join_partition(spark):
+    """The skew defenses are layered: explicit salting for hot-host
+    mapInPandas partitions (AQE can't fix those), AQE skew-join for
+    runtime join skew.  This pins the second layer: a 95%-one-key fact
+    joined to a dim must show SortMergeJoin(skew=true) with an
+    AQEShuffleRead that split the hot partition (thresholds lowered to
+    sandbox row counts; on the 100 TB config the defaults fire at 256MB)."""
+    saved = {k: spark.conf.get(k) for k in (
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.autoBroadcastJoinThreshold")}
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        fact = spark.range(0, 100000).select(
+            F.when(F.col("id") % 20 != 0, 0).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("payload-"), F.col("id")).alias("p"))
+        dim = spark.range(0, 100000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("v"))
+        j = fact.join(dim, "k")
+        # collect() executes THIS DataFrame's plan (count() would build a
+        # separate execution and leave j's AQE plan unfinalized)
+        assert len(j.collect()) == 100000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+        assert "skewed" in plan  # AQEShuffleRead split the hot partition
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 def test_oversize_guard_is_byte_exact_on_strings(spark):
     """max_html_bytes counts BYTES even for string html columns: a
     multi-byte-heavy page over the byte limit must be nulled."""

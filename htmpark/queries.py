@@ -777,6 +777,43 @@ FROM events GROUP BY user_id HAVING COUNT(*) >= 50
     for ty in ("click", "view", "purchase", "signup", "error")))
 
 
+def q_rel_events_json(spark, sf_dir):
+    """Semi-structured payload extraction: the events.props column is a
+    JSON string; ``get_json_object`` pulls ``$.k`` out, a null-safe cast
+    types it, and exact integer aggregates roll it up per event type.
+
+    Scale notes: the JSON path extraction is a stateless JVM expression
+    fused with the parquet scan inside whole-stage codegen (no UDF, no
+    Python); the only shuffle is one partial-aggregated hash agg on the
+    5-value event_type key — map-side combine reduces each task to 5
+    rows before the exchange.  For wide payloads at 10^12 rows prefer
+    ``from_json`` with an explicit schema: one parse feeding many
+    columns instead of one parse per path."""
+    e = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (e.select("event_type", k.alias("k"))
+             .groupBy("event_type")
+             .agg(F.count("*").alias("n_events"),
+                  F.count("k").alias("n_with_k"),
+                  F.sum("k").alias("sum_k"),
+                  F.min("k").alias("min_k"),
+                  F.max("k").alias("max_k")))
+
+
+SQL_REL_EVENTS_JSON = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(k) AS n_with_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       MIN(k) AS min_k,
+       MAX(k) AS max_k
+FROM (SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events)
+GROUP BY event_type
+"""
+
+
 def _kmv_hash():
     """60-bit uniform hash of user_id: first 15 md5 hex chars as int64 —
     engine-exact on both sides and always non-negative."""
@@ -1803,6 +1840,62 @@ WHERE n_common >= 1
 """
 
 
+def q_dedup_substring(spark, sf_dir, w: int = 8):
+    """Exact substring-window dedup (the shape of Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    w-token window of every document is hashed; a window occurrence is a
+    duplicate when a LOWER doc_id contains the same window.  Output per
+    doc: window count, duplicated-window count, and the duplicated
+    fraction in exact basis points (integer division — engine-exact).
+    Unlike minhash (whole-doc similarity) this catches verbatim passages
+    pasted between otherwise-different documents.
+
+    Scale notes: the w-token window hashes are built ARRAY-LOCAL in one
+    projection (``transform`` over ``sequence`` + ``slice``), so the token
+    array is never duplicated per position; only the fixed-width md5
+    strings explode.  Pre-explode repartition (same rule as _shingles).
+    ``groupBy(h)`` gets map-side partial min; the windows→owners join
+    hash-partitions both sides on the high-cardinality window hash and
+    reuses the aggregate's exchange; the per-doc rollup is one more
+    partial-aggregated shuffle on doc_id.  No task ever holds more than
+    one doc's token array — every stage survives 10^12 docs.  Docs
+    shorter than w tokens are skipped (no window exists)."""
+    d = t(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    toks = (d.select("doc_id", F.split("text", " ").alias("w"))
+             .where(F.size("w") >= w))
+    win = toks.select(
+        "doc_id",
+        F.explode(F.expr(
+            f"transform(sequence(1, size(w) - {w} + 1), "
+            f"i -> md5(array_join(slice(w, i, {w}), ' ')))")).alias("h"))
+    owners = win.groupBy("h").agg(F.min("doc_id").alias("own_doc"))
+    dup = F.when(F.col("own_doc") < F.col("doc_id"), 1).otherwise(0)
+    return (win.join(owners, "h")
+               .groupBy("doc_id")
+               .agg(F.count("*").alias("n_windows"),
+                    F.sum(dup).alias("n_dup_windows"))
+               .withColumn("dup_bp",
+                           F.expr("n_dup_windows * 10000 DIV n_windows")))
+
+
+SQL_DEDUP_SUBSTRING = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+pos AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 8 + 1)) AS p
+        FROM tok WHERE len(w) >= 8),
+win AS (SELECT doc_id, md5(array_to_string(w[p:p+7], ' ')) AS h FROM pos),
+own AS (SELECT h, min(doc_id) AS own_doc FROM win GROUP BY h)
+SELECT doc_id,
+       COUNT(*) AS n_windows,
+       CAST(SUM(CASE WHEN own_doc < doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_windows,
+       CAST(SUM(CASE WHEN own_doc < doc_id THEN 1 ELSE 0 END) * 10000
+            // COUNT(*) AS BIGINT) AS dup_bp
+FROM win JOIN own USING (h)
+GROUP BY doc_id
+"""
+
+
 # probe-set size above which broadcasting the probe table is wrong: the
 # broadcast must fit every executor (and spark.sql.autoBroadcastJoinThreshold
 # -class limits); past that the pairing routes through a sign-LSH bucket
@@ -2275,6 +2368,60 @@ LIMIT 100
 """
 
 
+def q_text_repetition(spark, sf_dir):
+    """Within-document repetition signals (the Gopher quality-gate family):
+    distinct-word count plus the heaviest word-bigram's share of all
+    bigrams, in exact basis points.  High rep_bp / low distinct ratio =
+    boilerplate or degenerate repetition — a standard pre-training drop
+    rule alongside ``text_quality_filter``.
+
+    Scale notes: n_words / n_distinct_words are ARRAY-LOCAL (no shuffle);
+    the bigram mode carries those two ints through the explode as extra
+    grouping keys, so the whole query is ONE scan feeding two
+    partial-aggregated hash aggs (doc_id,gram → doc_id) — no self-join
+    back to the source.  Both shuffles key on high-cardinality values;
+    no task ever holds a whole group.  Docs with fewer than 2 words have
+    no bigram and are dropped (every corpus doc has ≥10)."""
+    d = t(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    bg = (d.select("doc_id", F.split("text", " ").alias("w"))
+           .where(F.size("w") >= 2)
+           .select("doc_id",
+                   F.size("w").alias("n_words"),
+                   F.size(F.array_distinct("w")).alias("n_distinct_words"),
+                   F.explode(F.expr(
+                       "transform(sequence(1, size(w) - 1), "
+                       "i -> concat_ws(' ', element_at(w, i), "
+                       "element_at(w, i + 1)))")).alias("g")))
+    counts = (bg.groupBy("doc_id", "n_words", "n_distinct_words", "g")
+                .agg(F.count("*").alias("c")))
+    return (counts.groupBy("doc_id", "n_words", "n_distinct_words")
+            .agg(F.max("c").alias("top_bigram_n"),
+                 F.sum("c").alias("n_bigrams"))
+            .withColumn("rep_bp",
+                        F.expr("top_bigram_n * 10000 DIV n_bigrams"))
+            .select("doc_id", "n_words", "n_distinct_words", "n_bigrams",
+                    "top_bigram_n", "rep_bp"))
+
+
+SQL_TEXT_REPETITION = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+bg AS (SELECT doc_id, len(w) AS n_words,
+              len(list_distinct(w)) AS n_distinct_words,
+              unnest([w[i] || ' ' || w[i+1] FOR i IN
+                      generate_series(1, len(w) - 1)]) AS g
+       FROM tok WHERE len(w) >= 2),
+c AS (SELECT doc_id, n_words, n_distinct_words, g, COUNT(*) AS c
+      FROM bg GROUP BY ALL)
+SELECT doc_id, n_words, n_distinct_words,
+       CAST(SUM(c) AS BIGINT) AS n_bigrams,
+       MAX(c) AS top_bigram_n,
+       CAST(MAX(c) * 10000 // SUM(c) AS BIGINT) AS rep_bp
+FROM c
+GROUP BY doc_id, n_words, n_distinct_words
+"""
+
+
 def q_text_fingerprint(spark, sf_dir):
     """Document fingerprint: word-fold polynomial hash mod 1e9+7 (exact
     integer arithmetic; the rolling-hash shape used for content-defined
@@ -2497,6 +2644,7 @@ REGISTRY = {
     "rel_revenue_rollup": (q_rel_revenue_rollup, SQL_REL_REVENUE_ROLLUP),
     "rel_order_value_median": (q_rel_order_value_median, SQL_REL_ORDER_VALUE_MEDIAN),
     "rel_events_pivot": (q_rel_events_pivot, SQL_REL_EVENTS_PIVOT),
+    "rel_events_json": (q_rel_events_json, SQL_REL_EVENTS_JSON),
     "rel_asof_attribution": (q_rel_asof_attribution, SQL_REL_ASOF_ATTRIBUTION),
     "rel_rolling_revenue": (q_rel_rolling_revenue, SQL_REL_ROLLING_REVENUE),
     "rel_range_join": (q_rel_range_join, SQL_REL_RANGE_JOIN),
@@ -2517,6 +2665,7 @@ REGISTRY = {
     "graph_pagerank": (q_graph_pagerank, SQL_GRAPH_PAGERANK),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
+    "dedup_substring": (q_dedup_substring, SQL_DEDUP_SUBSTRING),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING_COSINE),
     "sim_topk_bruteforce": (q_sim_topk_bruteforce, SQL_SIM_TOPK_BRUTEFORCE),
     "sim_lsh_buckets": (q_sim_lsh_buckets, SQL_SIM_LSH_BUCKETS),
@@ -2527,6 +2676,7 @@ REGISTRY = {
     "text_token_count": (q_text_token_count, SQL_TEXT_TOKEN_COUNT),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     "text_top_terms": (q_text_top_terms, SQL_TEXT_TOP_TERMS),
+    "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
     "mm_binary_meta": (q_mm_binary_meta, SQL_MM_BINARY_META),
     "mm_frame_sample": (q_mm_frame_sample, SQL_MM_FRAME_SAMPLE),

@@ -36,6 +36,7 @@ FAST = [
     "rel_customers_without_orders", "rel_topk_expensive_parts",
     "rel_event_sessions", "dedup_exact", "text_quality", "text_token_count",
     "text_fingerprint", "text_top_terms", "sim_topk_bruteforce",
+    "rel_events_json", "text_repetition", "dedup_substring",
 ]
 
 
@@ -123,7 +124,8 @@ def test_minhash_pairs_reuses_sig_subtree(spark):
 def test_explode_queries_repartition_before_expansion(spark):
     """Row-expanding stages must re-parallelize BEFORE the explode: the
     repartition exchange has to sit below the Generate in the plan tree."""
-    for name in ("dedup_minhash_sig", "dedup_simhash"):
+    for name in ("dedup_minhash_sig", "dedup_simhash", "dedup_substring",
+                 "text_repetition"):
         fn, _ = REGISTRY[name]
         plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
         gen = plan.index("Generate explode")
@@ -461,3 +463,45 @@ def test_multimodal_stub_and_plumbing(spark):
     assert len(out) == 20
     assert all(r.mime == "application/octet-stream" for r in out)
     assert all(r.height >= 1 and r.width >= 1 for r in out)
+
+
+def test_substring_dedup_matches_bruteforce(spark):
+    """Window-dedup semantics cross-checked against an independent pure-
+    Python computation (every 8-token window, global min-doc owner)."""
+    import collections
+    import hashlib
+
+    from htmpark.queries import q_dedup_substring
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchall()
+    W = 8
+    owner = {}
+    per_doc = collections.defaultdict(lambda: [0, 0])
+    occs = []
+    for doc_id, text in sorted(rows):
+        w = text.split(" ")
+        for i in range(len(w) - W + 1):
+            h = hashlib.md5(" ".join(w[i:i + W]).encode()).hexdigest()
+            owner.setdefault(h, doc_id)
+            occs.append((doc_id, h))
+    for doc_id, h in occs:
+        per_doc[doc_id][0] += 1
+        per_doc[doc_id][1] += owner[h] < doc_id
+    got = {r.doc_id: (r.n_windows, r.n_dup_windows, r.dup_bp)
+           for r in q_dedup_substring(spark, SF).collect()}
+    want = {d: (n, dup, dup * 10000 // n) for d, (n, dup) in per_doc.items()}
+    assert got == want
+
+
+def test_repetition_signal_bounds(spark):
+    from htmpark.queries import q_text_repetition
+
+    rows = q_text_repetition(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_distinct_words <= r.n_words
+        assert r.n_bigrams == r.n_words - 1
+        assert 1 <= r.top_bigram_n <= r.n_bigrams
+        assert 0 < r.rep_bp <= 10000

@@ -261,6 +261,69 @@ def write_bucketed(df: DataFrame, table: str, key: str, buckets: int = 64,
     w.saveAsTable(table)
 
 
+_TABLE_FORMATS = ("parquet", "orc", "json", "csv")
+
+
+def write_table(df: DataFrame, path: str, fmt: str = "parquet",
+                mode: str = "errorifexists",
+                partition_by: tuple | None = None,
+                compression: str | None = None,
+                dynamic_overwrite: bool = False) -> None:
+    """General-format sink over Spark's built-in writers.
+
+    Format guidance at 100 TB: parquet/orc are the only storage formats
+    (columnar, predicate pushdown, column pruning, splittable compression);
+    json/csv exist for interchange EXPORT only — they are row formats with
+    no pushdown, so never the source of a second pipeline stage.
+
+    ``partition_by`` lays files out hive-style for partition PRUNING on
+    those columns.  ``dynamic_overwrite`` sets
+    spark.sql.sources.partitionOverwriteMode=dynamic for this write: an
+    overwrite then replaces ONLY the partitions present in ``df`` (the
+    idempotent-backfill sink shape) instead of truncating the whole table
+    root — with static overwrite, re-running one day's backfill would
+    delete every other day.  The option is applied per-writer, not on the
+    session, so concurrent writes keep their own semantics."""
+    if fmt not in _TABLE_FORMATS:
+        raise ValueError(f"fmt must be one of {_TABLE_FORMATS}")
+    w = df.write.mode(mode).format(fmt)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if dynamic_overwrite:
+        w = w.option("partitionOverwriteMode", "dynamic")
+    if compression:
+        w = w.option("compression", compression)
+    if fmt == "csv":
+        # header + explicit quoting so text containing the delimiter
+        # round-trips; newlines in values need multiLine=true at read
+        w = w.option("header", True).option("escape", '"')
+    w.save(path)
+
+
+def read_table(spark: SparkSession, path: str, fmt: str = "parquet",
+               schema=None, multiline: bool = False) -> DataFrame:
+    """General-format source.  parquet/orc carry their own schema and
+    types; json/csv REQUIRE an explicit schema at scale — schema inference
+    is a full extra pass over the data (and csv types everything string
+    without it).  ``multiline`` is needed to read back csv whose quoted
+    values embed newlines (extracted text does) — but it costs
+    splittability (one task per file), so at scale either strip newlines
+    before a csv export or use json, whose line-per-record escaping keeps
+    the default splittable path."""
+    if fmt not in _TABLE_FORMATS:
+        raise ValueError(f"fmt must be one of {_TABLE_FORMATS}")
+    r = spark.read.format(fmt)
+    if schema is not None:
+        r = r.schema(schema)
+    elif fmt in ("json", "csv"):
+        r = r.option("inferSchema", True)
+    if fmt == "csv":
+        r = r.option("header", True).option("escape", '"')
+        if multiline:
+            r = r.option("multiLine", True)
+    return r.load(path)
+
+
 MANIFEST_SCHEMA = ("part_id", "n_pages", "n_ok", "tok_errors", "tree_errors",
                    "text_chars", "min_ts", "max_ts", "num_parts")
 

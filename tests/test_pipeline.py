@@ -422,3 +422,67 @@ def test_title_column_extracted(spark):
     # corpus wraps every page in <title>T{i}</title>
     assert all(r.title.startswith("T") for r in out)
     assert {r.title for r in out} == {f"T{i}" for i in range(30)}
+
+
+def test_write_read_table_formats_roundtrip(spark, tmp_out):
+    """ORC/JSON/CSV sinks + sources round-trip the extraction output
+    exactly (modulo csv's stringly types, pinned via explicit schema)."""
+    from htmpark.job import read_table, write_table
+
+    src = extract_pages(synthesize_pages(spark, 120)).select(
+        "url", "text", "tok_errors")
+    want = {(r.url, r.text, r.tok_errors) for r in src.collect()}
+
+    for fmt in ("orc", "json"):
+        p = f"{tmp_out}/t_{fmt}"
+        write_table(src, p, fmt=fmt)
+        got = {(r.url, r.text, r.tok_errors)
+               for r in read_table(spark, p, fmt=fmt).collect()}
+        assert got == want, fmt
+
+    # extracted text embeds newlines -> csv read-back needs multiline
+    p = f"{tmp_out}/t_csv"
+    write_table(src, p, fmt="csv")
+    got_csv = read_table(spark, p, fmt="csv", schema=src.schema,
+                         multiline=True)
+    assert {(r.url, r.text, r.tok_errors) for r in got_csv.collect()} == want
+
+    with pytest.raises(ValueError):
+        write_table(src, f"{tmp_out}/t_avro", fmt="avro")
+
+    # errorifexists default: a second write to the same path must fail
+    with pytest.raises(Exception):
+        write_table(src, f"{tmp_out}/t_orc", fmt="orc")
+
+
+def test_orc_scan_pushes_filters(spark, tmp_out):
+    """ORC is a real columnar source: predicate pushdown + column pruning
+    must reach the scan, same as parquet."""
+    from htmpark.job import read_table, write_table
+
+    src = extract_pages(synthesize_pages(spark, 120)).select(
+        "url", "text", "tok_errors", "n_text_nodes")
+    write_table(src, f"{tmp_out}/orc_scan", fmt="orc")
+    q = (read_table(spark, f"{tmp_out}/orc_scan", fmt="orc")
+         .where(F.col("n_text_nodes") > 2).select("url"))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(n_text_nodes), GreaterThan(n_text_nodes,2)]" in plan
+    assert "ReadSchema: struct<url:string,n_text_nodes:" in plan
+
+
+def test_dynamic_partition_overwrite(spark, tmp_out):
+    """Re-writing one partition with dynamic_overwrite must replace ONLY
+    that partition; static overwrite would truncate the whole root."""
+    from htmpark.job import read_table, write_table
+
+    p = f"{tmp_out}/dyn"
+    d0 = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30)], "id int, day string, v int")
+    write_table(d0, p, partition_by=("day",), mode="overwrite")
+    # backfill day=a only, with corrected values
+    fix = spark.createDataFrame([(1, "a", 11), (2, "a", 21)],
+                                "id int, day string, v int")
+    write_table(fix, p, partition_by=("day",), mode="overwrite",
+                dynamic_overwrite=True)
+    got = {(r.id, r.day, r.v) for r in read_table(spark, p).collect()}
+    assert got == {(1, "a", 11), (2, "a", 21), (3, "b", 30)}

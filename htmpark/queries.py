@@ -1192,6 +1192,61 @@ def q_stream_windowed_counts(spark, sf_dir):
                     "event_type", "n_events", "value_cents"))
 
 
+def q_stream_click_attribution(spark, sf_dir):
+    """STREAM-STREAM JOIN inside the correctness gate: the watermarked
+    click→purchase attribution join (htmpark.streaming.
+    click_attribution_stream) executed as a REAL availableNow stream —
+    file source → two watermarked branches → event-time range inner join
+    → parquet sink → read back.  The DuckDB oracle is the plain batch
+    interval join: over a bounded replay the streaming inner join must
+    emit exactly the batch result, so completeness of the join state
+    machine itself is what gets checked.  Scale notes live on the
+    streaming builder: user_id partitions join state, the time-range +
+    watermark bound lets both sides evict — never unbounded buffers."""
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming import click_attribution_stream
+
+    src = tempfile.mkdtemp(prefix="htmpark_sj_src_")
+    out = tempfile.mkdtemp(prefix="htmpark_sj_out_")
+    ck = tempfile.mkdtemp(prefix="htmpark_sj_ck_")
+    try:
+        shutil.copy(os.path.join(sf_dir, "events.parquet"),
+                    os.path.join(src, "events.parquet"))
+        sdf = (spark.readStream
+               .schema("event_id long, ts timestamp, user_id long, "
+                       "event_type string, value double, props string")
+               .parquet(src))
+        q = (click_attribution_stream(sdf)
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ck).outputMode("append")
+             .trigger(availableNow=True).start())
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError(
+                f"stream did not finish: {q.exception() or 'timeout'}")
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+    return spark.read.parquet(out).select(
+        "user_id", "click_id", "buy_id", "gap_us", "value_cents")
+
+
+SQL_STREAM_CLICK_ATTRIBUTION = """
+WITH c AS (SELECT user_id, event_id AS click_id, ts AS cts
+           FROM events WHERE event_type = 'click'),
+b AS (SELECT user_id, event_id AS buy_id, ts AS bts, value
+      FROM events WHERE event_type = 'purchase')
+SELECT c.user_id, click_id, buy_id,
+       CAST(epoch_us(bts) - epoch_us(cts) AS BIGINT) AS gap_us,
+       CAST(round(value * 100) AS BIGINT) AS value_cents
+FROM c JOIN b ON c.user_id = b.user_id
+             AND bts > cts AND bts <= cts + INTERVAL 120 MINUTE
+"""
+
+
 SQL_STREAM_WINDOWED_COUNTS = """
 WITH w AS (
   SELECT date_trunc('minute', ts) AS ws, event_type,
@@ -2650,6 +2705,7 @@ REGISTRY = {
     "rel_range_join": (q_rel_range_join, SQL_REL_RANGE_JOIN),
     "rel_user_gap_stats": (q_rel_user_gap_stats, SQL_REL_USER_GAP_STATS),
     "stream_windowed_counts": (q_stream_windowed_counts, SQL_STREAM_WINDOWED_COUNTS),
+    "stream_click_attribution": (q_stream_click_attribution, SQL_STREAM_CLICK_ATTRIBUTION),
     "pdf_parse_extract": (q_pdf_parse_extract, SQL_PDF_PARSE_EXTRACT),
     "text_hash_split": (q_text_hash_split, SQL_TEXT_HASH_SPLIT),
     "text_stratified_sample": (q_text_stratified_sample, SQL_TEXT_STRATIFIED_SAMPLE),

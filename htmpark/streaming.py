@@ -56,6 +56,47 @@ def windowed_event_counts(events: DataFrame, window: str = "1 minute",
     )
 
 
+def click_attribution_stream(events: DataFrame, gap_minutes: int = 120,
+                             watermark: str = "10 minutes") -> DataFrame:
+    """STREAM-STREAM inner join: attribute each purchase to every click by
+    the same user in the preceding ``gap_minutes`` (the ad-attribution
+    shape).  Both sides are branches of one watermarked event stream.
+
+    Scale semantics: a stream-stream join buffers BOTH sides in state; it
+    is only viable because (a) the equality key (user_id) partitions state,
+    and (b) the event-time RANGE condition plus the watermarks lets Spark
+    evict a buffered click once the purchase-side watermark passes
+    click_ts + gap (and vice versa) — without the time bound the state
+    grows forever.  Inner-join rows emit as soon as both sides arrive;
+    completeness over a bounded replay (availableNow) equals the batch
+    join, which is exactly what the oracle checks.  Output gap is exact
+    integer microseconds; value is exact cents."""
+    clicks = (events.where(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("click_ts"))
+              .withWatermark("click_ts", watermark))
+    buys = (events.where(F.col("event_type") == "purchase")
+            .select(F.col("user_id").alias("b_user"),
+                    F.col("event_id").alias("buy_id"),
+                    F.col("ts").alias("buy_ts"),
+                    F.col("value"))
+            .withWatermark("buy_ts", watermark))
+    cond = ((F.col("c_user") == F.col("b_user"))
+            & (F.col("buy_ts") > F.col("click_ts"))
+            & (F.col("buy_ts") <= F.col("click_ts")
+               + F.expr(f"INTERVAL {gap_minutes} MINUTES")))
+    # cast before unix_micros: a parquet batch twin reads TIMESTAMP_NTZ,
+    # the stream schema declares TIMESTAMP — the difference is tz-invariant
+    return (clicks.join(buys, cond, "inner")
+            .select(F.col("c_user").alias("user_id"), "click_id", "buy_id",
+                    (F.unix_micros(F.col("buy_ts").cast("timestamp"))
+                     - F.unix_micros(F.col("click_ts").cast("timestamp")))
+                    .alias("gap_us"),
+                    F.round(F.col("value") * 100).cast("bigint")
+                     .alias("value_cents")))
+
+
 def dedup_pages_stream(pages: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Streaming exact dedup (the streaming twin of the dedup_exact query):
     keep the first page per content hash seen within the watermark window.

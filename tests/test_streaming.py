@@ -243,3 +243,40 @@ def test_windowed_events_stream_matches_batch(spark, tmp_out):
     import datetime
     assert all(k[0] >= max_start - datetime.timedelta(minutes=6) for k in held)
     assert len(sm) > 100
+
+
+def test_click_attribution_stream_joins_across_microbatches(spark, tmp_out):
+    """Stream-stream join completeness must survive micro-batch boundaries:
+    clicks and purchases are split into SEPARATE source files consumed one
+    per trigger, so every match requires buffered state from an earlier
+    batch.  Result must equal the batch interval join."""
+    from htmpark.streaming import click_attribution_stream
+
+    src = os.path.join(tmp_out, "attr_src")
+    out = os.path.join(tmp_out, "attr_out")
+    ckpt = os.path.join(tmp_out, "attr_ckpt")
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    # file 0: everything except purchases; file 1: the purchases
+    ev.where(F.col("event_type") != "purchase").coalesce(1) \
+      .write.parquet(os.path.join(src, "f0"))
+    ev.where(F.col("event_type") == "purchase").coalesce(1) \
+      .write.parquet(os.path.join(src, "f1"))
+
+    sdf = (spark.readStream
+           .schema("event_id long, ts timestamp, user_id long, "
+                   "event_type string, value double, props string")
+           .option("maxFilesPerTrigger", 1)
+           .option("recursiveFileLookup", True)
+           .parquet(src))
+    q = (click_attribution_stream(sdf)
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt).outputMode("append")
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(240), q.exception()
+
+    got = {(r.user_id, r.click_id, r.buy_id, r.gap_us, r.value_cents)
+           for r in spark.read.parquet(out).collect()}
+    want = {(r.user_id, r.click_id, r.buy_id, r.gap_us, r.value_cents)
+            for r in click_attribution_stream(ev).collect()}
+    assert got == want
+    assert len(got) >= 5  # sf0.001 has 9 attributed purchases

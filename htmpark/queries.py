@@ -2265,6 +2265,68 @@ _LANG_MARKERS = {
 }
 
 
+def q_sim_kmeans_update(spark, sf_dir):
+    """One exact k-means (Lloyd) iteration step, the ML-training aggregate
+    shape: E-step assigns every vector to its best centroid (same
+    broadcast + narrow ``max_by`` plan as IVF assignment), M-step computes
+    the new centroid as per-dimension EXACT INTEGER component sums plus a
+    member count (mean = sum_e4 / n_members downstream).  Integer sums
+    make the distributed mean bit-reproducible — float fold order across
+    partitions would make every run (and every engine) disagree.
+
+    Scale: the only row expansion is posexplode of 64 fixed dims into
+    3-int rows; groupBy(cent_id, dim) partially aggregates map-side, so at
+    most k*64 rows per task cross the wire regardless of n.  A production
+    Lloyd loop alternates this with the assignment until movement < eps —
+    the per-iteration plan is exactly this query."""
+    e = t(spark, sf_dir, "embeddings")
+    cents = e.where(F.col("vec_id") % 50 == 7).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce"))
+    cos_e = _cos_expr(F.col("ce"), F.col("embedding"))
+    scored = (_fan_out(e).crossJoin(F.broadcast(cents))
+              .select("vec_id", "cent_id", cos_e.alias("_c")))
+    best = F.max_by(
+        F.col("cent_id"),
+        F.struct(F.col("_c").alias("c"), (-F.col("cent_id")).alias("nc")))
+    assign = (scored.groupBy("vec_id").agg(best.alias("cent_id"))
+              .join(e, "vec_id"))
+    comp = assign.select(
+        "cent_id",
+        F.posexplode(F.expr(
+            "transform(embedding, "
+            "x -> cast(round(cast(x as double) * 10000) as bigint))"
+        )).alias("dim", "v_e4"))
+    return (comp.groupBy("cent_id", "dim")
+            .agg(F.count("*").alias("n_members"),
+                 F.sum("v_e4").alias("sum_e4")))
+
+
+SQL_SIM_KMEANS_UPDATE = f"""
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding AS ce FROM embeddings WHERE vec_id % 50 = 7
+), assign AS (
+  SELECT vec_id, embedding, cent_id FROM (
+    SELECT e.vec_id, e.embedding, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_duck_cos('c.ce', 'e.embedding')} DESC,
+                                       c.cent_id) AS r
+    FROM embeddings e, cents c
+  ) WHERE r <= 1
+), pos AS (
+  SELECT cent_id, embedding,
+         unnest(generate_series(1, len(embedding))) AS i
+  FROM assign
+), comp AS (
+  SELECT cent_id, CAST(i - 1 AS INT) AS dim,
+         CAST(round(embedding[i]::double * 10000) AS BIGINT) AS v_e4
+  FROM pos
+)
+SELECT cent_id, dim, COUNT(*) AS n_members,
+       CAST(SUM(v_e4) AS BIGINT) AS sum_e4
+FROM comp GROUP BY cent_id, dim
+"""
+
+
 def q_text_quality(spark, sf_dir):
     """Quality scoring: exact integer counts (chars, words, stopwords,
     digits) — ratio thresholds applied downstream stay engine-exact."""
@@ -2726,6 +2788,7 @@ REGISTRY = {
     "sim_topk_bruteforce": (q_sim_topk_bruteforce, SQL_SIM_TOPK_BRUTEFORCE),
     "sim_lsh_buckets": (q_sim_lsh_buckets, SQL_SIM_LSH_BUCKETS),
     "sim_ivf_topk": (q_sim_ivf_topk, SQL_SIM_IVF_TOPK),
+    "sim_kmeans_update": (q_sim_kmeans_update, SQL_SIM_KMEANS_UPDATE),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_quality_filter": (q_text_quality_filter, SQL_TEXT_QUALITY_FILTER),
     "text_lang_id": (q_text_lang_id, SQL_TEXT_LANG_ID),

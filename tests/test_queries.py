@@ -505,3 +505,24 @@ def test_repetition_signal_bounds(spark):
         assert r.n_bigrams == r.n_words - 1
         assert 1 <= r.top_bigram_n <= r.n_bigrams
         assert 0 < r.rep_bp <= 10000
+
+
+def test_kmeans_update_partitions_all_vectors(spark):
+    """M-step invariants: every vector lands in exactly one centroid
+    (sum of members over one dim == corpus size), each centroid's
+    member count is identical across its 64 dims, and the partial
+    aggregation happens map-side (partial max_by below the exchange)."""
+    from htmpark.queries import q_sim_kmeans_update
+
+    df = q_sim_kmeans_update(spark, SF)
+    rows = df.collect()
+    n_vecs = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    per_cent = {}
+    for r in rows:
+        per_cent.setdefault(r.cent_id, set()).add(r.n_members)
+    assert all(len(v) == 1 for v in per_cent.values())
+    assert sum(next(iter(v)) for v in per_cent.values()) == n_vecs
+    assert {r.dim for r in rows} == set(range(64))
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_max_by" in plan

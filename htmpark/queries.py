@@ -738,6 +738,76 @@ def two_phase_group_median(v: DataFrame, group_col: str, value_col: str,
             .select(g, F.col(val).alias("median"), F.col("_n").alias("n")))
 
 
+def two_phase_group_quantiles(v: DataFrame, group_col: str, value_col: str,
+                              tiebreak_col: str, ps=(50, 90, 99),
+                              bucket_width: int = 1 << 16) -> DataFrame:
+    """Multi-quantile generalization of two_phase_group_median: the exact
+    element at rank k_p = ceil(n*p/100) = (n*p + 99) div 100 under the
+    total order (value, tiebreak), for every percentile in ``ps``, without
+    a whole-group sort.  ONE histogram pass serves all percentiles — the
+    rank table is the per-group count exploded across ps, the bucket
+    locate gates each (group, p) to its own bucket's rows, and the only
+    row-level sort ranks ~n/n_buckets rows per (group, p).  Same
+    max-per-task bound as the median: max(n_buckets, n/n_buckets)."""
+    from pyspark.sql.window import Window
+
+    g, val, tb = group_col, value_col, tiebreak_col
+    v = v.withColumn("_bkt", F.expr(f"{val} div {bucket_width}"))
+    hist = v.groupBy(g, "_bkt").agg(F.count("*").alias("_c"))
+    wc = Window.partitionBy(g).orderBy("_bkt")
+    cum = (hist.withColumn("_hi", F.sum("_c").over(wc))
+               .withColumn("_below", F.col("_hi") - F.col("_c")))
+    nk = (v.groupBy(g).agg(F.count("*").alias("_n"))
+           .select(g, "_n",
+                   F.explode(F.array(*[F.lit(p) for p in ps])).alias("p"))
+           .withColumn("_k", F.expr("(_n * p + 99) div 100")))
+    target = (cum.join(F.broadcast(nk), g)
+              .where((F.col("_below") < F.col("_k"))
+                     & (F.col("_k") <= F.col("_hi")))
+              .select(g, "p", "_bkt", "_below", "_k", "_n"))
+    cand = v.join(F.broadcast(target), [g, "_bkt"])
+    w2 = Window.partitionBy(g, "p").orderBy(val, tb)
+    return (cand.withColumn("_rn", F.row_number().over(w2))
+            .where(F.col("_rn") == F.col("_k") - F.col("_below"))
+            .select(g, "p", F.col(val).alias("quantile"),
+                    F.col("_n").alias("n")))
+
+
+def q_rel_value_percentiles(spark, sf_dir):
+    """Exact p50/p90/p99 order-value percentiles per priority — the
+    SLA-percentile shape, engine-exact because the quantile is DEFINED as
+    a rank (k = ceil(n*p/100)) under a total order rather than an
+    interpolation (engines disagree on interpolation).  Scale notes on
+    two_phase_group_quantiles: one histogram pass serves all three
+    percentiles; no task ever sorts a whole group."""
+    o = t(spark, sf_dir, "orders")
+    v = o.select("o_orderpriority",
+                 _cents(F.col("o_totalprice")).alias("cents"),
+                 "o_orderkey")
+    qs = two_phase_group_quantiles(v, "o_orderpriority", "cents",
+                                   "o_orderkey")
+    return qs.select("o_orderpriority", "p",
+                     F.col("quantile").alias("q_cents"),
+                     F.col("n").alias("n_orders"))
+
+
+SQL_REL_VALUE_PERCENTILES = """
+WITH v AS (SELECT o_orderpriority AS pri,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                  o_orderkey AS k
+           FROM orders),
+n AS (SELECT pri, COUNT(*) AS n FROM v GROUP BY pri),
+r AS (SELECT pri, cents,
+             ROW_NUMBER() OVER (PARTITION BY pri ORDER BY cents, k) AS rn
+      FROM v),
+ps AS (SELECT unnest([50, 90, 99]) AS p)
+SELECT pri AS o_orderpriority, CAST(p AS INT) AS p, cents AS q_cents,
+       CAST(n AS BIGINT) AS n_orders
+FROM r JOIN n USING (pri) CROSS JOIN ps
+WHERE rn = (n * p + 99) // 100
+"""
+
+
 SQL_REL_ORDER_VALUE_MEDIAN = """
 WITH v AS (
   SELECT o_orderpriority,
@@ -2760,6 +2830,7 @@ REGISTRY = {
     "rel_event_sessions": (q_rel_event_sessions, SQL_REL_EVENT_SESSIONS),
     "rel_revenue_rollup": (q_rel_revenue_rollup, SQL_REL_REVENUE_ROLLUP),
     "rel_order_value_median": (q_rel_order_value_median, SQL_REL_ORDER_VALUE_MEDIAN),
+    "rel_value_percentiles": (q_rel_value_percentiles, SQL_REL_VALUE_PERCENTILES),
     "rel_events_pivot": (q_rel_events_pivot, SQL_REL_EVENTS_PIVOT),
     "rel_events_json": (q_rel_events_json, SQL_REL_EVENTS_JSON),
     "rel_asof_attribution": (q_rel_asof_attribution, SQL_REL_ASOF_ATTRIBUTION),

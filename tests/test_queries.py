@@ -526,3 +526,35 @@ def test_kmeans_update_partitions_all_vectors(spark):
 
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "partial_max_by" in plan
+
+
+def test_two_phase_quantiles_property(spark):
+    """two_phase_group_quantiles == python sorted-multiset rank selection
+    (k = ceil(n*p/100)) on randomized data, small bucket width so every
+    phase does real work; all percentiles served by one histogram."""
+    from hypothesis import given, settings, strategies as st
+
+    from htmpark.queries import two_phase_group_quantiles
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(st.tuples(st.integers(0, 2), st.integers(0, 500),
+                              st.integers(0, 10**6)),
+                    min_size=1, max_size=60))
+    def run(rows):
+        df = spark.createDataFrame(rows, "g int, v long, tb long")
+        got = {(r.g, r.p): (r.quantile, r.n)
+               for r in two_phase_group_quantiles(
+                   df, "g", "v", "tb", ps=(50, 90, 99),
+                   bucket_width=16).collect()}
+        expected = {}
+        by_g: dict = {}
+        for g, v, tb in rows:
+            by_g.setdefault(g, []).append((v, tb))
+        for g, vals in by_g.items():
+            vals.sort()
+            n = len(vals)
+            for p in (50, 90, 99):
+                expected[(g, p)] = (vals[(n * p + 99) // 100 - 1][0], n)
+        assert got == expected
+
+    run()

@@ -1404,6 +1404,49 @@ _RANGE_W_US = 60_000_000  # range-join window: 60s in exact microseconds
 _EPOCH_US = "timestampdiff(MICROSECOND, TIMESTAMP '1970-01-01 00:00:00', ts)"
 
 
+def q_rel_events_gapfill(spark, sf_dir):
+    """Time-series GAP FILL: per-minute event counts per type INCLUDING
+    empty minutes (zero-filled) across each type's [first, last] minute —
+    the resample/densify shape dashboards and training-curriculum
+    schedulers need.  Minutes are integer epoch indexes (µs div 60e6):
+    tz-free, engine-exact, and sequence-able without timestamp arithmetic.
+
+    Scale: the heavy input collapses FIRST (partial-aggregated count to
+    one row per (type, minute)); the spine is sequence+explode over the
+    per-type [min, max] span — calendar-sized (minutes × types,
+    independent of n) — and the left join therefore touches only
+    calendar-cardinality rows on both sides.  Never generate the spine
+    per-event, and never join it to raw events."""
+    e = t(spark, sf_dir, "events")
+    m = e.select("event_type",
+                 F.expr(f"({_EPOCH_US}) div 60000000").alias("minute_idx"))
+    counts = (m.groupBy("event_type", "minute_idx")
+               .agg(F.count("*").alias("n_events")))
+    span = m.groupBy("event_type").agg(F.min("minute_idx").alias("mn"),
+                                       F.max("minute_idx").alias("mx"))
+    spine = span.select(
+        "event_type",
+        F.explode(F.sequence("mn", "mx")).alias("minute_idx"))
+    return (spine.join(counts, ["event_type", "minute_idx"], "left")
+            .select("event_type", "minute_idx",
+                    F.coalesce("n_events", F.lit(0)).alias("n_events")))
+
+
+SQL_REL_EVENTS_GAPFILL = """
+WITH m AS (SELECT event_type,
+                  epoch_us(ts) // 60000000 AS minute_idx FROM events),
+c AS (SELECT event_type, minute_idx, COUNT(*) AS n_events
+      FROM m GROUP BY ALL),
+span AS (SELECT event_type, MIN(minute_idx) AS mn, MAX(minute_idx) AS mx
+         FROM m GROUP BY event_type),
+spine AS (SELECT event_type, unnest(generate_series(mn, mx)) AS minute_idx
+          FROM span)
+SELECT spine.event_type, CAST(spine.minute_idx AS BIGINT) AS minute_idx,
+       CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events
+FROM spine LEFT JOIN c USING (event_type, minute_idx)
+"""
+
+
 def q_rel_range_join(spark, sf_dir):
     """RANGE JOIN without an equality key: for every error event, how many
     purchase events (any user) happened within +-60s — the incident-
@@ -2833,6 +2876,7 @@ REGISTRY = {
     "rel_value_percentiles": (q_rel_value_percentiles, SQL_REL_VALUE_PERCENTILES),
     "rel_events_pivot": (q_rel_events_pivot, SQL_REL_EVENTS_PIVOT),
     "rel_events_json": (q_rel_events_json, SQL_REL_EVENTS_JSON),
+    "rel_events_gapfill": (q_rel_events_gapfill, SQL_REL_EVENTS_GAPFILL),
     "rel_asof_attribution": (q_rel_asof_attribution, SQL_REL_ASOF_ATTRIBUTION),
     "rel_rolling_revenue": (q_rel_rolling_revenue, SQL_REL_ROLLING_REVENUE),
     "rel_range_join": (q_rel_range_join, SQL_REL_RANGE_JOIN),

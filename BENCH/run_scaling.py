@@ -207,10 +207,14 @@ def main():
         "Arrow-batched mapInPandas parse → noop sink; tasks stay balanced",
         "(96 splits, salt spreads the 20%-share hot host).",
     ]
-    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # BASELINE.md is CURATED (run history, stress notes, recall curves) —
+    # never overwrite it from here; the raw report goes to a sibling file
+    # and the curator merges the new run into the history table by hand.
+    path = os.path.join(REPO, "BENCH", "scaling_run_latest.md")
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
-    print(f"wrote {path}; primary efficiency={primary:.3f}")
+    print(f"wrote {path} (merge into BENCH/BASELINE.md's run table); "
+          f"primary efficiency={primary:.3f}")
 
 
 if __name__ == "__main__":

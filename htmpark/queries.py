@@ -2029,9 +2029,12 @@ def q_dedup_substring(spark, sf_dir, w: int = 8):
     one doc's token array — every stage survives 10^12 docs.  Docs
     shorter than w tokens are skipped (no window exists)."""
     d = t(spark, sf_dir, "documents")
-    d = d.repartition(spark.sparkContext.defaultParallelism)
-    toks = (d.select("doc_id", F.split("text", " ").alias("w"))
-             .where(F.size("w") >= w))
+    # prune + filter BEFORE the repartition: the exchange moves only
+    # (doc_id, text) of qualifying docs, never rows the filter drops
+    d = (d.select("doc_id", "text")
+          .where(F.size(F.split("text", " ")) >= w)
+          .repartition(spark.sparkContext.defaultParallelism))
+    toks = d.select("doc_id", F.split("text", " ").alias("w"))
     win = toks.select(
         "doc_id",
         F.explode(F.expr(
@@ -2613,9 +2616,11 @@ def q_text_repetition(spark, sf_dir):
     no task ever holds a whole group.  Docs with fewer than 2 words have
     no bigram and are dropped (every corpus doc has ≥10)."""
     d = t(spark, sf_dir, "documents")
-    d = d.repartition(spark.sparkContext.defaultParallelism)
+    # prune + filter BEFORE the repartition (same rule as dedup_substring)
+    d = (d.select("doc_id", "text")
+          .where(F.size(F.split("text", " ")) >= 2)
+          .repartition(spark.sparkContext.defaultParallelism))
     bg = (d.select("doc_id", F.split("text", " ").alias("w"))
-           .where(F.size("w") >= 2)
            .select("doc_id",
                    F.size("w").alias("n_words"),
                    F.size(F.array_distinct("w")).alias("n_distinct_words"),

@@ -472,17 +472,33 @@ def test_orc_scan_pushes_filters(spark, tmp_out):
 
 def test_dynamic_partition_overwrite(spark, tmp_out):
     """Re-writing one partition with dynamic_overwrite must replace ONLY
-    that partition; static overwrite would truncate the whole root."""
+    that partition; static overwrite truncates the whole root.  The
+    session conf is forced to STATIC here so the test proves the
+    PER-WRITER option does the work (build_session defaults the session
+    to dynamic, which would mask a broken writer option)."""
     from htmpark.job import read_table, write_table
 
-    p = f"{tmp_out}/dyn"
-    d0 = spark.createDataFrame(
-        [(1, "a", 10), (2, "a", 20), (3, "b", 30)], "id int, day string, v int")
-    write_table(d0, p, partition_by=("day",), mode="overwrite")
-    # backfill day=a only, with corrected values
-    fix = spark.createDataFrame([(1, "a", 11), (2, "a", 21)],
-                                "id int, day string, v int")
-    write_table(fix, p, partition_by=("day",), mode="overwrite",
-                dynamic_overwrite=True)
-    got = {(r.id, r.day, r.v) for r in read_table(spark, p).collect()}
-    assert got == {(1, "a", 11), (2, "a", 21), (3, "b", 30)}
+    key = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "static")
+    try:
+        p = f"{tmp_out}/dyn"
+        d0 = spark.createDataFrame(
+            [(1, "a", 10), (2, "a", 20), (3, "b", 30)],
+            "id int, day string, v int")
+        write_table(d0, p, partition_by=("day",), mode="overwrite")
+        # backfill day=a only, with corrected values
+        fix = spark.createDataFrame([(1, "a", 11), (2, "a", 21)],
+                                    "id int, day string, v int")
+        write_table(fix, p, partition_by=("day",), mode="overwrite",
+                    dynamic_overwrite=True)
+        got = {(r.id, r.day, r.v) for r in read_table(spark, p).collect()}
+        assert got == {(1, "a", 11), (2, "a", 21), (3, "b", 30)}
+
+        # control: same overwrite WITHOUT the writer option under static
+        # conf truncates day=b too — the hazard the option exists to avoid
+        write_table(fix, p, partition_by=("day",), mode="overwrite")
+        trunc = {(r.id, r.day, r.v) for r in read_table(spark, p).collect()}
+        assert trunc == {(1, "a", 11), (2, "a", 21)}
+    finally:
+        spark.conf.set(key, old)

@@ -878,7 +878,12 @@ SELECT event_type,
        MIN(k) AS min_k,
        MAX(k) AS max_k
 FROM (SELECT event_type,
-             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             -- json_valid guard: DuckDB's json_extract_string THROWS on
+             -- malformed JSON where Spark's get_json_object returns NULL;
+             -- the guard pins Spark's null-on-malformed semantics
+             CAST(CASE WHEN json_valid(props)
+                       THEN json_extract_string(props, '$.k') END
+                  AS BIGINT) AS k
       FROM events)
 GROUP BY event_type
 """

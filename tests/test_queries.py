@@ -558,3 +558,13 @@ def test_two_phase_quantiles_property(spark):
         assert got == expected
 
     run()
+
+
+def test_json_extraction_null_on_malformed(spark):
+    """Pin the semantics the rel_events_json oracle mirrors: Spark's
+    get_json_object returns NULL (never errors) on malformed JSON."""
+    df = spark.createDataFrame(
+        [('{"k": 5}',), ("not json",), ("{broken",), (None,)], "props string")
+    vals = [r.k for r in df.select(
+        F.get_json_object("props", "$.k").cast("bigint").alias("k")).collect()]
+    assert vals == [5, None, None, None]

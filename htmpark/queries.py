@@ -434,6 +434,97 @@ def q_html_corpus_pipeline(spark, sf_dir):
     )
 
 
+def q_html_headings(spark, sf_dir):
+    """Document OUTLINE extraction as a RELATIONAL traversal of the flat
+    parent-pointer DOM: heading elements (h1–h6) self-join their child
+    text nodes on (url, parent_id = node_id), child texts concatenate in
+    node order, seq numbers the headings per page.  This is the flat-DOM
+    payoff claimed in SURVEY §1 — structure queries become joins, no tree
+    walk, no UDF beyond the parse itself.
+
+    Scale notes: the self-join keys on (url, node_id) — high-cardinality,
+    skew bounded by nodes-per-page; both sides come from one mapInPandas
+    pass.  Assembling heading text inside the UDF would be cheaper (one
+    pass, no shuffle) — this query deliberately takes the relational
+    path to keep the node table the single source of structure; at
+    10^12 pages, pre-bucket the node table by url and the join is
+    exchange-free.  Oracle: heading texts are per-fragment '{i}'
+    templates (generated constants, validated across digit lengths)."""
+    import pandas as pd
+
+    from pyspark.sql.window import Window
+
+    from .corpus import synthesize_pages
+
+    n_docs = t(spark, sf_dir, "documents").count()
+    pages = synthesize_pages(spark, _corpus_n_pages(n_docs)).select("url", "html")
+
+    def run(batches):
+        from .parser import Parser
+        from .sinks import NodeTableSink
+
+        for pdf in batches:
+            out = {"url": [], "node_id": [], "parent_id": [], "kind": [],
+                   "name": [], "text": []}
+            for url, html in zip(pdf["url"], pdf["html"]):
+                sink = NodeTableSink()
+                Parser().parse(bytes(html), sink)
+                for nid, pid, kind, name, _ns, _at, text, _d, _s, _ln in sink.rows:
+                    out["url"].append(url)
+                    out["node_id"].append(nid)
+                    out["parent_id"].append(pid)
+                    out["kind"].append(kind)
+                    out["name"].append(name)
+                    out["text"].append(text)
+            yield pd.DataFrame(out)
+
+    nodes = pages.mapInPandas(run, ("url string, node_id int, parent_id int, "
+                                    "kind string, name string, text string"))
+    h = (nodes.where((F.col("kind") == "element")
+                     & F.col("name").rlike("^h[1-6]$"))
+              .select("url", F.col("node_id").alias("h_id"), "name"))
+    kids = (nodes.where(F.col("kind") == "text")
+                 .select("url", F.col("parent_id").alias("h_id"),
+                         F.col("node_id").alias("t_id"), "text"))
+    htext = F.array_join(
+        F.transform(F.array_sort(F.collect_list(F.struct("t_id", "text"))),
+                    lambda s: s["text"]), "")
+    agg = (h.join(kids, ["url", "h_id"])
+            .groupBy("url", "h_id", "name")
+            .agg(htext.alias("htext"))
+            .where(F.length("htext") > 0))
+    w = Window.partitionBy("url").orderBy("h_id")
+    return (agg.withColumn("seq", F.row_number().over(w))
+            .select("url", "seq", "name", "htext"))
+
+
+def _headings_oracle_sql() -> str:
+    from .corpus_oracle import CORPUS_FRAGMENT_HEADINGS
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    vals = ",\n    ".join(
+        f"({f}, {seq}, {lit(name)}, {lit(tmpl)})"
+        for f, seq, name, tmpl in CORPUS_FRAGMENT_HEADINGS)
+    return f"""
+WITH n AS (SELECT GREATEST(500, COUNT(*) * 2 // 5) AS n FROM documents),
+hd(fi, seq0, name, tmpl) AS (VALUES
+    {vals}),
+idx AS (SELECT unnest(range(n.n)) AS i FROM n)
+SELECT 'https://host'
+       || lpad(CAST(CASE WHEN i % 5 = 0 THEN 0
+                         ELSE (i % 97) + 1 END AS VARCHAR), 3, '0')
+       || '.example.com/p/' || CAST(i AS VARCHAR) AS url,
+       CAST(seq0 + 1 AS INT) AS seq, name,
+       replace(tmpl, '{{i}}', CAST(i AS VARCHAR)) AS htext
+FROM idx JOIN hd ON hd.fi = i % 10
+"""
+
+
+SQL_HTML_HEADINGS = _headings_oracle_sql()
+
+
 def _corpus_oracle_sql() -> str:
     from .corpus_oracle import CORPUS_FRAGMENT_PARSE
 
@@ -2874,6 +2965,7 @@ REGISTRY = {
     "html_outlinks": (q_html_outlinks, SQL_HTML_OUTLINKS),
     "html_meta": (q_html_meta, SQL_HTML_META),
     "html_corpus_pipeline": (q_html_corpus_pipeline, SQL_HTML_CORPUS_PIPELINE),
+    "html_headings": (q_html_headings, SQL_HTML_HEADINGS),
     "rel_pricing_summary": (q_rel_pricing_summary, SQL_REL_PRICING_SUMMARY),
     "rel_top_revenue_nations": (q_rel_top_revenue_nations, SQL_REL_TOP_REVENUE_NATIONS),
     "rel_window_latest_orders": (q_rel_window_latest_orders, SQL_REL_WINDOW_LATEST_ORDERS),

@@ -568,3 +568,39 @@ def test_json_extraction_null_on_malformed(spark):
     vals = [r.k for r in df.select(
         F.get_json_object("props", "$.k").cast("bigint").alias("k")).collect()]
     assert vals == [5, None, None, None]
+
+
+def test_corpus_heading_constants_match_live_parse():
+    """CORPUS_FRAGMENT_HEADINGS is generated; re-derive every fragment's
+    heading list from a live parse and pin equality, including the '{i}'
+    substitution identity for a multi-digit index."""
+    from htmpark.corpus import FRAGMENTS
+    from htmpark.corpus_oracle import CORPUS_FRAGMENT_HEADINGS
+    from htmpark.parser import Parser
+    from htmpark.sinks import NodeTableSink
+
+    def headings_of(page):
+        sink = NodeTableSink()
+        Parser().parse(page.encode("utf-8"), sink)
+        by_parent = {}
+        for nid, pid, kind, _n, _ns, _a, text, _d, _s, _l in sink.rows:
+            if kind == "text":
+                by_parent.setdefault(pid, []).append((nid, text))
+        out = []
+        for nid, _p, kind, name, _ns, _a, _t, _d, _s, _l in sink.rows:
+            if kind == "element" and name in {"h1", "h2", "h3", "h4", "h5", "h6"}:
+                txt = "".join(t for _, t in sorted(by_parent.get(nid, [])))
+                if txt:
+                    out.append((name, txt))
+        return out
+
+    want = {}
+    for f, seq, name, tmpl in CORPUS_FRAGMENT_HEADINGS:
+        want.setdefault(f, []).append((name, tmpl))
+    for f, frag in enumerate(FRAGMENTS):
+        page = ("<!DOCTYPE html><html><head><title>T{i}</title></head><body>"
+                + frag + "</body></html>")
+        assert headings_of(page) == want.get(f, [])
+        live = headings_of(page.replace("{i}", "4242"))
+        assert [(n, t.replace("{i}", "4242"))
+                for n, t in want.get(f, [])] == live

@@ -502,3 +502,22 @@ def test_dynamic_partition_overwrite(spark, tmp_out):
         assert trunc == {(1, "a", 11), (2, "a", 21)}
     finally:
         spark.conf.set(key, old)
+
+
+def test_hive_partition_pruning(spark, tmp_out):
+    """A filter on the partition column must become a PartitionFilter
+    (directory pruning — zero IO for other partitions), not a data
+    filter."""
+    from htmpark.job import read_table, write_table
+
+    p = f"{tmp_out}/pruned"
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).cast("string").alias("day"))
+    write_table(df, p, partition_by=("day",), mode="overwrite")
+    q = read_table(spark, p).where(F.col("day") == "3").select("id")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(day" in plan
+    assert "(day" in plan.split("PartitionFilters:")[1][:80]
+    # the data-filter list must NOT carry the partition predicate
+    assert "PushedFilters: []" in plan
+    assert q.count() == 1000 // 7 + (1 if 3 < 1000 % 7 else 0)

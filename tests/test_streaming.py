@@ -280,3 +280,49 @@ def test_click_attribution_stream_joins_across_microbatches(spark, tmp_out):
             for r in click_attribution_stream(ev).collect()}
     assert got == want
     assert len(got) >= 5  # sf0.001 has 9 attributed purchases
+
+
+def test_click_attribution_restart_recovers_join_state(spark, tmp_out):
+    """Exactly-once across a RESTART: run 1 streams all clicks plus the
+    earlier half of purchases; run 2 (same checkpoint) adds the later
+    purchases as a new file.  Late-half matches need CLICK STATE RECOVERED
+    from the checkpoint (their clicks streamed in run 1), and nothing from
+    run 1 may re-emit.  Final sink must equal the batch interval join."""
+    from htmpark.streaming import click_attribution_stream
+
+    src = os.path.join(tmp_out, "rst_src")
+    out = os.path.join(tmp_out, "rst_out")
+    ckpt = os.path.join(tmp_out, "rst_ckpt")
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    split = "2024-01-15 00:54:37"  # median purchase ts at this SF
+    early = (F.col("event_type") != "purchase") | (F.col("ts") <= split)
+    ev.where(early).coalesce(1).write.parquet(os.path.join(src, "f0"))
+
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+
+    def run_once():
+        sdf = (spark.readStream.schema(schema)
+               .option("recursiveFileLookup", True).parquet(src))
+        q = (click_attribution_stream(sdf)
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt).outputMode("append")
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(240), q.exception()
+
+    run_once()
+    n_first = spark.read.parquet(out).count()
+
+    # late purchases arrive after the restart
+    ev.where(~early).coalesce(1).write.parquet(os.path.join(src, "f1"))
+    run_once()
+
+    got = {(r.user_id, r.click_id, r.buy_id, r.gap_us, r.value_cents)
+           for r in spark.read.parquet(out).collect()}
+    want = {(r.user_id, r.click_id, r.buy_id, r.gap_us, r.value_cents)
+            for r in click_attribution_stream(ev).collect()}
+    assert got == want
+    # run 2 contributed real rows (cross-restart state recovery happened)
+    assert 0 < n_first < len(want)
+    # exactly-once: no duplicates (set size equals row count)
+    assert spark.read.parquet(out).count() == len(want)

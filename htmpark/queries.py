@@ -1512,7 +1512,14 @@ def q_rel_events_gapfill(spark, sf_dir):
     per-type [min, max] span — calendar-sized (minutes × types,
     independent of n) — and the left join therefore touches only
     calendar-cardinality rows on both sides.  Never generate the spine
-    per-event, and never join it to raw events."""
+    per-event, and never join it to raw events.
+
+    Honest bound: the spine explode runs ONE task per group (it expands a
+    single min/max row), emitting span-minutes rows from that task —
+    ~0.5M/year/group, fine at minute granularity for decades; at finer
+    granularity or century spans, chunk the sequence (explode a day spine
+    first, then minutes within each day) so generation parallelizes.  The
+    join exchange redistributes the rows either way."""
     e = t(spark, sf_dir, "events")
     m = e.select("event_type",
                  F.expr(f"({_EPOCH_US}) div 60000000").alias("minute_idx"))

@@ -1,0 +1,141 @@
+"""Randomized Spark-vs-DuckDB differential gate.
+
+The driver's correctness gate runs on FIXED testdata; a query/oracle pair
+can agree there by data coincidence (no ties, no short docs, no malformed
+payloads).  This suite synthesizes a SEEDED random mini-sf directory with
+edge cases the fixed tables lack — single-word documents, unicode words,
+malformed/missing JSON payloads, heavily duplicated texts — and re-runs a
+broad query subset through the same row-count/schema/value-hash compare
+as tools/check_oracle.py.
+
+Determinism guards: (user_id, ts) pairs are globally unique (gap/session/
+as-of orderings would otherwise be tie-ambiguous between engines, which is
+a GENUINE nondeterminism both engines are allowed to resolve differently);
+document text words are HTML-inert (no '<', '&') so the html wrap
+round-trips.
+"""
+import os
+import random
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))) + "/tools")
+from check_oracle import frame_hash  # noqa: E402
+
+from htmpark.queries import REGISTRY  # noqa: E402
+
+VOCAB = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+         "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi "
+         "omega éü— data12 x9").split()
+
+N_EVENTS = 2000
+N_DOCS = 300
+N_VECS = 200
+
+QUERIES = [
+    # events family
+    "rel_events_minutely", "rel_event_sessions", "rel_events_pivot",
+    "rel_events_json", "rel_events_gapfill", "rel_asof_attribution",
+    "rel_range_join", "sketch_distinct_kmv", "sketch_kminima_merge",
+    # documents family
+    "dedup_exact", "dedup_substring", "dedup_minhash_sig",
+    "dedup_simhash", "dedup_ngram_jaccard", "text_quality",
+    "text_token_count", "text_fingerprint", "text_top_terms",
+    "text_repetition", "text_lang_id", "text_hash_split",
+    "text_stratified_sample",
+    # embeddings family
+    "sim_topk_bruteforce", "sim_lsh_buckets", "sim_kmeans_update",
+    "dedup_embedding_cosine",
+    # html over random documents text
+    "html_parse_extract",
+]
+
+
+@pytest.fixture(scope="module")
+def rnd_sf(tmp_path_factory):
+    rng = random.Random(20260816)
+    d = str(tmp_path_factory.mktemp("rnd_sf"))
+    con = duckdb.connect()
+
+    # events: unique (user_id, ts); ~25% malformed/missing json payloads
+    types = ["click", "view", "purchase", "signup", "error"]
+    seen = set()
+    rows = []
+    for eid in range(N_EVENTS):
+        while True:
+            uid = rng.randrange(80)
+            off = rng.randrange(40 * 24 * 3600 * 10) * 100_000  # µs grid
+            if (uid, off) not in seen:
+                seen.add((uid, off))
+                break
+        ty = types[rng.randrange(5)]
+        val = round(rng.uniform(0, 100), 2)
+        r = rng.random()
+        if r < 0.10:
+            props = "not json"
+        elif r < 0.18:
+            props = '{"other": 1}'
+        elif r < 0.25:
+            props = None
+        else:
+            props = '{"k": %d}' % rng.randrange(100)
+        rows.append((eid, off, uid, ty, val, props))
+    con.execute("CREATE TABLE ev (event_id BIGINT, off BIGINT, user_id BIGINT, "
+                "event_type VARCHAR, value DOUBLE, props VARCHAR)")
+    con.executemany("INSERT INTO ev VALUES (?,?,?,?,?,?)", rows)
+    con.execute(f"""COPY (SELECT event_id,
+        TIMESTAMP '2024-01-01' + to_microseconds(off) AS ts,
+        user_id, event_type, value, props FROM ev ORDER BY event_id)
+        TO '{d}/events.parquet' (FORMAT PARQUET)""")
+
+    # documents: lengths 1..60 words incl. single-word docs; ~20% exact
+    # duplicates of an earlier doc; langs cycle
+    texts = []
+    for i in range(N_DOCS):
+        if i > 10 and random.Random(i).random() < 0.2:
+            texts.append(texts[rng.randrange(len(texts))])
+        else:
+            n = rng.choice([1, 1, 2, 3] + list(range(5, 60)))
+            texts.append(" ".join(rng.choice(VOCAB) for _ in range(n)))
+    con.execute("CREATE TABLE doc (doc_id BIGINT, text VARCHAR, lang VARCHAR, "
+                "source VARCHAR, n_chars BIGINT)")
+    con.executemany("INSERT INTO doc VALUES (?,?,?,?,?)",
+                    [(i, t, ["en", "de", "fr"][i % 3], f"src{i % 4}", len(t))
+                     for i, t in enumerate(texts)])
+    con.execute(f"COPY (SELECT * FROM doc ORDER BY doc_id) TO "
+                f"'{d}/documents.parquet' (FORMAT PARQUET)")
+
+    # embeddings: float32 arrays, dim 64
+    con.execute("CREATE TABLE emb (vec_id BIGINT, embedding FLOAT[], label INT)")
+    con.executemany("INSERT INTO emb VALUES (?,?,?)",
+                    [(i, [rng.uniform(-1, 1) for _ in range(64)], i % 5)
+                     for i in range(N_VECS)])
+    con.execute(f"COPY (SELECT * FROM emb ORDER BY vec_id) TO "
+                f"'{d}/embeddings.parquet' (FORMAT PARQUET)")
+    con.close()
+    return d
+
+
+@pytest.fixture(scope="module")
+def rnd_duck(rnd_sf):
+    con = duckdb.connect()
+    for t in ("events", "documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{rnd_sf}/{t}.parquet')")
+    return con
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_random_differential(spark, rnd_sf, rnd_duck, name):
+    fn, sql = REGISTRY[name]
+    stab = fn(spark, rnd_sf).toArrow()
+    scols = stab.column_names
+    srows = [tuple(r[c] for c in scols) for r in stab.to_pylist()]
+    dtab = rnd_duck.execute(sql).arrow()
+    dcols = dtab.column_names
+    drows = [tuple(r[c] for c in dcols) for r in dtab.to_pylist()]
+    assert sorted(scols) == sorted(dcols)
+    assert len(srows) == len(drows), f"{name}: {len(srows)} vs {len(drows)}"
+    assert frame_hash(scols, srows) == frame_hash(dcols, drows), name

@@ -2944,11 +2944,15 @@ def q_mm_frame_sample(spark, sf_dir):
 
 SQL_MM_FRAME_SAMPLE = """
 WITH m AS (
-  SELECT doc_id, encode(text) AS p,
+  -- carry hex(..) VARCHAR, not the BLOB: DuckDB 1.x's vectorized unnest
+  -- over a CASE of lists mis-casts an adjacent BLOB column on multi-row
+  -- inputs (STRING->BLOB error; single rows pass) — found by the
+  -- randomized differential suite
+  SELECT doc_id, hex(encode(text)) AS ph,
          CAST(octet_length(encode(text)) // 100 AS INT) AS nf
   FROM documents
 ), s AS (
-  SELECT doc_id, p,
+  SELECT doc_id, ph,
          unnest(CASE WHEN nf > 4
                      THEN [0, nf // 4, (2 * nf) // 4, (3 * nf) // 4]
                      ELSE range(nf) END) AS frame_idx
@@ -2956,7 +2960,7 @@ WITH m AS (
 )
 SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
        CAST(frame_idx * 100 AS INT) AS frame_off,
-       substr(hex(p), frame_idx * 200 + 1, 4) AS frame_hex
+       substr(ph, frame_idx * 200 + 1, 4) AS frame_hex
 FROM s
 """
 

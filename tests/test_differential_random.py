@@ -48,8 +48,16 @@ QUERIES = [
     # embeddings family
     "sim_topk_bruteforce", "sim_lsh_buckets", "sim_kmeans_update",
     "dedup_embedding_cosine",
-    # html over random documents text
-    "html_parse_extract",
+    # html over random documents text (wrap template is text-inert)
+    "html_parse_extract", "html_node_table", "html_sax_events",
+    "html_node_stats",
+    # multimodal fakes derived from documents
+    "mm_binary_meta", "mm_frame_sample",
+    # the full dedup DAG: banding pairs -> connected components ->
+    # pagerank -> curation verdict, incl. the recursive-CTE oracle, on
+    # a corpus whose dup structure is random
+    "dedup_minhash_pairs", "dedup_clusters", "graph_pagerank",
+    "curation_pipeline",
 ]
 
 

@@ -58,6 +58,13 @@ QUERIES = [
     # a corpus whose dup structure is random
     "dedup_minhash_pairs", "dedup_clusters", "graph_pagerank",
     "curation_pipeline",
+    # TPC-H-shaped relational family on random tables with duplicate
+    # dates/prices — tiebreak determinism must carry them
+    "rel_pricing_summary", "rel_top_revenue_nations",
+    "rel_window_latest_orders", "rel_customers_without_orders",
+    "rel_topk_expensive_parts", "rel_revenue_rollup",
+    "rel_order_value_median", "rel_value_percentiles",
+    "rel_rolling_revenue", "rel_user_gap_stats",
 ]
 
 
@@ -122,6 +129,71 @@ def rnd_sf(tmp_path_factory):
                      for i in range(N_VECS)])
     con.execute(f"COPY (SELECT * FROM emb ORDER BY vec_id) TO "
                 f"'{d}/embeddings.parquet' (FORMAT PARQUET)")
+
+    # TPC-H-shaped tables with referential integrity; duplicate order
+    # dates / prices are deliberate (tiebreak determinism must carry them)
+    con.execute("CREATE TABLE region(r_regionkey INT, r_name VARCHAR)")
+    con.executemany("INSERT INTO region VALUES (?,?)",
+                    [(i, f"R{i}") for i in range(5)])
+    con.execute("CREATE TABLE nation(n_nationkey INT, n_name VARCHAR, "
+                "n_regionkey INT)")
+    con.executemany("INSERT INTO nation VALUES (?,?,?)",
+                    [(i, f"N{i}", rng.randrange(5)) for i in range(25)])
+    con.execute("CREATE TABLE customer(c_custkey BIGINT, c_name VARCHAR, "
+                "c_nationkey INT, c_acctbal DOUBLE, c_mktsegment VARCHAR)")
+    segs = ["BUILDING", "MACHINERY", "AUTOMOBILE", "FURNITURE", "HOUSEHOLD"]
+    con.executemany("INSERT INTO customer VALUES (?,?,?,?,?)",
+                    [(i, f"C{i}", rng.randrange(25),
+                      round(rng.uniform(0, 9999), 2), rng.choice(segs))
+                     for i in range(120)])
+    con.execute("CREATE TABLE supplier(s_suppkey BIGINT, s_name VARCHAR, "
+                "s_nationkey INT, s_acctbal DOUBLE)")
+    con.executemany("INSERT INTO supplier VALUES (?,?,?,?)",
+                    [(i, f"S{i}", rng.randrange(25),
+                      round(rng.uniform(0, 9999), 2)) for i in range(30)])
+    con.execute("CREATE TABLE part(p_partkey BIGINT, p_name VARCHAR, "
+                "p_brand VARCHAR, p_type VARCHAR, p_size INT, "
+                "p_retailprice DOUBLE)")
+    con.executemany("INSERT INTO part VALUES (?,?,?,?,?,?)",
+                    [(i, " ".join(rng.choice(VOCAB) for _ in range(3)),
+                      f"B{rng.randrange(5)}", f"T{rng.randrange(6)}",
+                      rng.randrange(1, 51),
+                      round(rng.uniform(100, 2000), 2)) for i in range(150)])
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    con.execute("CREATE TABLE ord(o_orderkey BIGINT, o_custkey BIGINT, "
+                "o_orderstatus VARCHAR, o_totalprice DOUBLE, odays BIGINT, "
+                "o_orderpriority VARCHAR)")
+    con.executemany(
+        "INSERT INTO ord VALUES (?,?,?,?,?,?)",
+        [(i, rng.randrange(120), rng.choice(["O", "F", "P"]),
+          round(rng.uniform(100, 500000), 2),
+          rng.randrange(0, 400) * 86_400_000_000
+          + rng.randrange(0, 3) * 3_600_000_000,  # duplicate dates likely
+          rng.choice(prios)) for i in range(600)])
+    con.execute(f"""COPY (SELECT o_orderkey, o_custkey, o_orderstatus,
+        o_totalprice, TIMESTAMP '2023-01-01' + to_microseconds(odays)
+        AS o_orderdate, o_orderpriority FROM ord ORDER BY o_orderkey)
+        TO '{d}/orders.parquet' (FORMAT PARQUET)""")
+    con.execute("CREATE TABLE li(l_orderkey BIGINT, l_partkey BIGINT, "
+                "l_suppkey BIGINT, l_linenumber INT, l_quantity DOUBLE, "
+                "l_extendedprice DOUBLE, l_discount DOUBLE, l_tax DOUBLE, "
+                "l_returnflag VARCHAR, l_linestatus VARCHAR, sdays BIGINT)")
+    con.executemany(
+        "INSERT INTO li VALUES (?,?,?,?,?,?,?,?,?,?,?)",
+        [(rng.randrange(600), rng.randrange(150), rng.randrange(30),
+          j % 7 + 1, float(rng.randrange(1, 51)),
+          round(rng.uniform(100, 90000), 2),
+          round(rng.uniform(0, 0.10), 2), round(rng.uniform(0, 0.08), 2),
+          rng.choice(["A", "N", "R"]), rng.choice(["O", "F"]),
+          rng.randrange(0, 430) * 86_400_000_000) for j in range(2500)])
+    con.execute(f"""COPY (SELECT l_orderkey, l_partkey, l_suppkey,
+        l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
+        l_returnflag, l_linestatus,
+        TIMESTAMP '2023-01-01' + to_microseconds(sdays) AS l_shipdate
+        FROM li) TO '{d}/lineitem.parquet' (FORMAT PARQUET)""")
+    for tbl in ("region", "nation", "customer", "supplier", "part"):
+        con.execute(f"COPY (SELECT * FROM {tbl}) TO "
+                    f"'{d}/{tbl}.parquet' (FORMAT PARQUET)")
     con.close()
     return d
 
@@ -129,7 +201,8 @@ def rnd_sf(tmp_path_factory):
 @pytest.fixture(scope="module")
 def rnd_duck(rnd_sf):
     con = duckdb.connect()
-    for t in ("events", "documents", "embeddings"):
+    for t in ("events", "documents", "embeddings", "orders", "lineitem",
+              "customer", "part", "supplier", "nation", "region"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{rnd_sf}/{t}.parquet')")
     return con

@@ -47,7 +47,7 @@ QUERIES = [
     "text_stratified_sample",
     # embeddings family
     "sim_topk_bruteforce", "sim_lsh_buckets", "sim_kmeans_update",
-    "dedup_embedding_cosine",
+    "sim_ivf_topk", "dedup_embedding_cosine", "text_quality_filter",
     # html over random documents text (wrap template is text-inert)
     "html_parse_extract", "html_node_table", "html_sax_events",
     "html_node_stats",

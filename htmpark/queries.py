@@ -1338,16 +1338,17 @@ def q_stream_windowed_counts(spark, sf_dir):
                .schema("event_id long, ts timestamp, user_id long, "
                        "event_type string, value double, props string")
                .parquet(src))
-        q = (windowed_event_counts(sdf)
-             .writeStream.format("parquet").option("path", out)
-             .option("checkpointLocation", ck).outputMode("append")
-             .trigger(availableNow=True).start())
-        # a timeout returns False (it does NOT raise): falling through to
-        # read a half-written sink would report garbage as a mismatch
-        if not q.awaitTermination(600):
-            q.stop()
-            raise RuntimeError(
-                f"stream did not finish: {q.exception() or 'timeout'}")
+        with _stream_parts(spark):
+            q = (windowed_event_counts(sdf)
+                 .writeStream.format("parquet").option("path", out)
+                 .option("checkpointLocation", ck).outputMode("append")
+                 .trigger(availableNow=True).start())
+            # a timeout returns False (it does NOT raise): falling through
+            # to read a half-written sink would report garbage as a mismatch
+            if not q.awaitTermination(600):
+                q.stop()
+                raise RuntimeError(
+                    f"stream did not finish: {q.exception() or 'timeout'}")
     finally:
         # the sink dir `out` must outlive the returned (lazy) DataFrame;
         # the staged copy and the checkpoint are dead weight once done
@@ -1356,6 +1357,31 @@ def q_stream_windowed_counts(spark, sf_dir):
     return (spark.read.parquet(out)
             .select(F.col("win_start").cast("string").alias("win_start"),
                     "event_type", "n_events", "value_cents"))
+
+
+def _stream_parts(spark, parts: int = 8):
+    """Context for the gate/bench streaming queries: a stateful streaming
+    query creates one state-store instance per shuffle partition at its
+    FIRST micro-batch (fixed for the checkpoint's lifetime), and per-batch
+    store open/commit dominates tiny bounded replays — A/B at sf0.1:
+    32→8 partitions cuts the stream-stream join 5.8s→2.5s and the
+    windowed agg 3.6s→1.8s with identical results.  Production sizing is
+    the opposite concern (partitions ~ stream volume / state per task);
+    these gate queries start a FRESH checkpoint per call, so the scoped
+    conf is the per-checkpoint sizing decision, not a global default.
+    Same session-global caveat as _no_aqe (registry path is sequential)."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def ctx():
+        key = "spark.sql.shuffle.partitions"
+        prev = spark.conf.get(key)
+        spark.conf.set(key, str(min(int(prev), parts)))
+        try:
+            yield
+        finally:
+            spark.conf.set(key, prev)
+    return ctx()
 
 
 def q_stream_click_attribution(spark, sf_dir):
@@ -1385,14 +1411,15 @@ def q_stream_click_attribution(spark, sf_dir):
                .schema("event_id long, ts timestamp, user_id long, "
                        "event_type string, value double, props string")
                .parquet(src))
-        q = (click_attribution_stream(sdf)
-             .writeStream.format("parquet").option("path", out)
-             .option("checkpointLocation", ck).outputMode("append")
-             .trigger(availableNow=True).start())
-        if not q.awaitTermination(600):
-            q.stop()
-            raise RuntimeError(
-                f"stream did not finish: {q.exception() or 'timeout'}")
+        with _stream_parts(spark):
+            q = (click_attribution_stream(sdf)
+                 .writeStream.format("parquet").option("path", out)
+                 .option("checkpointLocation", ck).outputMode("append")
+                 .trigger(availableNow=True).start())
+            if not q.awaitTermination(600):
+                q.stop()
+                raise RuntimeError(
+                    f"stream did not finish: {q.exception() or 'timeout'}")
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ck, ignore_errors=True)

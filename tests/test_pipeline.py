@@ -521,3 +521,34 @@ def test_hive_partition_pruning(spark, tmp_out):
     # the data-filter list must NOT carry the partition predicate
     assert "PushedFilters: []" in plan
     assert q.count() == 1000 // 7 + (1 if 3 < 1000 % 7 else 0)
+
+
+def test_package_runs_from_pyfiles_zip(tmp_out):
+    """Cluster packaging (SURVEY §7.5): spark-submit --py-files ships
+    htmpark/ as a zip that executors import via zipimport.  Prove the
+    whole parse path (generated entity tables included) works from a zip
+    with the repo dir NOT on sys.path."""
+    import subprocess
+    import sys
+    import zipfile
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zpath = os.path.join(tmp_out, "htmpark.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        pkg = os.path.join(repo, "htmpark")
+        for fn in os.listdir(pkg):
+            if fn.endswith(".py"):
+                z.write(os.path.join(pkg, fn), f"htmpark/{fn}")
+    code = (
+        "import sys; sys.path.insert(0, sys.argv[1])\n"
+        "import htmpark\n"
+        "assert htmpark.__file__.startswith(sys.argv[1])\n"
+        "t, m = htmpark.extract_text(b'<p>a &amp; b &notin; c</p>')\n"
+        "assert t == 'a & b \\u00acin; c', repr(t)\n"
+        "assert m['finished'] and m['tok_errors'] == 0\n"
+        "print('zip-ok')\n"
+    )
+    r = subprocess.run([sys.executable, "-c", code, zpath], cwd=tmp_out,
+                       capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr
+    assert "zip-ok" in r.stdout

@@ -2197,6 +2197,62 @@ GROUP BY doc_id
 """
 
 
+def q_text_decontamination(spark, sf_dir, w: int = 8):
+    """Eval-set DECONTAMINATION (the GPT-3/Llama-report shape): for every
+    training candidate, the fraction of its w-token windows that appear
+    anywhere in a benchmark probe set (doc_id % 97 == 0 as the
+    deterministic probe stand-in) — exact basis points; drop or flag above
+    a threshold downstream.  Distinct from dedup_substring: this is
+    cross-SET containment against a curated eval set, not global
+    first-owner dedup.
+
+    Scale: probe windows are DISTINCT window hashes of the (small) probe
+    set — broadcast into a left semi-ish join (a left join + flag keeps
+    the per-doc totals in one pass).  At a probe set too big to broadcast
+    the same join hash-partitions on the window hash (both sides
+    pre-aggregated to distinct hashes).  Corpus side reuses the
+    dedup_substring window build: array-local hashes, pre-explode
+    repartition, fixed-width strings explode — never token arrays."""
+    d = t(spark, sf_dir, "documents")
+    d = (d.select("doc_id", F.split("text", " ").alias("toks"))
+          .where(F.size("toks") >= w)
+          .repartition(spark.sparkContext.defaultParallelism))
+    win = d.select(
+        "doc_id",
+        F.explode(F.expr(
+            f"transform(sequence(1, size(toks) - {w} + 1), "
+            f"i -> md5(array_join(slice(toks, i, {w}), ' ')))")).alias("h"))
+    probes = (win.where(F.col("doc_id") % 97 == 0)
+                 .select("h").distinct()
+                 .withColumn("_hit", F.lit(1)))
+    corpus = win.where(F.col("doc_id") % 97 != 0)
+    return (corpus.join(F.broadcast(probes), "h", "left")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_windows"),
+                 F.sum(F.coalesce("_hit", F.lit(0))).alias("n_contaminated"))
+            .withColumn("contam_bp",
+                        F.expr("n_contaminated * 10000 DIV n_windows")))
+
+
+SQL_TEXT_DECONTAMINATION = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks
+             FROM documents WHERE len(string_split(text, ' ')) >= 8),
+pos AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS p
+        FROM tok),
+win AS (SELECT doc_id, md5(array_to_string(toks[p:p+7], ' ')) AS h FROM pos),
+probes AS (SELECT DISTINCT h FROM win WHERE doc_id % 97 = 0),
+corpus AS (SELECT doc_id, h FROM win WHERE doc_id % 97 != 0)
+SELECT c.doc_id,
+       COUNT(*) AS n_windows,
+       CAST(SUM(CASE WHEN p.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       CAST(SUM(CASE WHEN p.h IS NOT NULL THEN 1 ELSE 0 END) * 10000
+            // COUNT(*) AS BIGINT) AS contam_bp
+FROM corpus c LEFT JOIN probes p USING (h)
+GROUP BY c.doc_id
+"""
+
+
 # probe-set size above which broadcasting the probe table is wrong: the
 # broadcast must fit every executor (and spark.sql.autoBroadcastJoinThreshold
 # -class limits); past that the pairing routes through a sign-LSH bucket
@@ -3051,6 +3107,7 @@ REGISTRY = {
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     "text_top_terms": (q_text_top_terms, SQL_TEXT_TOP_TERMS),
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
+    "text_decontamination": (q_text_decontamination, SQL_TEXT_DECONTAMINATION),
     "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
     "mm_binary_meta": (q_mm_binary_meta, SQL_MM_BINARY_META),
     "mm_frame_sample": (q_mm_frame_sample, SQL_MM_FRAME_SAMPLE),

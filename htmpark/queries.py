@@ -1737,17 +1737,24 @@ _MH_P = 1000000007
 _MH_AB = [(97 + 61 * i, 17 + 89 * i) for i in range(_MH_PERMS)]
 
 
-def q_dedup_minhash_sig(spark, sf_dir):
-    """MinHash signatures over word-trigram shingles: one md5 per shingle
-    -> 60-bit int -> 16 affine permutations mod 1e9+7, integer minima.
-    Scale: explode is map-local (after _shingles' pre-explode repartition);
-    the groupBy shuffles (doc_id, 16x8B) with map-side partial min."""
-    sh = _shingles(t(spark, sf_dir, "documents"))
+def _minhash_sig_from(docs: DataFrame) -> DataFrame:
+    """MinHash signatures for an arbitrary (doc_id, text) DataFrame —
+    shared by the full-corpus signature query and the exact-collapsed
+    representative path."""
+    sh = _shingles(docs)
     h = (F.conv(F.substring(F.md5(F.col("shingle").cast("binary")), 1, 15), 16, 10)
          .cast("bigint") % _MH_P)
     aggs = [F.min((F.lit(a) * h + F.lit(b)) % _MH_P).alias(f"mh{i}")
             for i, (a, b) in enumerate(_MH_AB)]
     return sh.groupBy("doc_id").agg(*aggs)
+
+
+def q_dedup_minhash_sig(spark, sf_dir):
+    """MinHash signatures over word-trigram shingles: one md5 per shingle
+    -> 60-bit int -> 16 affine permutations mod 1e9+7, integer minima.
+    Scale: explode is map-local (after _shingles' pre-explode repartition);
+    the groupBy shuffles (doc_id, 16x8B) with map-side partial min."""
+    return _minhash_sig_from(t(spark, sf_dir, "documents"))
 
 
 _DUCK_MH_H = f"(('0x' || substr(md5(shingle), 1, 15))::BIGINT % {_MH_P})"
@@ -1761,14 +1768,9 @@ GROUP BY doc_id
 """
 
 
-def q_dedup_minhash_pairs(spark, sf_dir):
-    """LSH banding: 4 bands of 4 hashes; docs sharing a band value become
-    candidate pairs.  The join key is (band index | band hash) -> candidates
-    without any all-pairs comparison (the 10^12-scale near-dup path).  The
-    band index is part of the key so values never collide across band
-    positions.  The self-join's two sides share one physical signature
-    subtree (ReusedExchange; plan-asserted in tests)."""
-    sig = q_dedup_minhash_sig(spark, sf_dir)
+def _band_pairs(sig: DataFrame) -> DataFrame:
+    """Banding self-join over a signature DataFrame: docs sharing a band
+    value become candidate pairs (doc_a < doc_b)."""
     bands = [
         F.concat_ws("|", F.lit(str(bi)),
                     *[f"mh{bi * _MH_ROWS + j}" for j in range(_MH_ROWS)])
@@ -1783,6 +1785,61 @@ def q_dedup_minhash_pairs(spark, sf_dir):
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+def q_dedup_minhash_pairs(spark, sf_dir):
+    """LSH banding: 4 bands of 4 hashes; docs sharing a band value become
+    candidate pairs.  The join key is (band index | band hash) -> candidates
+    without any all-pairs comparison (the 10^12-scale near-dup path).  The
+    band index is part of the key so values never collide across band
+    positions.  The self-join's two sides share one physical signature
+    subtree (ReusedExchange; plan-asserted in tests).
+
+    Giant-cluster caveat: a bucket holding m IDENTICAL documents emits
+    m(m-1)/2 pairs — quadratic OUTPUT, which no shuffle tuning fixes (a
+    10^7-copy boilerplate page at web scale would emit 5*10^13 pairs).
+    This query's contract is the member-level pair list, so it keeps that
+    semantics; the CLUSTERING consumer avoids the blowup via
+    ``collapsed_dup_edges`` (exact-collapse first, band only the
+    representatives, linear member→rep edges) — same connected
+    components, output linear in corpus size."""
+    return _band_pairs(q_dedup_minhash_sig(spark, sf_dir))
+
+
+def collapsed_dup_edges(spark, sf_dir) -> DataFrame:
+    """Scale-safe edge set for duplicate CLUSTERING: collapse exact
+    duplicates first (md5 groupBy -> representative = min doc_id), run the
+    minhash banding only on representatives, and connect each member to
+    its representative with ONE edge.  A cluster of m identical documents
+    contributes m-1 edges instead of m(m-1)/2 banding pairs, while the
+    connected components are provably unchanged: identical texts have
+    identical signatures, so in the full pair graph every member links to
+    its representative anyway, and representative-level pairs are a subset
+    of the full pairs that preserves reachability between distinct texts.
+
+    Scale: the exact collapse is the dedup_exact shape (map-side-combine
+    md5 aggregate); the representative filter is an equi-join on doc_id;
+    everything downstream runs on DISTINCT texts only — the giant-cluster
+    quadratic output is gone by construction.
+
+    Vertex-set parity: docs shorter than the 3-word shingle width carry no
+    signature, so the full pair graph can never link them — the collapse
+    applies the SAME threshold before grouping, otherwise identical
+    sub-shingle docs would gain member edges the banding graph (and the
+    recursive-CTE oracle) cannot see.  (Caught by the randomized
+    differential suite on a corpus with duplicated 1-word docs.)"""
+    docs = (t(spark, sf_dir, "documents").select("doc_id", "text")
+            .where(F.size(F.split("text", " ")) >= 3))
+    keyed = docs.withColumn("_k", F.md5(F.col("text").cast("binary")))
+    reps = keyed.groupBy("_k").agg(F.min("doc_id").alias("rep"))
+    member_edges = (keyed.join(reps, "_k")
+                    .where(F.col("doc_id") != F.col("rep"))
+                    .select(F.col("rep").alias("doc_a"),
+                            F.col("doc_id").alias("doc_b")))
+    rep_docs = docs.join(
+        reps.select(F.col("rep").alias("doc_id")), "doc_id")
+    rep_pairs = _band_pairs(_minhash_sig_from(rep_docs))
+    return rep_pairs.union(member_edges)
 
 
 _DUCK_BANDS = ", ".join(
@@ -1859,6 +1916,7 @@ def _no_aqe(spark):
 # cluster assignments are memoized the same way: the curation capstone and
 # any repeated dedup query reuse one CC fixpoint per (session, sf_dir)
 _CLUSTERS_CACHE: dict = {}
+_EDGES_CACHE: dict = {}
 
 
 def _evict_stale(cache: dict) -> None:
@@ -1872,7 +1930,7 @@ def _evict_stale(cache: dict) -> None:
 
 
 def clear_candidate_pairs_cache() -> None:
-    for cache in (_PAIRS_CACHE, _CLUSTERS_CACHE):
+    for cache in (_PAIRS_CACHE, _CLUSTERS_CACHE, _EDGES_CACHE):
         for df in cache.values():
             try:
                 df.unpersist()
@@ -1914,7 +1972,18 @@ def q_dedup_clusters(spark, sf_dir, pairs: DataFrame | None = None):
         cached = _CLUSTERS_CACHE.get((id(spark), sf_dir))
         if cached is not None:
             return cached
-        pairs = candidate_pairs(spark, sf_dir)
+        # default edge set = exact-collapsed (member->rep + rep-level
+        # banding pairs): identical components to the full pair graph,
+        # but a cluster of m identical docs costs m-1 edges, not m^2/2
+        # (see collapsed_dup_edges) — the giant-boilerplate-cluster
+        # scale hazard never reaches the fixpoint loop
+        _evict_stale(_EDGES_CACHE)
+        key = (id(spark), sf_dir)
+        pairs = _EDGES_CACHE.get(key)
+        if pairs is None:
+            pairs = collapsed_dup_edges(spark, sf_dir).persist()
+            pairs.count()  # materialize WITH AQE, before the _no_aqe loop
+            _EDGES_CACHE[key] = pairs
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     verts = (fwd.select("src")
              .union(fwd.select(F.col("dst").alias("src"))).distinct())

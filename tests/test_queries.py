@@ -604,3 +604,20 @@ def test_corpus_heading_constants_match_live_parse():
         live = headings_of(page.replace("{i}", "4242"))
         assert [(n, t.replace("{i}", "4242"))
                 for n, t in want.get(f, [])] == live
+
+
+def test_clusters_collapsed_edges_equal_full_pairs(spark):
+    """The exact-collapse edge set must yield IDENTICAL connected
+    components to the full member-level pair graph (identical texts share
+    signatures, so member->rep reachability already exists there)."""
+    from htmpark.queries import (candidate_pairs,
+                                 clear_candidate_pairs_cache,
+                                 q_dedup_clusters)
+
+    via_collapse = {(r.doc_id, r.cluster_id)
+                    for r in q_dedup_clusters(spark, SF).collect()}
+    via_full = {(r.doc_id, r.cluster_id)
+                for r in q_dedup_clusters(
+                    spark, SF, pairs=candidate_pairs(spark, SF)).collect()}
+    assert via_collapse == via_full
+    clear_candidate_pairs_cache()

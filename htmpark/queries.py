@@ -2487,7 +2487,12 @@ def q_sim_lsh_buckets(spark, sf_dir, n_bits: int = _LSH_BITS):
     """Sign-LSH scale path: bucket on the sign pattern of the first n_bits
     dims (see _LSH_BITS for the bucket-size-vs-n rule), compare only within
     buckets — an equi-join on the bucket key, no cross join.  Sign
-    comparison is float-free (>= 0), engine-exact."""
+    comparison is float-free (>= 0), engine-exact.
+
+    Same giant-cluster caveat as minhash banding: m IDENTICAL vectors
+    share every bucket and emit m(m-1)/2 pairs — collapse exact-duplicate
+    vectors to a representative first (the collapsed_dup_edges pattern on
+    a vector hash) before any bucket self-join at web scale."""
     e = t(spark, sf_dir, "embeddings")
     eb = e.select("vec_id", "embedding",
                   _lsh_bucket_expr(F.col("embedding"), n_bits).alias("bucket"))

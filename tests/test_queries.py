@@ -125,7 +125,7 @@ def test_explode_queries_repartition_before_expansion(spark):
     """Row-expanding stages must re-parallelize BEFORE the explode: the
     repartition exchange has to sit below the Generate in the plan tree."""
     for name in ("dedup_minhash_sig", "dedup_simhash", "dedup_substring",
-                 "text_repetition"):
+                 "text_repetition", "text_decontamination"):
         fn, _ = REGISTRY[name]
         plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
         gen = plan.index("Generate explode")

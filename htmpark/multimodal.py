@@ -95,3 +95,74 @@ def image_meta_stage(df: DataFrame, payload_col: str = "payload",
         + ["mime string", "height int", "width int", "pix_checksum int"]
     )
     return df.mapInPandas(run, schema)
+
+
+def resize_stage(df: DataFrame, target_h: int = 224, target_w: int = 224,
+                 payload_col: str = "payload", fake: bool = True) -> DataFrame:
+    """mapInPandas stage: decode -> resize to (target_h, target_w).
+
+    Real plumbing (Arrow batches, fixed output schema, stateless map — at
+    100 TB this fuses with the scan and never shuffles); the pixel work is
+    the deterministic fake (resized checksum = stride-sampled byte sum),
+    since no imaging library exists in this container.  The aspect-ratio
+    metadata (scale numerator/denominator as exact ints) is the part a
+    real resizer would also emit."""
+    import pandas as pd
+
+    other = [c for c in df.columns if c != payload_col]
+
+    def run(batches):
+        for pdf in batches:
+            pays = [bytes(p) for p in pdf[payload_col]]
+            metas = [decode_image(p, fake=fake) for p in pays]
+            stride = [max(1, m["height"] * m["width"] // (target_h * target_w))
+                      for m in metas]
+            out = {c: pdf[c] for c in other}
+            out["rh"] = pd.array([target_h] * len(pays), dtype="int32")
+            out["rw"] = pd.array([target_w] * len(pays), dtype="int32")
+            out["scale_num"] = pd.array([m["height"] for m in metas], dtype="int32")
+            out["scale_den"] = pd.array([target_h] * len(pays), dtype="int32")
+            out["resized_checksum"] = pd.array(
+                [sum(p[::s]) % 65536 for p, s in zip(pays, stride)],
+                dtype="int32")
+            yield pd.DataFrame(out)
+
+    schema = ", ".join(
+        [f"{c} {dict(df.dtypes)[c]}" for c in other]
+        + ["rh int", "rw int", "scale_num int", "scale_den int",
+           "resized_checksum int"])
+    return df.mapInPandas(run, schema)
+
+
+def feature_stage(df: DataFrame, n_buckets: int = 8,
+                  payload_col: str = "payload", fake: bool = True) -> DataFrame:
+    """mapInPandas stage: payload -> fixed-dim feature vector
+    (``array<int>`` byte-histogram buckets as the deterministic fake of an
+    embedding model).  The schema/batch shape is exactly what a real
+    encoder stage emits (fixed-width vector per row, stateless map); swap
+    the fake for a model call and nothing else changes.  Integer features
+    keep any downstream comparison engine-exact."""
+    import pandas as pd
+
+    if not fake:
+        raise NotImplementedError(
+            "feature extraction requires a vision/audio model (not in "
+            "container); pass fake=True for the deterministic histogram")
+    other = [c for c in df.columns if c != payload_col]
+
+    def run(batches):
+        for pdf in batches:
+            feats = []
+            for p in pdf[payload_col]:
+                p = bytes(p)
+                h = [0] * n_buckets
+                for b in p:
+                    h[b * n_buckets // 256] += 1
+                feats.append(h)
+            out = {c: pdf[c] for c in other}
+            out["features"] = feats
+            yield pd.DataFrame(out)
+
+    schema = ", ".join([f"{c} {dict(df.dtypes)[c]}" for c in other]
+                       + ["features array<int>"])
+    return df.mapInPandas(run, schema)

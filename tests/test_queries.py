@@ -621,3 +621,29 @@ def test_clusters_collapsed_edges_equal_full_pairs(spark):
                     spark, SF, pairs=candidate_pairs(spark, SF)).collect()}
     assert via_collapse == via_full
     clear_candidate_pairs_cache()
+
+
+def test_multimodal_resize_and_feature_stages(spark):
+    """Resize + feature-extract plumbing: fixed output schema, stateless
+    per-row determinism across partitionings, stub raises without fake."""
+    from htmpark import multimodal as mm
+
+    df = spark.range(40).select(
+        F.col("id"),
+        F.encode(F.concat(F.lit("payload-bytes-"), F.col("id")), "UTF-8")
+         .alias("payload"))
+    r1 = {r.id: (r.rh, r.rw, r.scale_num, r.scale_den, r.resized_checksum)
+          for r in mm.resize_stage(df).collect()}
+    r2 = {r.id: (r.rh, r.rw, r.scale_num, r.scale_den, r.resized_checksum)
+          for r in mm.resize_stage(df.repartition(7)).collect()}
+    assert r1 == r2 and len(r1) == 40
+    assert all(v[0] == 224 and v[1] == 224 for v in r1.values())
+
+    f1 = {r.id: tuple(r.features) for r in mm.feature_stage(df).collect()}
+    assert len(f1) == 40
+    for i, feats in f1.items():
+        assert len(feats) == 8
+        assert sum(feats) == len(f"payload-bytes-{i}".encode())
+
+    with pytest.raises(NotImplementedError):
+        mm.feature_stage(df, fake=False)

@@ -2207,6 +2207,22 @@ WHERE n_common >= 1
 """
 
 
+def _token_windows(spark, sf_dir, w: int) -> DataFrame:
+    """(doc_id, h) rows: md5 of every w-token window, built array-local
+    (transform over sequence + slice — the token array is never duplicated
+    per position), filtered + pruned BEFORE the pre-explode repartition.
+    Shared by dedup_substring and text_decontamination."""
+    d = (t(spark, sf_dir, "documents")
+         .select("doc_id", F.split("text", " ").alias("w"))
+         .where(F.size("w") >= w)
+         .repartition(spark.sparkContext.defaultParallelism))
+    return d.select(
+        "doc_id",
+        F.explode(F.expr(
+            f"transform(sequence(1, size(w) - {w} + 1), "
+            f"i -> md5(array_join(slice(w, i, {w}), ' ')))")).alias("h"))
+
+
 def q_dedup_substring(spark, sf_dir, w: int = 8):
     """Exact substring-window dedup (the shape of Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better"): every
@@ -2227,18 +2243,7 @@ def q_dedup_substring(spark, sf_dir, w: int = 8):
     partial-aggregated shuffle on doc_id.  No task ever holds more than
     one doc's token array — every stage survives 10^12 docs.  Docs
     shorter than w tokens are skipped (no window exists)."""
-    d = t(spark, sf_dir, "documents")
-    # prune + filter BEFORE the repartition: the exchange moves only
-    # (doc_id, text) of qualifying docs, never rows the filter drops
-    d = (d.select("doc_id", "text")
-          .where(F.size(F.split("text", " ")) >= w)
-          .repartition(spark.sparkContext.defaultParallelism))
-    toks = d.select("doc_id", F.split("text", " ").alias("w"))
-    win = toks.select(
-        "doc_id",
-        F.explode(F.expr(
-            f"transform(sequence(1, size(w) - {w} + 1), "
-            f"i -> md5(array_join(slice(w, i, {w}), ' ')))")).alias("h"))
+    win = _token_windows(spark, sf_dir, w)
     owners = win.groupBy("h").agg(F.min("doc_id").alias("own_doc"))
     dup = F.when(F.col("own_doc") < F.col("doc_id"), 1).otherwise(0)
     return (win.join(owners, "h")
@@ -2282,15 +2287,7 @@ def q_text_decontamination(spark, sf_dir, w: int = 8):
     pre-aggregated to distinct hashes).  Corpus side reuses the
     dedup_substring window build: array-local hashes, pre-explode
     repartition, fixed-width strings explode — never token arrays."""
-    d = t(spark, sf_dir, "documents")
-    d = (d.select("doc_id", F.split("text", " ").alias("toks"))
-          .where(F.size("toks") >= w)
-          .repartition(spark.sparkContext.defaultParallelism))
-    win = d.select(
-        "doc_id",
-        F.explode(F.expr(
-            f"transform(sequence(1, size(toks) - {w} + 1), "
-            f"i -> md5(array_join(slice(toks, i, {w}), ' ')))")).alias("h"))
+    win = _token_windows(spark, sf_dir, w)
     probes = (win.where(F.col("doc_id") % 97 == 0)
                  .select("h").distinct()
                  .withColumn("_hit", F.lit(1)))

@@ -315,7 +315,9 @@ def read_table(spark: SparkSession, path: str, fmt: str = "parquet",
     r = spark.read.format(fmt)
     if schema is not None:
         r = r.schema(schema)
-    elif fmt in ("json", "csv"):
+    elif fmt == "csv":
+        # csv-only option; the JSON reader always infers when no schema
+        # is given, so setting it there would be a silent no-op
         r = r.option("inferSchema", True)
     if fmt == "csv":
         r = r.option("header", True).option("escape", '"')

@@ -57,6 +57,13 @@ def _duck_cos(av: str, bv: str) -> str:
     return f"({dot} / (sqrt({na}) * sqrt({nb})))"
 
 
+# shingle width in words: documents shorter than this carry NO shingles
+# (hence no minhash signature, no banding pair) — collapsed_dup_edges MUST
+# apply the same threshold or its member edges gain vertices the pair graph
+# (and the recursive-CTE oracle) cannot see
+_SHINGLE_W = 3
+
+
 # word-trigram shingles, exploded: (doc_id, shingle)
 def _shingles(df: DataFrame) -> DataFrame:
     """Re-parallelize BEFORE the row-expanding explode: documents often
@@ -69,21 +76,20 @@ def _shingles(df: DataFrame) -> DataFrame:
     df = df.repartition(par)
     words = F.split(F.col("text"), " ")
     n = F.size(words)
-    idx = F.sequence(F.lit(0), n - 3)
+    idx = F.sequence(F.lit(0), n - _SHINGLE_W)
     sh = F.transform(idx, lambda i: F.concat_ws(
-        " ", F.element_at(words, i + 1), F.element_at(words, i + 2),
-        F.element_at(words, i + 3)))
-    return (df.where(n >= 3)
+        " ", *[F.element_at(words, i + j + 1) for j in range(_SHINGLE_W)]))
+    return (df.where(n >= _SHINGLE_W)
               .select("doc_id", F.explode(sh).alias("shingle")))
 
 
-_DUCK_SHINGLES = """
+_DUCK_SHINGLES = f"""
   SELECT doc_id, unnest([
-      array_to_string(words[i+1:i+3], ' ')
-      for i in range(0, len(words) - 2)
+      array_to_string(words[i+1:i+{_SHINGLE_W}], ' ')
+      for i in range(0, len(words) - {_SHINGLE_W - 1})
   ]) AS shingle
   FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
-  WHERE len(words) >= 3
+  WHERE len(words) >= {_SHINGLE_W}
 """
 
 # fixed HTML wrappers for the parse queries (no specials in documents.text,
@@ -808,25 +814,12 @@ def two_phase_group_median(v: DataFrame, group_col: str, value_col: str,
     temporaries are all underscore-prefixed so caller columns named
     'median' or 'n' never collide mid-plan (they are only introduced by
     the final aliasing select)."""
-    from pyspark.sql.window import Window
-
-    g, val, tb = group_col, value_col, tiebreak_col
-    v = v.withColumn("_bkt", F.expr(f"{val} div {bucket_width}"))
-    hist = v.groupBy(g, "_bkt").agg(F.count("*").alias("_c"))
-    wc = Window.partitionBy(g).orderBy("_bkt")
-    cum = (hist.withColumn("_hi", F.sum("_c").over(wc))
-               .withColumn("_below", F.col("_hi") - F.col("_c")))
-    nk = (v.groupBy(g).agg(F.count("*").alias("_n"))
-           .withColumn("_k", F.expr("(_n + 1) div 2")))
-    target = (cum.join(F.broadcast(nk), g)
-              .where((F.col("_below") < F.col("_k"))
-                     & (F.col("_k") <= F.col("_hi")))
-              .select(g, "_bkt", "_below", "_k", "_n"))
-    cand = v.join(F.broadcast(target), [g, "_bkt"])
-    w2 = Window.partitionBy(g).orderBy(val, tb)
-    return (cand.withColumn("_rn", F.row_number().over(w2))
-            .where(F.col("_rn") == F.col("_k") - F.col("_below"))
-            .select(g, F.col(val).alias("median"), F.col("_n").alias("n")))
+    # median rank (n+1) div 2 == the p=50 quantile rank (n*50+99) div 100
+    # (both are ceil(n/2)), so the median IS the single-percentile case —
+    # one implementation, no hand-mirrored twin to drift
+    qs = two_phase_group_quantiles(v, group_col, value_col, tiebreak_col,
+                                   ps=(50,), bucket_width=bucket_width)
+    return qs.select(group_col, F.col("quantile").alias("median"), "n")
 
 
 def two_phase_group_quantiles(v: DataFrame, group_col: str, value_col: str,
@@ -848,19 +841,22 @@ def two_phase_group_quantiles(v: DataFrame, group_col: str, value_col: str,
     wc = Window.partitionBy(g).orderBy("_bkt")
     cum = (hist.withColumn("_hi", F.sum("_c").over(wc))
                .withColumn("_below", F.col("_hi") - F.col("_c")))
+    # mid-plan temporaries stay underscore-prefixed (same contract as the
+    # median: caller columns named 'p'/'quantile'/'n' must never collide)
     nk = (v.groupBy(g).agg(F.count("*").alias("_n"))
            .select(g, "_n",
-                   F.explode(F.array(*[F.lit(p) for p in ps])).alias("p"))
-           .withColumn("_k", F.expr("(_n * p + 99) div 100")))
+                   F.explode(F.array(*[F.lit(p) for p in ps])).alias("_p"))
+           .withColumn("_k", F.expr("(_n * _p + 99) div 100")))
     target = (cum.join(F.broadcast(nk), g)
               .where((F.col("_below") < F.col("_k"))
                      & (F.col("_k") <= F.col("_hi")))
-              .select(g, "p", "_bkt", "_below", "_k", "_n"))
+              .select(g, "_p", "_bkt", "_below", "_k", "_n"))
     cand = v.join(F.broadcast(target), [g, "_bkt"])
-    w2 = Window.partitionBy(g, "p").orderBy(val, tb)
+    w2 = Window.partitionBy(g, "_p").orderBy(val, tb)
     return (cand.withColumn("_rn", F.row_number().over(w2))
             .where(F.col("_rn") == F.col("_k") - F.col("_below"))
-            .select(g, "p", F.col(val).alias("quantile"),
+            .select(g, F.col("_p").alias("p"),
+                    F.col(val).alias("quantile"),
                     F.col("_n").alias("n")))
 
 
@@ -1829,7 +1825,7 @@ def collapsed_dup_edges(spark, sf_dir) -> DataFrame:
     recursive-CTE oracle) cannot see.  (Caught by the randomized
     differential suite on a corpus with duplicated 1-word docs.)"""
     docs = (t(spark, sf_dir, "documents").select("doc_id", "text")
-            .where(F.size(F.split("text", " ")) >= 3))
+            .where(F.size(F.split("text", " ")) >= _SHINGLE_W))
     keyed = docs.withColumn("_k", F.md5(F.col("text").cast("binary")))
     reps = keyed.groupBy("_k").agg(F.min("doc_id").alias("rep"))
     member_edges = (keyed.join(reps, "_k")
@@ -2223,7 +2219,12 @@ def _token_windows(spark, sf_dir, w: int) -> DataFrame:
             f"i -> md5(array_join(slice(w, i, {w}), ' ')))")).alias("h"))
 
 
-def q_dedup_substring(spark, sf_dir, w: int = 8):
+# default window width for substring-level ops; the oracle SQLs below are
+# DERIVED from this constant so the two sides cannot drift
+_SUBSTR_W = 8
+
+
+def q_dedup_substring(spark, sf_dir, w: int = _SUBSTR_W):
     """Exact substring-window dedup (the shape of Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better"): every
     w-token window of every document is hashed; a window occurrence is a
@@ -2254,11 +2255,13 @@ def q_dedup_substring(spark, sf_dir, w: int = 8):
                            F.expr("n_dup_windows * 10000 DIV n_windows")))
 
 
-SQL_DEDUP_SUBSTRING = """
+SQL_DEDUP_SUBSTRING = f"""
 WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-pos AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 8 + 1)) AS p
-        FROM tok WHERE len(w) >= 8),
-win AS (SELECT doc_id, md5(array_to_string(w[p:p+7], ' ')) AS h FROM pos),
+pos AS (SELECT doc_id, w,
+        unnest(generate_series(1, len(w) - {_SUBSTR_W} + 1)) AS p
+        FROM tok WHERE len(w) >= {_SUBSTR_W}),
+win AS (SELECT doc_id, md5(array_to_string(w[p:p+{_SUBSTR_W - 1}], ' ')) AS h
+        FROM pos),
 own AS (SELECT h, min(doc_id) AS own_doc FROM win GROUP BY h)
 SELECT doc_id,
        COUNT(*) AS n_windows,
@@ -2271,7 +2274,8 @@ GROUP BY doc_id
 """
 
 
-def q_text_decontamination(spark, sf_dir, w: int = 8):
+def q_text_decontamination(spark, sf_dir, w: int = _SUBSTR_W,
+                           broadcast_probes: bool = True):
     """Eval-set DECONTAMINATION (the GPT-3/Llama-report shape): for every
     training candidate, the fraction of its w-token windows that appear
     anywhere in a benchmark probe set (doc_id % 97 == 0 as the
@@ -2282,9 +2286,11 @@ def q_text_decontamination(spark, sf_dir, w: int = 8):
 
     Scale: probe windows are DISTINCT window hashes of the (small) probe
     set — broadcast into a left semi-ish join (a left join + flag keeps
-    the per-doc totals in one pass).  At a probe set too big to broadcast
-    the same join hash-partitions on the window hash (both sides
-    pre-aggregated to distinct hashes).  Corpus side reuses the
+    the per-doc totals in one pass).  ``broadcast_probes=False`` drops the
+    hint for a probe set too big to broadcast — the join then
+    hash-partitions on the window hash (both sides pre-aggregated to
+    distinct hashes); same caller-declared crossover contract as
+    dedup_embedding_cosine's hints.  Corpus side reuses the
     dedup_substring window build: array-local hashes, pre-explode
     repartition, fixed-width strings explode — never token arrays."""
     win = _token_windows(spark, sf_dir, w)
@@ -2292,7 +2298,9 @@ def q_text_decontamination(spark, sf_dir, w: int = 8):
                  .select("h").distinct()
                  .withColumn("_hit", F.lit(1)))
     corpus = win.where(F.col("doc_id") % 97 != 0)
-    return (corpus.join(F.broadcast(probes), "h", "left")
+    if broadcast_probes:
+        probes = F.broadcast(probes)
+    return (corpus.join(probes, "h", "left")
             .groupBy("doc_id")
             .agg(F.count("*").alias("n_windows"),
                  F.sum(F.coalesce("_hit", F.lit(0))).alias("n_contaminated"))
@@ -2300,12 +2308,15 @@ def q_text_decontamination(spark, sf_dir, w: int = 8):
                         F.expr("n_contaminated * 10000 DIV n_windows")))
 
 
-SQL_TEXT_DECONTAMINATION = """
+SQL_TEXT_DECONTAMINATION = f"""
 WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks
-             FROM documents WHERE len(string_split(text, ' ')) >= 8),
-pos AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS p
+             FROM documents
+             WHERE len(string_split(text, ' ')) >= {_SUBSTR_W}),
+pos AS (SELECT doc_id, toks,
+        unnest(generate_series(1, len(toks) - {_SUBSTR_W - 1})) AS p
         FROM tok),
-win AS (SELECT doc_id, md5(array_to_string(toks[p:p+7], ' ')) AS h FROM pos),
+win AS (SELECT doc_id, md5(array_to_string(toks[p:p+{_SUBSTR_W - 1}], ' '))
+          AS h FROM pos),
 probes AS (SELECT DISTINCT h FROM win WHERE doc_id % 97 = 0),
 corpus AS (SELECT doc_id, h FROM win WHERE doc_id % 97 != 0)
 SELECT c.doc_id,

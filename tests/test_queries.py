@@ -647,3 +647,31 @@ def test_multimodal_resize_and_feature_stages(spark):
 
     with pytest.raises(NotImplementedError):
         mm.feature_stage(df, fake=False)
+
+
+def test_quantiles_caller_column_collision(spark):
+    """Library contract: inputs already carrying 'p'/'quantile'/'n'
+    columns must not collide with internals (review finding — the mid-plan
+    percentile column is now underscore-prefixed like every temporary)."""
+    from htmpark.queries import two_phase_group_quantiles
+
+    df = spark.createDataFrame(
+        [(0, 5, 1, 99), (0, 9, 2, 98), (1, 7, 3, 97)],
+        "g int, v long, tb long, p long")
+    rows = two_phase_group_quantiles(df, "g", "v", "tb",
+                                     ps=(50,), bucket_width=4).collect()
+    got = {(r.g, r.p): r.quantile for r in rows}
+    assert got == {(0, 50): 5, (1, 50): 7}
+
+
+def test_decontamination_unbroadcast_regime(spark):
+    """broadcast_probes=False must produce identical results through the
+    hash-partitioned join (the too-big-to-broadcast crossover)."""
+    from htmpark.queries import q_text_decontamination
+
+    a = {(r.doc_id, r.n_windows, r.n_contaminated, r.contam_bp)
+         for r in q_text_decontamination(spark, SF).collect()}
+    b = {(r.doc_id, r.n_windows, r.n_contaminated, r.contam_bp)
+         for r in q_text_decontamination(
+             spark, SF, broadcast_probes=False).collect()}
+    assert a == b and a

@@ -1802,7 +1802,8 @@ def q_dedup_minhash_pairs(spark, sf_dir):
     return _band_pairs(q_dedup_minhash_sig(spark, sf_dir))
 
 
-def collapsed_dup_edges(spark, sf_dir) -> DataFrame:
+def collapsed_dup_edges(spark, sf_dir,
+                        pairs: DataFrame | None = None) -> DataFrame:
     """Scale-safe edge set for duplicate CLUSTERING: collapse exact
     duplicates first (md5 groupBy -> representative = min doc_id), run the
     minhash banding only on representatives, and connect each member to
@@ -1818,12 +1819,21 @@ def collapsed_dup_edges(spark, sf_dir) -> DataFrame:
     everything downstream runs on DISTINCT texts only — the giant-cluster
     quadratic output is gone by construction.
 
-    Vertex-set parity: docs shorter than the 3-word shingle width carry no
-    signature, so the full pair graph can never link them — the collapse
-    applies the SAME threshold before grouping, otherwise identical
-    sub-shingle docs would gain member edges the banding graph (and the
-    recursive-CTE oracle) cannot see.  (Caught by the randomized
-    differential suite on a corpus with duplicated 1-word docs.)"""
+    Vertex-set parity: docs shorter than the _SHINGLE_W-word shingle width
+    carry no signature, so the full pair graph can never link them — the
+    collapse applies the SAME threshold before grouping, otherwise
+    identical sub-shingle docs would gain member edges the banding graph
+    (and the recursive-CTE oracle) cannot see.  (Caught by the randomized
+    differential suite on a corpus with duplicated 1-word docs.)
+
+    ``pairs``: when the member-level pair table is ALREADY materialized
+    (the per-session memo other consumers paid for), rep-level pairs are
+    derived by semi-filtering both endpoints to representatives — equal to
+    re-banding the reps (identical docs have identical signatures, so a
+    rep–rep band match exists in the full graph iff it exists among reps)
+    without building a second signature DAG.  Only do this with an
+    already-paid-for pair table: computing full pairs JUST for this is the
+    quadratic hazard the collapse exists to avoid."""
     docs = (t(spark, sf_dir, "documents").select("doc_id", "text")
             .where(F.size(F.split("text", " ")) >= _SHINGLE_W))
     keyed = docs.withColumn("_k", F.md5(F.col("text").cast("binary")))
@@ -1832,9 +1842,17 @@ def collapsed_dup_edges(spark, sf_dir) -> DataFrame:
                     .where(F.col("doc_id") != F.col("rep"))
                     .select(F.col("rep").alias("doc_a"),
                             F.col("doc_id").alias("doc_b")))
-    rep_docs = docs.join(
-        reps.select(F.col("rep").alias("doc_id")), "doc_id")
-    rep_pairs = _band_pairs(_minhash_sig_from(rep_docs))
+    rep_ids = reps.select(F.col("rep").alias("doc_id"))
+    if pairs is not None:
+        rep_pairs = (pairs
+                     .join(rep_ids.withColumnRenamed("doc_id", "doc_a"),
+                           "doc_a", "left_semi")
+                     .join(rep_ids.withColumnRenamed("doc_id", "doc_b"),
+                           "doc_b", "left_semi")
+                     .select("doc_a", "doc_b"))
+    else:
+        rep_docs = docs.join(rep_ids, "doc_id")
+        rep_pairs = _band_pairs(_minhash_sig_from(rep_docs))
     return rep_pairs.union(member_edges)
 
 
@@ -1977,7 +1995,11 @@ def q_dedup_clusters(spark, sf_dir, pairs: DataFrame | None = None):
         key = (id(spark), sf_dir)
         pairs = _EDGES_CACHE.get(key)
         if pairs is None:
-            pairs = collapsed_dup_edges(spark, sf_dir).persist()
+            # reuse the member-level pair memo IF another consumer already
+            # paid for it (rep-level semi-filter == re-banding the reps);
+            # never build full pairs just for this
+            paid = _PAIRS_CACHE.get(key)
+            pairs = collapsed_dup_edges(spark, sf_dir, pairs=paid).persist()
             pairs.count()  # materialize WITH AQE, before the _no_aqe loop
             _EDGES_CACHE[key] = pairs
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))

@@ -254,18 +254,23 @@ def test_two_phase_median_property(spark):
 
 def test_clusters_memoized_per_session(spark):
     """Default-path cluster assignment is computed once per (session,
-    sf_dir): the second call returns the identical DataFrame object, and
-    an injected-pairs call bypasses the memo."""
+    sf_dir): the memo pins ONE persisted label node, the second call's
+    projection reads its cached blocks, and an injected-pairs call
+    bypasses the memo."""
+    from htmpark import queries as qm
     from htmpark.queries import (clear_candidate_pairs_cache,
                                  q_dedup_clusters, q_dedup_minhash_pairs)
 
     clear_candidate_pairs_cache()
     a = q_dedup_clusters(spark, SF)
+    node1 = qm._CLUSTERS_CACHE[(id(spark), SF)]
     b = q_dedup_clusters(spark, SF)
-    assert a is b
+    assert qm._CLUSTERS_CACHE[(id(spark), SF)] is node1  # fixpoint ran once
+    assert "InMemoryTableScan" in \
+        b._jdf.queryExecution().executedPlan().toString()
     injected = q_dedup_clusters(spark, SF,
                                 pairs=q_dedup_minhash_pairs(spark, SF))
-    assert injected is not a
+    assert qm._CLUSTERS_CACHE[(id(spark), SF)] is node1
     assert ({(r.doc_id, r.cluster_id) for r in injected.collect()}
             == {(r.doc_id, r.cluster_id) for r in a.collect()})
     clear_candidate_pairs_cache()
@@ -675,3 +680,123 @@ def test_decontamination_unbroadcast_regime(spark):
          for r in q_text_decontamination(
              spark, SF, broadcast_probes=False).collect()}
     assert a == b and a
+
+
+def test_lsh_bits_derivation():
+    """Sign-LSH bit width is DERIVED from the footer row count: the floor
+    (= the static oracle's width) at every gate scale, the log2 rule above
+    it, capped at the embedding dimensionality."""
+    from htmpark.queries import _LSH_BITS, _LSH_MAX_BITS, _derive_lsh_bits
+
+    assert _derive_lsh_bits(None) == _LSH_BITS
+    for gate_n in (500, 2000, 5000, 500_000):
+        assert _derive_lsh_bits(gate_n) == _LSH_BITS
+    assert _derive_lsh_bits(10**12) == 37  # ceil(log2(1e12 / 8))
+    assert _derive_lsh_bits(10**30) == _LSH_MAX_BITS
+
+
+def test_lsh_collapse_equality_and_linear_output(spark, tmp_path):
+    """collapse=True must be row-identical on a duplicate-free corpus and
+    emit LINEAR (m-1) output on an m-copy vector cluster where the raw
+    self-join emits m(m-1)/2 — with identical connected components."""
+    from htmpark.queries import q_sim_lsh_buckets
+
+    rows = lambda df: {(r.vec_a, r.vec_b, r.cos_e4) for r in df.collect()}
+    assert rows(q_sim_lsh_buckets(spark, SF)) == \
+        rows(q_sim_lsh_buckets(spark, SF, collapse=False))
+
+    # m identical vectors + two singletons, staged as a parquet corpus
+    m = 200
+    dup = [1.0] * 64
+    vecs = [(i, dup) for i in range(m)]
+    vecs.append((m, [1.0] * 32 + [-1.0] * 32))
+    vecs.append((m + 1, [-1.0] * 64))
+    spark.createDataFrame(vecs, "vec_id long, embedding array<float>") \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(str(tmp_path / "embeddings.parquet"))
+
+    collapsed = rows(q_sim_lsh_buckets(spark, str(tmp_path)))
+    full = rows(q_sim_lsh_buckets(spark, str(tmp_path), collapse=False))
+    assert len(collapsed) == m - 1          # one member->rep edge each
+    assert len(full) == m * (m - 1) // 2    # the quadratic hazard
+
+    def components(pairs, n):
+        lbl = list(range(n))
+
+        def find(x):
+            while lbl[x] != x:
+                lbl[x] = lbl[lbl[x]]
+                x = lbl[x]
+            return x
+
+        for a, b, _ in pairs:
+            ra, rb = find(a), find(b)
+            lbl[max(ra, rb)] = min(ra, rb)
+        return [find(i) for i in range(n)]
+
+    assert components(collapsed, m + 2) == components(full, m + 2)
+
+
+def test_probe_regime_is_self_derived(spark):
+    """With NO caller hint, the probe queries size their probe set from the
+    parquet footer (%-100 rule): at gate scale that stays broadcast, and a
+    crossover below the derived count must flip the SAME hint-free call to
+    the bucketed plan — the decision lives in the query."""
+    from htmpark.queries import q_dedup_embedding_cosine, q_sim_topk_bruteforce
+
+    for fn in (q_dedup_embedding_cosine, q_sim_topk_bruteforce):
+        dflt = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in dflt
+        # sf0.001 derives probe_count = 500 // 100 = 5 > 3: bucketed, no hint
+        flipped = fn(spark, SF, max_broadcast_probes=3) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in flipped
+        assert "CartesianProduct" not in flipped
+
+
+def test_stream_parts_guards_non_numeric_conf():
+    """A deployment that sets spark.sql.shuffle.partitions=auto (vanilla
+    Spark rejects conf.set("auto") but managed runtimes inject it at
+    session build) must not crash the gate stream queries: the scoped
+    clamp is skipped, nothing is written back."""
+    from htmpark.queries import _stream_parts
+
+    class FakeConf:
+        def __init__(self):
+            self.value = "auto"
+            self.writes = []
+
+        def get(self, key):
+            return self.value
+
+        def set(self, key, value):
+            self.writes.append(value)
+            self.value = value
+
+    class FakeSpark:
+        conf = FakeConf()
+
+    fs = FakeSpark()
+    with _stream_parts(fs):
+        assert fs.conf.value == "auto"
+    assert fs.conf.value == "auto" and fs.conf.writes == []
+
+
+def test_session_cache_teardown_frees_real_nodes(spark, tmp_path):
+    """The clusters memo must hold the PERSISTED node itself (unpersist
+    frees actual blocks), and stream sink dirs queue for teardown."""
+    from htmpark import queries as qm
+
+    qm.clear_candidate_pairs_cache()
+    qm.q_dedup_clusters(spark, SF)
+    key = (id(spark), SF)
+    cached = qm._CLUSTERS_CACHE[key]
+    assert cached.storageLevel.useMemory  # the node unpersist() acts on
+
+    fake = tmp_path / "dead_sink"
+    fake.mkdir()
+    qm._STREAM_SINK_DIRS.append(str(fake))
+    qm.clear_candidate_pairs_cache()
+    assert not fake.exists()
+    assert not qm._STREAM_SINK_DIRS
+    assert not qm._CLUSTERS_CACHE and not qm._PAIRS_CACHE

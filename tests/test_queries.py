@@ -800,3 +800,51 @@ def test_session_cache_teardown_frees_real_nodes(spark, tmp_path):
     assert not fake.exists()
     assert not qm._STREAM_SINK_DIRS
     assert not qm._CLUSTERS_CACHE and not qm._PAIRS_CACHE
+
+
+def test_cc_star_variant_matches_label_prop(spark):
+    """Large-star/small-star CC must produce identical components to the
+    label-propagation default — on the gate corpus, on a 100-deep chain
+    (the graph shape it exists for), and on seeded random graphs checked
+    against a python union-find."""
+    import random
+
+    from htmpark.queries import (cc_star_labels, clear_candidate_pairs_cache,
+                                 q_dedup_clusters)
+
+    a = {(r.doc_id, r.cluster_id)
+         for r in q_dedup_clusters(spark, SF).collect()}  # default = star
+    b = {(r.doc_id, r.cluster_id)
+         for r in q_dedup_clusters(spark, SF, star=False).collect()}
+    assert a == b
+    clear_candidate_pairs_cache()
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(100)],
+                                  "doc_a long, doc_b long")
+    lbl = {(r.doc_id, r.cluster_id)
+           for r in cc_star_labels(spark, chain).collect()}
+    assert lbl == {(i, 0) for i in range(101)}
+
+    rng = random.Random(42)
+    for _trial in range(3):
+        n = 60
+        raw = [(rng.randrange(n), rng.randrange(n)) for _ in range(50)]
+        edges = [(x, y) for x, y in raw if x != y]
+        got = {(r.doc_id, r.cluster_id)
+               for r in cc_star_labels(
+                   spark,
+                   spark.createDataFrame(edges, "doc_a long, doc_b long")
+               ).collect()}
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for x, y in edges:
+            rx, ry = find(x), find(y)
+            parent[max(rx, ry)] = min(rx, ry)
+        verts = {v for e in edges for v in e}
+        assert got == {(v, find(v)) for v in verts}

@@ -41,6 +41,18 @@ def main():
 
     timings = {}
 
+    # The dedup family (pairs/clusters/pagerank/curation) shares ONE
+    # persisted candidate-pair materialization per session (the in-session
+    # analogue of writing `pairs` once and fanning out).  Time that
+    # one-time build as its own line item so it stops being attributed to
+    # whichever family query the registry order happens to run first
+    # (round 3 it landed on dedup_minhash_pairs and read as a 2.4x
+    # regression).  It still counts toward the suite total.
+    from htmpark.queries import candidate_pairs
+    t0 = time.time()
+    candidate_pairs(spark, sf_dir)  # persist + eager count inside
+    timings["dedup_family_memo"] = round(time.time() - t0, 3)
+
     # headline: synthetic web-corpus extraction, sized to SF
     n_pages = max(2000, int(200_000 * sf))
     corpus = synthesize_pages(spark, n_pages, body_repeat=12)

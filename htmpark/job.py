@@ -57,7 +57,12 @@ OUTPUT_SCHEMA = StructType([
 
 
 def build_session(master: str | None = None, shuffle_partitions: int = 32,
-                  app_name: str = "htmpark") -> SparkSession:
+                  app_name: str = "htmpark",
+                  extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """``extra_conf``: session-builder conf overrides (codec, shuffle
+    buffers, Arrow batch size, ...) — the local-mode stand-in for the
+    ``--conf`` flags a spark-submit launch would carry; applied last so
+    they win over the defaults below."""
     b = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
@@ -71,6 +76,8 @@ def build_session(master: str | None = None, shuffle_partitions: int = 32,
     )
     if master:
         b = b.master(master)
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
     return b.getOrCreate()
 
 

@@ -450,7 +450,11 @@ def q_html_corpus_pipeline(spark, sf_dir):
     from .corpus import synthesize_pages
     from .job import extract_pages
 
-    n_docs = t(spark, sf_dir, "documents").count()
+    # sandbox scaffolding: the oracle needs a page count that is a pure
+    # function of the SF, derived from footer metadata (no Spark job);
+    # the count() fallback only fires for non-parquet inputs
+    n_docs = (_table_num_rows(sf_dir, "documents")
+              or t(spark, sf_dir, "documents").count())
     pages = synthesize_pages(spark, _corpus_n_pages(n_docs))
     out = extract_pages(pages, salt_buckets=8)
     host = F.parse_url(F.col("url"), F.lit("HOST"))
@@ -487,7 +491,9 @@ def q_html_headings(spark, sf_dir):
 
     from .corpus import synthesize_pages
 
-    n_docs = t(spark, sf_dir, "documents").count()
+    # footer-metadata row count, same rationale as q_html_corpus_pipeline
+    n_docs = (_table_num_rows(sf_dir, "documents")
+              or t(spark, sf_dir, "documents").count())
     pages = synthesize_pages(spark, _corpus_n_pages(n_docs)).select("url", "html")
 
     def run(batches):

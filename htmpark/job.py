@@ -158,6 +158,76 @@ def _parse_batches(batches, preserve_ws: bool = False):
         })
 
 
+def _stat_host(v) -> str:
+    """Host component of a url min/max statistic (str or bytes; parquet
+    writers may truncate stats — the host prefix survives truncation)."""
+    if isinstance(v, bytes):
+        v = v.decode("utf-8", "replace")
+    from urllib.parse import urlparse
+
+    return urlparse(v).netloc
+
+
+def detect_host_clustered(df: DataFrame, sample_files: int = 64,
+                          threshold: float = 0.5) -> bool | None:
+    """Is this scan's input HOST-CLUSTERED (each row group dominated by one
+    url-host) or host-interleaved?  Decided from parquet FOOTER min/max
+    statistics on the url column — a driver-side metadata read over (a
+    strided sample of) ``df.inputFiles()``, never a Spark job.
+
+    A row group whose url min and max share a host is (near-)certainly
+    single-host; interleaved input puts the alphabetical extremes of many
+    hosts in every group.  The metric is ROW-weighted: single-host row
+    groups are precisely the scheduling units that can serialize a task,
+    and a hot host (the skew that matters) by definition owns many rows
+    and therefore whole row groups — small tail hosts that fit inside a
+    mixed group are not a skew risk and should not trip the detector.
+    Returns True when >= ``threshold`` of sampled ROWS live in
+    single-host row groups, False when fewer, None when the answer is
+    unknowable (no input files, non-parquet source, no url statistics) —
+    the caller keeps its own default.  Real-world anchor: WARC/crawl-order
+    tables are interleaved; SURT-sorted columnar indexes and
+    partitioned-by-domain tables are clustered."""
+    try:
+        files = [f for f in df.inputFiles() if ".parquet" in f]
+    except Exception:
+        return None
+    if not files:
+        return None
+    if len(files) > sample_files:
+        stride = len(files) / sample_files
+        files = [files[int(i * stride)] for i in range(sample_files)]
+    import pyarrow.parquet as pq
+
+    same = total = 0
+    for f in files:
+        path = f[len("file:"):] if f.startswith("file:") else f
+        try:
+            md = pq.ParquetFile(path).metadata
+        except Exception:
+            continue
+        url_idx = None
+        if md.num_row_groups:
+            rg0 = md.row_group(0)
+            for i in range(rg0.num_columns):
+                if rg0.column(i).path_in_schema == "url":
+                    url_idx = i
+                    break
+        if url_idx is None:
+            continue
+        for rg in range(md.num_row_groups):
+            rgm = md.row_group(rg)
+            st = rgm.column(url_idx).statistics
+            if st is None or not st.has_min_max:
+                continue
+            total += rgm.num_rows
+            if _stat_host(st.min) == _stat_host(st.max):
+                same += rgm.num_rows
+    if total == 0:
+        return None
+    return same / total >= threshold
+
+
 def salted_repartition(df: DataFrame, salt_buckets: int = 8,
                        num_partitions: int | None = None) -> DataFrame:
     """Spread each url-host over ``salt_buckets`` shuffle keys.
@@ -172,7 +242,7 @@ def salted_repartition(df: DataFrame, salt_buckets: int = 8,
     return df.repartition(host, salt)
 
 
-def extract_pages(df: DataFrame, salt_buckets: int = 8,
+def extract_pages(df: DataFrame, salt_buckets: int | str = 8,
                   num_partitions: int | None = None,
                   preserve_ws: bool = False,
                   max_html_bytes: int = 16 * 1024 * 1024) -> DataFrame:
@@ -180,10 +250,16 @@ def extract_pages(df: DataFrame, salt_buckets: int = 8,
 
     ``salt_buckets=0`` skips the repartition entirely — the right plan when
     the input is already host-interleaved (crawl-frontier/WARC order mixes
-    hosts), where a shuffle is pure I/O overhead (measured ~30-50%% of
-    wall-clock at 32 cores).  Keep salting ON for host-clustered inputs
-    (e.g. re-partitioned-by-domain tables) where one hot host would
-    otherwise serialize a task.
+    hosts), where a shuffle is pure overhead: BENCH/tune_shuffle.py
+    measured the salted plan at 0.5-0.7x of plain at 32 cores across codec
+    / buffer / tmpfs variants, attributing the premium to shuffle
+    serialize/deserialize CPU on the html bytes (not disk I/O).  Keep
+    salting ON for host-clustered inputs (e.g. re-partitioned-by-domain or
+    SURT-sorted tables) where one hot host would otherwise serialize a
+    task.  ``salt_buckets="auto"`` derives the decision per input from
+    parquet footer url statistics (detect_host_clustered): proven
+    interleaving drops the shuffle, proven clustering (or no statistics)
+    keeps the 8-bucket insurance.
 
     ``max_html_bytes``: pages larger than this are nulled JVM-SIDE, so a
     pathological multi-GB blob never enters an Arrow batch (an Arrow batch
@@ -201,6 +277,8 @@ def extract_pages(df: DataFrame, salt_buckets: int = 8,
         df = df.withColumn(
             "html",
             F.when(F.octet_length("html") <= max_html_bytes, F.col("html")))
+    if salt_buckets == "auto":
+        salt_buckets = 0 if detect_host_clustered(df) is False else 8
     if salt_buckets > 0:
         df = salted_repartition(df, salt_buckets, num_partitions)
     fn = (lambda it: _parse_batches(it, True)) if preserve_ws else _parse_batches

@@ -58,6 +58,48 @@ def test_salted_repartition_balances_hot_host(spark):
     assert max(r["count"] for r in parts) < 200
 
 
+def test_auto_salt_from_footer_statistics(spark, tmp_out):
+    """salt_buckets='auto' must DERIVE the shuffle decision from parquet
+    footer url min/max statistics: a host-interleaved corpus (crawl order)
+    proves no clustering -> no Exchange in the plan; the same rows sorted
+    by url (SURT-index / partitioned-by-domain order, hosts spanning whole
+    row groups) prove clustering -> salted Exchange stays.  In-memory
+    input (no files, no stats) keeps the 8-bucket insurance."""
+    from htmpark.job import detect_host_clustered
+
+    # 10 hosts x 2000 realistic ~2KB pages: once sorted, each host spans
+    # many 64KB row groups (the domain-partitioned-table shape the
+    # detector exists for)
+    pages = spark.range(0, 20000).selectExpr(
+        "concat('https://host', lpad(cast(id % 10 as string), 3, '0'),"
+        " '.example.com/p/', cast(id as string)) as url",
+        "cast(concat('<p>page ', cast(id as string), repeat(' filler', 300),"
+        " '</p>') as binary) as html")
+    inter_path = os.path.join(tmp_out, "corpus_interleaved")
+    clus_path = os.path.join(tmp_out, "corpus_clustered")
+    pages.write.option("parquet.block.size", 64 * 1024).parquet(inter_path)
+    (pages.orderBy("url")
+          .write.option("parquet.block.size", 64 * 1024).parquet(clus_path))
+
+    inter = spark.read.parquet(inter_path)
+    clus = spark.read.parquet(clus_path)
+    assert detect_host_clustered(inter) is False
+    assert detect_host_clustered(clus) is True
+    # in-memory df: unknowable -> None -> extract keeps the insurance salt
+    df = synthesize_pages(spark, 100)
+    assert detect_host_clustered(df) is None
+
+    plan_inter = (extract_pages(inter, salt_buckets="auto")
+                  ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan_inter, plan_inter
+    plan_clus = (extract_pages(clus, salt_buckets="auto")
+                 ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange hashpartitioning" in plan_clus, plan_clus
+    plan_mem = (extract_pages(df, salt_buckets="auto")
+                ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange hashpartitioning" in plan_mem, plan_mem
+
+
 def test_run_extraction_and_resume(spark, tmp_out):
     df = synthesize_pages(spark, N)
     # full run

@@ -3079,6 +3079,84 @@ FROM documents
 """
 
 
+# pretraining sequence-packing parameters; the oracle SQL is generated from
+# the same constants (the _SUBSTR_W pattern) so non-default calls can never
+# silently diverge from a stale hand-written literal
+_PACK_SEQ_LEN = 2048
+_PACK_BUCKETS = 32
+
+
+def q_text_pack_sequences(spark, sf_dir, seq_len: int = _PACK_SEQ_LEN,
+                          n_buckets: int = _PACK_BUCKETS):
+    """Pretraining SEQUENCE PACKING: concatenate the corpus in doc_id
+    order into one token stream and cut it into fixed ``seq_len``-token
+    training sequences (the standard concat-and-split batch layout); per
+    doc, report its global token offset and the sequence ids it lands in.
+
+    The global offset is an ordered PREFIX SUM — the textbook
+    single-task-window hazard (``Window.orderBy(doc_id)`` with no
+    partitioning puts the whole corpus through one task).  Instead it is
+    computed as a two-phase distributed scan, the same shape a 10^12-doc
+    run needs:
+
+      1. bucket docs by doc_id range (width from the parquet-footer row
+         count — planning-time metadata, no Spark job; the mapping only
+         needs to be monotone in doc_id, density is irrelevant);
+      2. per-bucket token totals (map-side partial agg, n_buckets rows);
+      3. exclusive cumsum of the TINY bucket-total table (a window over
+         n_buckets rows — the only serial step, ~1M rows at trillion-doc
+         scale);
+      4. broadcast the offsets back and window only WITHIN each bucket
+         (partitionBy(_bkt) — parallel across buckets).
+
+    All columns are exact integers; whitespace tokens match
+    q_text_token_count's definition (split on single space, so n_tokens
+    >= 1 — both engines count an empty string as one token)."""
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"))
+    n = _table_num_rows(sf_dir, "documents")
+    width = max(1, -(-n // n_buckets)) if n else 1_000_000
+    d = d.withColumn("_bkt", F.floor(F.col("doc_id") / F.lit(width)))
+    totals = d.groupBy("_bkt").agg(F.sum("n_tokens").alias("_tot"))
+    w_b = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_bkt", F.coalesce(F.sum("_tot").over(w_b), F.lit(0)).alias("_off"))
+    w_in = (Window.partitionBy("_bkt").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    start = (F.col("_off") + F.sum("n_tokens").over(w_in)
+             - F.col("n_tokens")).alias("start_tok")
+    out = (d.join(F.broadcast(offsets), "_bkt")
+           .select("doc_id", "n_tokens", start))
+    first = F.floor(F.col("start_tok") / seq_len)
+    last = F.floor((F.col("start_tok") + F.col("n_tokens") - 1) / seq_len)
+    return out.select(
+        "doc_id", "n_tokens", "start_tok",
+        first.alias("first_seq"), last.alias("last_seq"),
+        (last - first + 1).alias("n_seqs"))
+
+
+SQL_TEXT_PACK_SEQUENCES = f"""
+WITH d AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_tok
+  FROM d
+)
+SELECT doc_id, n_tokens, start_tok,
+       start_tok // {_PACK_SEQ_LEN} AS first_seq,
+       (start_tok + n_tokens - 1) // {_PACK_SEQ_LEN} AS last_seq,
+       (start_tok + n_tokens - 1) // {_PACK_SEQ_LEN}
+         - start_tok // {_PACK_SEQ_LEN} + 1 AS n_seqs
+FROM c
+"""
+
+
 def q_text_top_terms(spark, sf_dir):
     """Corpus vocabulary head: top-100 terms by collection frequency with
     document frequency alongside — the vocabulary/stop-word-mining shape.
@@ -3389,6 +3467,8 @@ REGISTRY = {
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "stream_windowed_counts": (q_stream_windowed_counts, SQL_STREAM_WINDOWED_COUNTS),
     "stream_click_attribution": (q_stream_click_attribution, SQL_STREAM_CLICK_ATTRIBUTION),
+    # -- new in r4
+    "text_pack_sequences": (q_text_pack_sequences, SQL_TEXT_PACK_SEQUENCES),
     # -- one prior driver-green round
     "html_headings": (q_html_headings, SQL_HTML_HEADINGS),
     "rel_value_percentiles": (q_rel_value_percentiles, SQL_REL_VALUE_PERCENTILES),

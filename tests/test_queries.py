@@ -802,6 +802,36 @@ def test_session_cache_teardown_frees_real_nodes(spark, tmp_path):
     assert not qm._CLUSTERS_CACHE and not qm._PAIRS_CACHE
 
 
+def test_pack_sequences_two_phase_prefix_sum(spark):
+    """Sequence packing must be an exact global prefix sum computed WITHOUT
+    a global single-task window: per-row results reproduce a serial cumsum,
+    the answer is invariant to the bucket count (the two-phase scan's only
+    free parameter), and the plan's per-doc window is partitioned by the
+    bucket key (a doc_id-ordered window spec lacking _bkt would be the
+    whole corpus through one task)."""
+    import re
+
+    from htmpark.queries import q_text_pack_sequences
+
+    df = q_text_pack_sequences(spark, SF)
+    rows = sorted((r.doc_id, r.n_tokens, r.start_tok,
+                   r.first_seq, r.last_seq, r.n_seqs) for r in df.collect())
+    off = 0
+    for doc_id, n, s, fs, ls, k in rows:
+        assert s == off, (doc_id, s, off)
+        assert fs == s // 2048 and ls == (s + n - 1) // 2048
+        assert k == ls - fs + 1 and n >= 1
+        off += n
+    alt = sorted((r.doc_id, r.start_tok) for r in
+                 q_text_pack_sequences(spark, SF, n_buckets=7).collect())
+    assert alt == [(d, s) for d, _, s, _, _, _ in rows]
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert any("_bkt" in s and "doc_id" in s for s in specs), specs
+    assert not any("doc_id" in s and "_bkt" not in s for s in specs), specs
+
+
 def test_cc_star_variant_matches_label_prop(spark):
     """Large-star/small-star CC must produce identical components to the
     label-propagation default — on the gate corpus, on a 100-deep chain

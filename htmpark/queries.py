@@ -3157,6 +3157,101 @@ FROM c
 """
 
 
+def q_text_mixture_stats(spark, sf_dir):
+    """Training-data MIXTURE statistics: per (lang, source) stratum, token
+    and document mass plus the oversampling factor that would flatten the
+    mix to a uniform target — the bookkeeping behind every "N% web, M%
+    code, K epochs of wiki" pretraining recipe.
+
+    share_bp = the stratum's token share in basis points; uniform_x_e4 =
+    10^4 x the repetition factor that equalizes strata (total / (n_strata
+    x stratum_tokens)), floor-divided so both engines stay integer-exact.
+    Shape: one partial-aggregated groupBy over the corpus; the stratum
+    table (|langs| x |sources| rows) then joins a 1-row global total by
+    broadcast — nothing corpus-sized crosses a second shuffle."""
+    d = t(spark, sf_dir, "documents").select(
+        "lang", "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"))
+    strata = d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("tokens"))
+    tot = strata.agg(F.sum("tokens").alias("_tot"),
+                     F.count("*").alias("_nstrata"))
+    # 1-row broadcast crossJoin (the documented tiny-side regime); `div`
+    # is Spark's exact integer division — a double `/` could land on
+    # x.9999... and truncate differently than DuckDB's `//`
+    return (strata.crossJoin(F.broadcast(tot))
+            .select("lang", "source", "n_docs", "tokens",
+                    F.expr("tokens * 10000 div _tot").alias("share_bp"),
+                    F.expr("_tot * 10000 div (_nstrata * tokens)")
+                    .alias("uniform_x_e4"))
+            .orderBy("lang", "source"))
+
+
+SQL_TEXT_MIXTURE_STATS = """
+WITH s AS (
+  SELECT lang, source, COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+  FROM documents GROUP BY lang, source
+), g AS (
+  SELECT CAST(SUM(tokens) AS BIGINT) AS _tot, COUNT(*) AS _nstrata FROM s
+)
+SELECT lang, source, n_docs, tokens,
+       tokens * 10000 // _tot AS share_bp,
+       _tot * 10000 // (_nstrata * tokens) AS uniform_x_e4
+FROM s, g
+ORDER BY lang, source
+"""
+
+
+_IDX_POSTING_CAP = 20
+
+
+def q_text_inverted_index(spark, sf_dir, n_salts: int = _KMV_SALTS):
+    """Inverted-index build: term -> exact document frequency, collection
+    frequency, and a CAPPED ordered posting sample (first
+    ``_IDX_POSTING_CAP`` doc_ids).  The cap is the web-scale contract: a
+    stop-word's full posting list is O(corpus) and belongs in sharded
+    index files, not in one aggregate row — cf/df stay exact (partial
+    hash agg), only the materialized list is bounded.
+
+    The posting sample reuses the KMV k-minima shape so NO aggregation
+    state ever holds an unbounded set: a row_number gate per (term, salt)
+    slice keeps collect_list under cap rows per slice (windows sort-spill;
+    a collect_set over a stop-word would buffer O(corpus) ids in one agg
+    buffer), and the merge is k-minima algebra (flatten + array_sort +
+    slice) over n_salts bounded arrays.  df rides the same salted slices:
+    salt is a pure function of doc_id, so per-slice distinct counts sum
+    exactly.  Pre-explode repartition spreads the token explosion."""
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    w = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    pairs = (w.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+             .withColumn("_salt", F.pmod(F.col("doc_id"), F.lit(n_salts))))
+    gate = Window.partitionBy("term", "_salt").orderBy("doc_id")
+    local = (pairs.withColumn("_rn", F.row_number().over(gate))
+             .groupBy("term", "_salt")
+             .agg(F.sum("tf").alias("_cf"), F.count("*").alias("_df"),
+                  F.collect_list(F.when(F.col("_rn") <= _IDX_POSTING_CAP,
+                                        F.col("doc_id"))).alias("_post")))
+    return (local.groupBy("term")
+            .agg(F.sum("_cf").alias("cf"), F.sum("_df").alias("df"),
+                 F.slice(F.array_sort(F.flatten(F.collect_list("_post"))),
+                         1, _IDX_POSTING_CAP).alias("postings"))
+            .orderBy("term"))
+
+
+SQL_TEXT_INVERTED_INDEX = f"""
+SELECT term, COUNT(*) AS cf, COUNT(DISTINCT doc_id) AS df,
+       list_sort(list(DISTINCT doc_id))[1:{_IDX_POSTING_CAP}] AS postings
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+GROUP BY term
+ORDER BY term
+"""
+
+
 def q_text_top_terms(spark, sf_dir):
     """Corpus vocabulary head: top-100 terms by collection frequency with
     document frequency alongside — the vocabulary/stop-word-mining shape.
@@ -3469,6 +3564,8 @@ REGISTRY = {
     "stream_click_attribution": (q_stream_click_attribution, SQL_STREAM_CLICK_ATTRIBUTION),
     # -- new in r4
     "text_pack_sequences": (q_text_pack_sequences, SQL_TEXT_PACK_SEQUENCES),
+    "text_mixture_stats": (q_text_mixture_stats, SQL_TEXT_MIXTURE_STATS),
+    "text_inverted_index": (q_text_inverted_index, SQL_TEXT_INVERTED_INDEX),
     # -- one prior driver-green round
     "html_headings": (q_html_headings, SQL_HTML_HEADINGS),
     "rel_value_percentiles": (q_rel_value_percentiles, SQL_REL_VALUE_PERCENTILES),

@@ -45,7 +45,7 @@ QUERIES = [
     "text_token_count", "text_fingerprint", "text_top_terms",
     "text_repetition", "text_lang_id", "text_hash_split",
     "text_stratified_sample", "text_decontamination",
-    "text_pack_sequences",
+    "text_pack_sequences", "text_mixture_stats", "text_inverted_index",
     # embeddings family
     "sim_topk_bruteforce", "sim_lsh_buckets", "sim_kmeans_update",
     "sim_ivf_topk", "dedup_embedding_cosine", "text_quality_filter",

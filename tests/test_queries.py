@@ -832,6 +832,30 @@ def test_pack_sequences_two_phase_prefix_sum(spark):
     assert not any("doc_id" in s and "_bkt" not in s for s in specs), specs
 
 
+def test_inverted_index_posting_state_is_bounded(spark):
+    """The posting-sample build must follow the KMV k-minima shape: the
+    row_number gate windows over (term, _salt) — never the bare term —
+    and no collect_set ever aggregates raw doc_ids (a stop-word would
+    buffer O(corpus) ids in one agg buffer).  Postings stay capped and
+    sorted."""
+    import re
+
+    from htmpark.queries import _IDX_POSTING_CAP, q_text_inverted_index
+
+    df = q_text_inverted_index(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "collect_set" not in plan, plan[:2000]
+    specs = re.findall(r"windowspecdefinition\(term#\d+,?\s*(\w*)", plan)
+    assert specs and all(s.startswith("_salt") for s in specs), specs
+
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert len(r.postings) <= _IDX_POSTING_CAP
+        assert r.postings == sorted(r.postings)
+        assert r.df >= len(r.postings) and r.cf >= r.df
+
+
 def test_cc_star_variant_matches_label_prop(spark):
     """Large-star/small-star CC must produce identical components to the
     label-propagation default — on the gate corpus, on a 100-deep chain

@@ -3118,7 +3118,7 @@ def q_text_pack_sequences(spark, sf_dir, seq_len: int = _PACK_SEQ_LEN,
         "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"))
     n = _table_num_rows(sf_dir, "documents")
     width = max(1, -(-n // n_buckets)) if n else 1_000_000
-    d = d.withColumn("_bkt", F.floor(F.col("doc_id") / F.lit(width)))
+    d = d.withColumn("_bkt", F.expr(f"doc_id div {width}"))
     totals = d.groupBy("_bkt").agg(F.sum("n_tokens").alias("_tot"))
     w_b = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(
@@ -3129,8 +3129,11 @@ def q_text_pack_sequences(spark, sf_dir, seq_len: int = _PACK_SEQ_LEN,
              - F.col("n_tokens")).alias("start_tok")
     out = (d.join(F.broadcast(offsets), "_bkt")
            .select("doc_id", "n_tokens", start))
-    first = F.floor(F.col("start_tok") / seq_len)
-    last = F.floor((F.col("start_tok") + F.col("n_tokens") - 1) / seq_len)
+    # `div` = exact integer division (a double `/` + floor is exact only
+    # while the numerator fits the 53-bit mantissa — not a bet to make at
+    # 10^13 tokens)
+    first = F.expr(f"start_tok div {seq_len}")
+    last = F.expr(f"(start_tok + n_tokens - 1) div {seq_len}")
     return out.select(
         "doc_id", "n_tokens", "start_tok",
         first.alias("first_seq"), last.alias("last_seq"),
@@ -3166,21 +3169,25 @@ def q_text_mixture_stats(spark, sf_dir):
     share_bp = the stratum's token share in basis points; uniform_x_e4 =
     10^4 x the repetition factor that equalizes strata (total / (n_strata
     x stratum_tokens)), floor-divided so both engines stay integer-exact.
-    Shape: one partial-aggregated groupBy over the corpus; the stratum
-    table (|langs| x |sources| rows) then joins a 1-row global total by
-    broadcast — nothing corpus-sized crosses a second shuffle."""
+    Shape: ONE partial-aggregated groupBy over the corpus; the global
+    total is an unpartitioned window over the tiny stratum table
+    (|langs| x |sources| rows — a deliberate single-task step over
+    bounded data, NOT the corpus; a self-join for the total would scan
+    documents twice).  `div` is Spark's exact integer division — a
+    double `/` could land on x.9999... and truncate differently than
+    DuckDB's `//`."""
+    from pyspark.sql.window import Window
+
     d = t(spark, sf_dir, "documents").select(
         "lang", "source",
         F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"))
     strata = d.groupBy("lang", "source").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("tokens"))
-    tot = strata.agg(F.sum("tokens").alias("_tot"),
-                     F.count("*").alias("_nstrata"))
-    # 1-row broadcast crossJoin (the documented tiny-side regime); `div`
-    # is Spark's exact integer division — a double `/` could land on
-    # x.9999... and truncate differently than DuckDB's `//`
-    return (strata.crossJoin(F.broadcast(tot))
+    w = Window.partitionBy()
+    return (strata
+            .withColumn("_tot", F.sum("tokens").over(w))
+            .withColumn("_nstrata", F.count("*").over(w))
             .select("lang", "source", "n_docs", "tokens",
                     F.expr("tokens * 10000 div _tot").alias("share_bp"),
                     F.expr("_tot * 10000 div (_nstrata * tokens)")

@@ -420,10 +420,16 @@ def _part_expr(num_parts: int):
 
 
 def run_extraction(spark: SparkSession, input_df: DataFrame, output_path: str,
-                   num_parts: int = 64, salt_buckets: int = 8,
+                   num_parts: int = 64, salt_buckets: int | str = "auto",
                    resume: bool = True, publish_every: int | None = None,
                    max_waves: int | None = None) -> dict:
     """Resumable batch job with write-audit-publish checkpointing + lineage.
+
+    ``salt_buckets`` defaults to "auto": the salted-shuffle decision is
+    derived per input from parquet footer url statistics (see
+    extract_pages / detect_host_clustered) — interleaved crawl-order
+    input skips the shuffle, clustered or statistics-less input keeps the
+    8-bucket insurance.  Pass an int to force either plan.
 
     Layout:  <output_path>/data/part_id=N/...   (dynamic overwrite)
              <output_path>/manifest/...          (append = publish)

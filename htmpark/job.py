@@ -158,14 +158,19 @@ def _parse_batches(batches, preserve_ws: bool = False):
         })
 
 
-def _stat_host(v) -> str:
-    """Host component of a url min/max statistic (str or bytes; parquet
-    writers may truncate stats — the host prefix survives truncation)."""
+def _stat_host(v) -> tuple[str, bool]:
+    """(host, host_is_complete) for a url min/max statistic (str or
+    bytes).  Parquet writers truncate long string stats (and increment
+    max's last byte), so the host is only trustworthy when the value
+    provably extends PAST the authority — i.e. a path/query/fragment
+    follows it; a value that ends inside scheme://host may have had its
+    host cut mid-way."""
     if isinstance(v, bytes):
         v = v.decode("utf-8", "replace")
     from urllib.parse import urlparse
 
-    return urlparse(v).netloc
+    p = urlparse(v)
+    return p.netloc, bool(p.path or p.query or p.fragment)
 
 
 def detect_host_clustered(df: DataFrame, sample_files: int = 64,
@@ -221,7 +226,13 @@ def detect_host_clustered(df: DataFrame, sample_files: int = 64,
             if st is None or not st.has_min_max:
                 continue
             total += rgm.num_rows
-            if _stat_host(st.min) == _stat_host(st.max):
+            h_mn, ok_mn = _stat_host(st.min)
+            h_mx, ok_mx = _stat_host(st.max)
+            # a possibly-truncated host counts as clustered — the safe
+            # direction: misreading clustered input as interleaved would
+            # drop the salting insurance on exactly the input that needs
+            # it, while a false positive only costs the shuffle premium
+            if h_mn == h_mx or not (ok_mn and ok_mx):
                 same += rgm.num_rows
     if total == 0:
         return None
@@ -484,6 +495,12 @@ def run_extraction(spark: SparkSession, input_df: DataFrame, output_path: str,
         waves = [remaining]
     if max_waves is not None:
         waves = waves[:max_waves]
+
+    # resolve the salting decision ONCE for the whole job — the input is
+    # fixed across waves, and re-deriving per wave would repeat the
+    # driver-side file listing + footer reads num_parts times
+    if salt_buckets == "auto":
+        salt_buckets = 0 if detect_host_clustered(input_df) is False else 8
 
     df = input_df.withColumn("part_id", _part_expr(num_parts))
     total_parts = 0

@@ -452,9 +452,11 @@ def q_html_corpus_pipeline(spark, sf_dir):
 
     # sandbox scaffolding: the oracle needs a page count that is a pure
     # function of the SF, derived from footer metadata (no Spark job);
-    # the count() fallback only fires for non-parquet inputs
-    n_docs = (_table_num_rows(sf_dir, "documents")
-              or t(spark, sf_dir, "documents").count())
+    # the count() fallback only fires for non-parquet inputs (`is None`,
+    # not falsy — a legitimately empty table must not launch a count job)
+    n_docs = _table_num_rows(sf_dir, "documents")
+    if n_docs is None:
+        n_docs = t(spark, sf_dir, "documents").count()
     pages = synthesize_pages(spark, _corpus_n_pages(n_docs))
     out = extract_pages(pages, salt_buckets=8)
     host = F.parse_url(F.col("url"), F.lit("HOST"))
@@ -492,8 +494,9 @@ def q_html_headings(spark, sf_dir):
     from .corpus import synthesize_pages
 
     # footer-metadata row count, same rationale as q_html_corpus_pipeline
-    n_docs = (_table_num_rows(sf_dir, "documents")
-              or t(spark, sf_dir, "documents").count())
+    n_docs = _table_num_rows(sf_dir, "documents")
+    if n_docs is None:
+        n_docs = t(spark, sf_dir, "documents").count()
     pages = synthesize_pages(spark, _corpus_n_pages(n_docs)).select("url", "html")
 
     def run(batches):
@@ -1990,6 +1993,9 @@ def _no_aqe(spark):
 # any repeated dedup query reuse one CC fixpoint per (session, sf_dir)
 _CLUSTERS_CACHE: dict = {}
 _EDGES_CACHE: dict = {}
+# un-memoized persisted nodes (the star=False baseline's label tables) —
+# freed by clear_candidate_pairs_cache like the keyed caches
+_BASELINE_NODES: list = []
 
 
 def _evict_stale(cache: dict) -> None:
@@ -2015,6 +2021,11 @@ def clear_candidate_pairs_cache() -> None:
             except Exception:
                 pass
         cache.clear()
+    while _BASELINE_NODES:
+        try:
+            _BASELINE_NODES.pop().unpersist()
+        except Exception:
+            pass
     while _STREAM_SINK_DIRS:
         shutil.rmtree(_STREAM_SINK_DIRS.pop(), ignore_errors=True)
 
@@ -2048,6 +2059,16 @@ def cc_star_labels(spark, pairs: DataFrame) -> DataFrame:
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     edges = (fwd.where(F.col("src") != F.col("dst"))
              .distinct().localCheckpoint(eager=True))
+    # vertices whose ONLY pair is a self-pair (doc_a == doc_b) never enter
+    # the fixpoint but are vertices of the graph — the label-prop baseline
+    # and the recursive-CTE oracle both emit them as their own singleton
+    # component; both anti-join sides here are bounded by the (rare)
+    # self-pair count, not the corpus
+    self_only = (fwd.where(F.col("src") == F.col("dst")).select("src")
+                 .distinct()
+                 .join(edges.select("src")
+                       .union(edges.select(F.col("dst").alias("src")))
+                       .distinct(), "src", "left_anti"))
 
     def _checksum(e):
         row = e.agg(
@@ -2084,7 +2105,8 @@ def cc_star_labels(spark, pairs: DataFrame) -> DataFrame:
                 break
             prev = cur
     roots = edges.select(F.col("dst").alias("src"), F.col("dst")).distinct()
-    return (edges.union(roots).distinct()
+    singles = self_only.select("src", F.col("src").alias("dst"))
+    return (edges.union(roots).union(singles).distinct()
             .select(F.col("src").alias("doc_id"),
                     F.col("dst").alias("cluster_id")))
 
@@ -2178,6 +2200,11 @@ def q_dedup_clusters(spark, sf_dir, pairs: DataFrame | None = None,
                 break
             prev_sum = new_sum
     edges.unpersist()
+    # the final persisted label table is intentionally NOT memoized (the
+    # equality tests need independent computations) but must still be
+    # reclaimable: track it for clear_candidate_pairs_cache, else every
+    # star=False call strands one cached table until session end
+    _BASELINE_NODES.append(labels)
     return labels.select(F.col("id").alias("doc_id"),
                          F.col("label").alias("cluster_id"))
 
@@ -3117,7 +3144,7 @@ def q_text_pack_sequences(spark, sf_dir, seq_len: int = _PACK_SEQ_LEN,
     d = t(spark, sf_dir, "documents").select(
         "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"))
     n = _table_num_rows(sf_dir, "documents")
-    width = max(1, -(-n // n_buckets)) if n else 1_000_000
+    width = max(1, -(-n // n_buckets)) if n is not None else 1_000_000
     d = d.withColumn("_bkt", F.expr(f"doc_id div {width}"))
     totals = d.groupBy("_bkt").agg(F.sum("n_tokens").alias("_tot"))
     w_b = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
@@ -3212,9 +3239,11 @@ ORDER BY lang, source
 
 
 _IDX_POSTING_CAP = 20
+_IDX_SALTS = 32  # deliberately its own constant: the index shares the KMV
+#                  k-minima SHAPE, not the sketches' tuning contract
 
 
-def q_text_inverted_index(spark, sf_dir, n_salts: int = _KMV_SALTS):
+def q_text_inverted_index(spark, sf_dir, n_salts: int = _IDX_SALTS):
     """Inverted-index build: term -> exact document frequency, collection
     frequency, and a CAPPED ordered posting sample (first
     ``_IDX_POSTING_CAP`` doc_ids).  The cap is the web-scale contract: a

@@ -793,6 +793,11 @@ def test_session_cache_teardown_frees_real_nodes(spark, tmp_path):
     cached = qm._CLUSTERS_CACHE[key]
     assert cached.storageLevel.useMemory  # the node unpersist() acts on
 
+    # the star=False baseline's persisted label table is un-memoized but
+    # must still queue for teardown
+    qm.q_dedup_clusters(spark, SF, star=False)
+    assert qm._BASELINE_NODES and qm._BASELINE_NODES[-1].storageLevel.useMemory
+
     fake = tmp_path / "dead_sink"
     fake.mkdir()
     qm._STREAM_SINK_DIRS.append(str(fake))
@@ -800,6 +805,7 @@ def test_session_cache_teardown_frees_real_nodes(spark, tmp_path):
     assert not fake.exists()
     assert not qm._STREAM_SINK_DIRS
     assert not qm._CLUSTERS_CACHE and not qm._PAIRS_CACHE
+    assert not qm._BASELINE_NODES
 
 
 def test_pack_sequences_two_phase_prefix_sum(spark):
@@ -878,6 +884,19 @@ def test_cc_star_variant_matches_label_prop(spark):
     lbl = {(r.doc_id, r.cluster_id)
            for r in cc_star_labels(spark, chain).collect()}
     assert lbl == {(i, 0) for i in range(101)}
+
+    # self-pairs: a vertex whose ONLY pair is (v, v) is still a vertex —
+    # the label-prop baseline and the recursive-CTE oracle both emit it
+    # as its own singleton component, so star must too (and a self-pair
+    # on a connected vertex must change nothing)
+    selfy = spark.createDataFrame([(1, 2), (5, 5), (2, 2)],
+                                  "doc_a long, doc_b long")
+    got_star = {(r.doc_id, r.cluster_id)
+                for r in q_dedup_clusters(spark, SF, pairs=selfy).collect()}
+    got_lbl = {(r.doc_id, r.cluster_id)
+               for r in q_dedup_clusters(spark, SF, pairs=selfy,
+                                         star=False).collect()}
+    assert got_star == got_lbl == {(1, 1), (2, 1), (5, 5)}
 
     rng = random.Random(42)
     for _trial in range(3):

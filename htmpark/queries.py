@@ -2111,20 +2111,86 @@ def cc_star_labels(spark, pairs: DataFrame) -> DataFrame:
                     F.col("dst").alias("cluster_id")))
 
 
+def _label_prop_labels(spark, pairs: DataFrame,
+                       max_passes: int | None = None):
+    """Min-label-propagation fixpoint (the r3 restructure): SELF-edges are
+    folded into the static edge set once, so ``min(label over N(v)+{v})``
+    is ONE join + ONE aggregate per pass; the edge table is pre-partitioned
+    on the join key and persisted — only the label side (one row per
+    vertex) shuffles per pass; convergence = exact integer label-sum
+    unchanged (labels only decrease).  Passes are O(component diameter).
+
+    Returns the PERSISTED (id, label) table, or None when ``max_passes``
+    elapse without convergence (every intermediate unpersisted) — the
+    signal q_dedup_clusters' adaptive mode uses to cut over to star."""
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    verts = (fwd.select("src")
+             .union(fwd.select(F.col("dst").alias("src"))).distinct())
+    edges = (fwd
+             .union(fwd.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst")))
+             .union(verts.select("src", F.col("src").alias("dst")))
+             .repartition(F.col("dst"))  # static side keeps the join key
+             .persist())
+    labels = verts.select(F.col("src").alias("id"),
+                          F.col("src").alias("label")).persist()
+    # no up-front label-sum job: on any non-empty edge set the first pass
+    # strictly decreases some label (for edge a<b, b's min drops to <= a),
+    # so None never falsely matches; on an empty set both sums are None and
+    # the loop exits after one cheap pass
+    prev_sum = None
+    passes = 0
+    with _no_aqe(spark):
+        while True:
+            new_labels = (edges.join(labels, edges.dst == labels.id)
+                          .groupBy("src").agg(F.min("label").alias("label"))
+                          .withColumnRenamed("src", "id")
+                          .persist())
+            new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+            labels.unpersist()
+            labels = new_labels
+            if new_sum == prev_sum:  # int never equals the None sentinel
+                break
+            prev_sum = new_sum
+            passes += 1
+            if max_passes is not None and passes >= max_passes:
+                labels.unpersist()
+                edges.unpersist()
+                return None
+    edges.unpersist()
+    return labels
+
+
+# adaptive-mode pass budget, counted in CHANGING passes (the confirming
+# pass is free to finish): measured shallow near-dup graphs take 2 at
+# sf0.1 and 4 on the 50k collapsed-edge stress; a graph still moving
+# after 6 has diameter >~ 12 — deep enough that star's bounded-round
+# schedule wins, and the <= 6 wasted passes are the bounded price of
+# deciding from the graph's own behavior instead of a caller hint
+_LP_PASS_CAP = 6
+
+
 def q_dedup_clusters(spark, sf_dir, pairs: DataFrame | None = None,
-                     star: bool = True):
+                     star: bool | str = "auto"):
     """Duplicate-cluster assignment: connected components over the MinHash
     candidate pairs — the step that turns pairwise candidates into
     keep/drop groups in a dedup pipeline.
 
-    DEFAULT algorithm = large-star/small-star (cc_star_labels): O(log^2 n)
-    rounds regardless of component diameter, and A/B-measured FASTER than
-    label propagation even on the shallow sandbox graph (sf0.1 cold:
-    star 5.4 s vs label-prop 8.8 s; 200-deep chain: 10.5 s vs 114.6 s;
-    2000-deep chain: star 16.5 s while label-prop's per-pass lineage
-    overflows the planner stack).  ``star=False`` keeps the min-label
-    propagation loop as the equality baseline (identical output rows,
-    asserted on the gate corpora, a deep chain, and seeded random graphs).
+    DEFAULT algorithm = ADAPTIVE (``star="auto"``): run min-label
+    propagation with a ``_LP_PASS_CAP`` pass budget — same-session A/B
+    with pre-materialized edges measured it ~1.4x faster than star on
+    shallow graphs (50k stress: 6-7 s vs 9-12 s; near-dup graphs converge
+    in 2-3 passes) — and cut over to large-star/small-star
+    (cc_star_labels) if the labels are still moving at the cap, because
+    label-prop's pass count is O(component diameter): a 200-deep chain
+    costs it 114.6 s vs star's 10.5 s, and at 2000 deep its per-pass
+    lineage overflows the planner stack while star finishes in 16.5 s
+    (O(log^2 n) rounds).  Component diameter is not knowable a priori at
+    web scale, so the decision is made from the graph's own convergence
+    behavior, never a caller hint.  ``star=True`` forces star;
+    ``star=False`` keeps pure label propagation as the equality baseline
+    (identical output rows, asserted on the gate corpora, deep chains,
+    self-pair graphs, and seeded random graphs vs a python union-find).
 
     ``pairs``: inject a precomputed candidate-pair DataFrame (columns
     doc_a, doc_b).  The default path builds the exact-collapsed edge set
@@ -2132,16 +2198,8 @@ def q_dedup_clusters(spark, sf_dir, pairs: DataFrame | None = None,
     full pair graph, m-1 edges instead of m^2/2 on a cluster of m
     identical docs, see collapsed_dup_edges), reuses the per-session
     pairs/edges memos, and memoizes the finished PERSISTED label table so
-    repeated consumers never re-run the fixpoint.
-
-    Label-prop branch per-pass shape (r3 restructure): SELF-edges folded
-    into the static edge set once, so ``min(label over N(v) + {v})`` is
-    ONE join + ONE aggregate per pass; the edge table is pre-partitioned
-    on the join key and persisted — only the label side (one row per
-    vertex) shuffles per pass; convergence = exact integer label-sum
-    unchanged (labels only decrease).  Passes are O(diameter), which is
-    why it is the baseline and star is the default."""
-    use_memo = pairs is None and star
+    repeated consumers never re-run the fixpoint."""
+    use_memo = pairs is None and star is not False
     if use_memo:
         _evict_stale(_CLUSTERS_CACHE)
         cached = _CLUSTERS_CACHE.get((id(spark), sf_dir))
@@ -2162,51 +2220,35 @@ def q_dedup_clusters(spark, sf_dir, pairs: DataFrame | None = None,
             pairs = collapsed_dup_edges(spark, sf_dir, pairs=paid).persist()
             pairs.count()  # materialize WITH AQE, before the _no_aqe loop
             _EDGES_CACHE[key] = pairs
-    if star:
+
+    labels = None
+    if star is True:
         result = cc_star_labels(spark, pairs)
-        if use_memo:
-            result = result.persist()
-            result.count()
-            _CLUSTERS_CACHE[(id(spark), sf_dir)] = result
-        return result
-    # ---- label-propagation baseline (star=False); never memoized, so the
-    # equality tests always compare two independent computations
-    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    verts = (fwd.select("src")
-             .union(fwd.select(F.col("dst").alias("src"))).distinct())
-    edges = (fwd
-             .union(fwd.select(F.col("dst").alias("src"),
-                               F.col("src").alias("dst")))
-             .union(verts.select("src", F.col("src").alias("dst")))
-             .repartition(F.col("dst"))  # static side keeps the join key
-             .persist())
-    labels = verts.select(F.col("src").alias("id"),
-                          F.col("src").alias("label")).persist()
-    # no up-front label-sum job: on any non-empty edge set the first pass
-    # strictly decreases some label (for edge a<b, b's min drops to <= a),
-    # so None never falsely matches; on an empty set both sums are None and
-    # the loop exits after one cheap pass
-    prev_sum = None
-    with _no_aqe(spark):
-        while True:
-            new_labels = (edges.join(labels, edges.dst == labels.id)
-                          .groupBy("src").agg(F.min("label").alias("label"))
-                          .withColumnRenamed("src", "id")
-                          .persist())
-            new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
-            labels.unpersist()
-            labels = new_labels
-            if new_sum == prev_sum:  # int never equals the None sentinel
-                break
-            prev_sum = new_sum
-    edges.unpersist()
-    # the final persisted label table is intentionally NOT memoized (the
-    # equality tests need independent computations) but must still be
-    # reclaimable: track it for clear_candidate_pairs_cache, else every
-    # star=False call strands one cached table until session end
-    _BASELINE_NODES.append(labels)
-    return labels.select(F.col("id").alias("doc_id"),
-                         F.col("label").alias("cluster_id"))
+    elif star == "auto":
+        labels = _label_prop_labels(spark, pairs, max_passes=_LP_PASS_CAP)
+        if labels is None:  # still moving at the cap: deep graph -> star
+            result = cc_star_labels(spark, pairs)
+        else:
+            result = labels.select(F.col("id").alias("doc_id"),
+                                   F.col("label").alias("cluster_id"))
+    else:
+        # pure baseline; never memoized, so the equality tests always
+        # compare two independent computations
+        labels = _label_prop_labels(spark, pairs)
+        _BASELINE_NODES.append(labels)
+        return labels.select(F.col("id").alias("doc_id"),
+                             F.col("label").alias("cluster_id"))
+
+    if use_memo:
+        result = result.persist()
+        result.count()
+        _CLUSTERS_CACHE[(id(spark), sf_dir)] = result
+    if labels is not None:
+        # the projection rides the persisted labels node (unpersisting it
+        # here would CASCADE and drop the memoized projection's cache);
+        # track it so teardown reclaims it with everything else
+        _BASELINE_NODES.append(labels)
+    return result
 
 
 SQL_DEDUP_CLUSTERS = f"""

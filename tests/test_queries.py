@@ -873,11 +873,24 @@ def test_cc_star_variant_matches_label_prop(spark):
                                  q_dedup_clusters)
 
     a = {(r.doc_id, r.cluster_id)
-         for r in q_dedup_clusters(spark, SF).collect()}  # default = star
+         for r in q_dedup_clusters(spark, SF).collect()}  # default = auto
     b = {(r.doc_id, r.cluster_id)
          for r in q_dedup_clusters(spark, SF, star=False).collect()}
     assert a == b
     clear_candidate_pairs_cache()
+    c = {(r.doc_id, r.cluster_id)
+         for r in q_dedup_clusters(spark, SF, star=True).collect()}
+    assert a == c
+    clear_candidate_pairs_cache()
+
+    # adaptive mode on a DEEP graph: label-prop cannot converge within the
+    # pass cap on a 60-deep chain, so auto must cut over to star and still
+    # produce the right components
+    deep = spark.createDataFrame([(i, i + 1) for i in range(60)],
+                                 "doc_a long, doc_b long")
+    auto_deep = {(r.doc_id, r.cluster_id)
+                 for r in q_dedup_clusters(spark, SF, pairs=deep).collect()}
+    assert auto_deep == {(i, 0) for i in range(61)}
 
     chain = spark.createDataFrame([(i, i + 1) for i in range(100)],
                                   "doc_a long, doc_b long")

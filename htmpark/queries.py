@@ -2765,6 +2765,87 @@ SELECT probe_id, rank, vec_id, cos_e4 FROM (
 """
 
 
+def _quantize_expr(col):
+    """Symmetric int8 quantization, engine-exact: q_i = floor(x_i * 127 /
+    max|x| + 0.5), every step in explicit DOUBLE (float32 inputs widen
+    exactly; double +,*,/,floor are IEEE-identical across engines — only
+    promotion ambiguity or fold order could diverge, and there is
+    neither).  Zero vectors quantize to zeros."""
+    mx = F.array_max(F.transform(col, lambda x: F.abs(x.cast("double"))))
+    return F.transform(
+        col,
+        lambda x: F.when(mx == 0, F.lit(0).cast("bigint")).otherwise(
+            F.floor(x.cast("double") * 127.0 / mx + 0.5)))
+
+
+def q_sim_quantized_topk(spark, sf_dir,
+                         max_broadcast_probes: int = _MAX_BROADCAST_PROBES,
+                         probe_count: int | None = None,
+                         force_bucketed: bool = False):
+    """ANN serving path #3: int8-QUANTIZED top-5 — the standard 4x
+    memory/shuffle-bandwidth reduction for embedding search at scale.
+    Vectors are max-abs-scaled to [-127, 127] ints (engine-exact, see
+    _quantize_expr) and scored by EXACT INTEGER dot product (64 dims x
+    127^2 fits comfortably in int64; no float fold-order anywhere after
+    quantization), so ranks are bit-stable and a DuckDB oracle exists.
+    Ordering (qdot desc, vec_id); regime self-derivation identical to
+    q_sim_topk_bruteforce (footer-stat probe_count, broadcast under the
+    crossover, sign-LSH bucket equi-join above — quantization preserves
+    element signs up to the half-step rounding, which only re-buckets
+    near-zero components consistently on both sides of the join)."""
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "embeddings")
+    if probe_count is None and not force_bucketed:
+        n = _table_num_rows(sf_dir, "embeddings")
+        probe_count = None if n is None else n // 100
+    eq = e.select("vec_id", _quantize_expr(F.col("embedding")).alias("embedding"))
+    probes = eq.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe"))
+    dot = F.aggregate(
+        F.zip_with("pe", "embedding", lambda a, b: a * b),
+        F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    scored = (
+        _probe_pairs(eq, probes, max_broadcast_probes,
+                     probe_count=probe_count, force_bucketed=force_bucketed)
+        .where(F.col("probe_id") != F.col("vec_id"))
+        .select("probe_id", "vec_id", dot.alias("qdot"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("qdot").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("probe_id", "rank", "vec_id", "qdot")
+    )
+
+
+SQL_SIM_QUANTIZED_TOPK = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CASE WHEN mx = 0 THEN 0
+             ELSE CAST(floor(CAST(x AS DOUBLE) * 127.0 / mx + 0.5) AS BIGINT)
+             END) AS qv
+  FROM (SELECT vec_id, embedding,
+               list_max(list_transform(embedding,
+                                       x -> abs(CAST(x AS DOUBLE)))) AS mx
+        FROM embeddings)
+), probes AS (
+  SELECT vec_id AS probe_id, qv AS pq FROM q WHERE vec_id % 100 = 0
+), scored AS (
+  SELECT probe_id, vec_id,
+         CAST(list_sum(list_transform(range(1, len(pq) + 1),
+                                      i -> pq[i] * qv[i])) AS BIGINT) AS qdot
+  FROM q, probes WHERE probe_id != vec_id
+)
+SELECT probe_id, rank, vec_id, qdot FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                               ORDER BY qdot DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
 def q_sim_lsh_buckets(spark, sf_dir, n_bits: int | None = None,
                       collapse: bool = True):
     """Sign-LSH scale path: bucket on the sign pattern of the first n_bits
@@ -3644,6 +3725,7 @@ REGISTRY = {
     "text_pack_sequences": (q_text_pack_sequences, SQL_TEXT_PACK_SEQUENCES),
     "text_mixture_stats": (q_text_mixture_stats, SQL_TEXT_MIXTURE_STATS),
     "text_inverted_index": (q_text_inverted_index, SQL_TEXT_INVERTED_INDEX),
+    "sim_quantized_topk": (q_sim_quantized_topk, SQL_SIM_QUANTIZED_TOPK),
     # -- one prior driver-green round
     "html_headings": (q_html_headings, SQL_HTML_HEADINGS),
     "rel_value_percentiles": (q_rel_value_percentiles, SQL_REL_VALUE_PERCENTILES),

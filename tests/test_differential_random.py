@@ -47,7 +47,8 @@ QUERIES = [
     "text_stratified_sample", "text_decontamination",
     "text_pack_sequences", "text_mixture_stats", "text_inverted_index",
     # embeddings family
-    "sim_topk_bruteforce", "sim_lsh_buckets", "sim_kmeans_update",
+    "sim_topk_bruteforce", "sim_quantized_topk", "sim_lsh_buckets",
+    "sim_kmeans_update",
     "sim_ivf_topk", "dedup_embedding_cosine", "text_quality_filter",
     # html over random documents text (wrap template is text-inert)
     "html_parse_extract", "html_node_table", "html_sax_events",

@@ -838,6 +838,35 @@ def test_pack_sequences_two_phase_prefix_sum(spark):
     assert not any("doc_id" in s and "_bkt" not in s for s in specs), specs
 
 
+def test_quantized_topk_recall_and_regimes(spark):
+    """int8 quantization must preserve neighbor structure (recall@5 vs the
+    exact float cosine top-5 stays high on the gate set) and share the
+    broadcast/bucketed regime machinery (forced bucketed plan contains no
+    BroadcastNestedLoopJoin)."""
+    from htmpark.queries import q_sim_quantized_topk, q_sim_topk_bruteforce
+
+    exact = {}
+    for r in q_sim_topk_bruteforce(spark, SF).collect():
+        exact.setdefault(r.probe_id, set()).add(r.vec_id)
+    quant = {}
+    for r in q_sim_quantized_topk(spark, SF).collect():
+        quant.setdefault(r.probe_id, set()).add(r.vec_id)
+    assert set(quant) == set(exact)
+    hits = sum(len(exact[p] & quant[p]) for p in exact)
+    total = sum(len(exact[p]) for p in exact)
+    # the gate embeddings are UNIFORM on the sphere — cosines bunch near 0
+    # with razor-thin top-5 margins, the worst case for quantization noise
+    # (same caveat as the IVF recall curve in BENCH/BASELINE.md); measured
+    # 0.64 here vs near-1.0 on clustered real embeddings.  The floor
+    # guards against structural breakage (sign flips, scale bugs), not
+    # noise: a broken quantizer scores ~5/25 on this data.
+    assert hits / total >= 0.5, f"quantized recall@5 = {hits}/{total}"
+
+    plan = (q_sim_quantized_topk(spark, SF, force_bucketed=True)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
 def test_inverted_index_posting_state_is_bounded(spark):
     """The posting-sample build must follow the KMV k-minima shape: the
     row_number gate windows over (term, _salt) — never the bare term —

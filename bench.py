@@ -27,7 +27,7 @@ def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from htmpark.corpus import synthesize_pages
     from htmpark.job import build_session, extract_pages
-    from htmpark.queries import REGISTRY
+    from htmpark.queries import REGISTRY, candidate_pairs
 
     spark = build_session(f"local[{cpus}]", shuffle_partitions=max(cpus, 32),
                           app_name="htmpark-bench")
@@ -68,7 +68,6 @@ def main():
     # whichever family query the registry order happens to run first
     # (round 3 it landed on dedup_minhash_pairs and read as a 2.4x
     # regression).  It still counts toward the suite total.
-    from htmpark.queries import candidate_pairs
     t0 = time.time()
     candidate_pairs(spark, sf_dir)  # persist + eager count inside
     timings["dedup_family_memo"] = round(time.time() - t0, 3)

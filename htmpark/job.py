@@ -165,12 +165,21 @@ def _stat_host(v) -> tuple[str, bool]:
     provably extends PAST the authority — i.e. a path/query/fragment
     follows it; a value that ends inside scheme://host may have had its
     host cut mid-way."""
-    if isinstance(v, bytes):
-        v = v.decode("utf-8", "replace")
     from urllib.parse import urlparse
 
+    if isinstance(v, bytes):
+        v = v.decode("utf-8", "replace")
     p = urlparse(v)
     return p.netloc, bool(p.path or p.query or p.fragment)
+
+
+def _resolve_salt(df: DataFrame, salt_buckets: int | str) -> int:
+    """Turn salt_buckets="auto" into a concrete bucket count: proven
+    interleaving (detect_host_clustered is False) drops the shuffle;
+    proven clustering or missing statistics keep the 8-bucket insurance."""
+    if salt_buckets == "auto":
+        return 0 if detect_host_clustered(df) is False else 8
+    return salt_buckets
 
 
 def detect_host_clustered(df: DataFrame, sample_files: int = 64,
@@ -288,8 +297,7 @@ def extract_pages(df: DataFrame, salt_buckets: int | str = 8,
         df = df.withColumn(
             "html",
             F.when(F.octet_length("html") <= max_html_bytes, F.col("html")))
-    if salt_buckets == "auto":
-        salt_buckets = 0 if detect_host_clustered(df) is False else 8
+    salt_buckets = _resolve_salt(df, salt_buckets)
     if salt_buckets > 0:
         df = salted_repartition(df, salt_buckets, num_partitions)
     fn = (lambda it: _parse_batches(it, True)) if preserve_ws else _parse_batches
@@ -499,8 +507,7 @@ def run_extraction(spark: SparkSession, input_df: DataFrame, output_path: str,
     # resolve the salting decision ONCE for the whole job — the input is
     # fixed across waves, and re-deriving per wave would repeat the
     # driver-side file listing + footer reads num_parts times
-    if salt_buckets == "auto":
-        salt_buckets = 0 if detect_host_clustered(input_df) is False else 8
+    salt_buckets = _resolve_salt(input_df, salt_buckets)
 
     df = input_df.withColumn("part_id", _part_expr(num_parts))
     total_parts = 0

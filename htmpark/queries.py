@@ -2765,17 +2765,22 @@ SELECT probe_id, rank, vec_id, cos_e4 FROM (
 """
 
 
-def _quantize_expr(col):
+def _quantize_expr(col, mx):
     """Symmetric int8 quantization, engine-exact: q_i = floor(x_i * 127 /
     max|x| + 0.5), every step in explicit DOUBLE (float32 inputs widen
     exactly; double +,*,/,floor are IEEE-identical across engines — only
     promotion ambiguity or fold order could diverge, and there is
-    neither).  Zero vectors quantize to zeros."""
-    mx = F.array_max(F.transform(col, lambda x: F.abs(x.cast("double"))))
+    neither).  Zero vectors quantize to zeros.  ``mx`` (max|x|) must be a
+    pre-materialized column, NOT an inline array_max — embedded in the
+    lambda it would re-scan the array once per element (O(dim^2))."""
     return F.transform(
         col,
         lambda x: F.when(mx == 0, F.lit(0).cast("bigint")).otherwise(
             F.floor(x.cast("double") * 127.0 / mx + 0.5)))
+
+
+def _max_abs_expr(col):
+    return F.array_max(F.transform(col, lambda x: F.abs(x.cast("double"))))
 
 
 def q_sim_quantized_topk(spark, sf_dir,
@@ -2799,7 +2804,10 @@ def q_sim_quantized_topk(spark, sf_dir,
     if probe_count is None and not force_bucketed:
         n = _table_num_rows(sf_dir, "embeddings")
         probe_count = None if n is None else n // 100
-    eq = e.select("vec_id", _quantize_expr(F.col("embedding")).alias("embedding"))
+    eq = (e.withColumn("_mx", _max_abs_expr(F.col("embedding")))
+          .select("vec_id",
+                  _quantize_expr(F.col("embedding"),
+                                 F.col("_mx")).alias("embedding")))
     probes = eq.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe"))
     dot = F.aggregate(

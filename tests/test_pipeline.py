@@ -95,6 +95,10 @@ def test_auto_salt_from_footer_statistics(spark, tmp_out):
     plan_clus = (extract_pages(clus, salt_buckets="auto")
                  ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange hashpartitioning" in plan_clus, plan_clus
+    # the salted exchange must carry an EXPLICIT partition count: a bare
+    # repartition(cols) is AQE-coalescible and the byte-based coalesce
+    # target starves the CPU-bound parse (measured 8.5k -> 2.6k pages/s)
+    assert "REPARTITION_BY_NUM" in plan_clus, plan_clus
     plan_mem = (extract_pages(df, salt_buckets="auto")
                 ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange hashpartitioning" in plan_mem, plan_mem

@@ -164,13 +164,18 @@ def _stat_host(v) -> tuple[str, bool]:
     max's last byte), so the host is only trustworthy when the value
     provably extends PAST the authority — i.e. a path/query/fragment
     follows it; a value that ends inside scheme://host may have had its
-    host cut mid-way."""
+    host cut mid-way.  A bare "/" path does NOT count as complete: the
+    truncate-and-INCREMENT done on max stats can turn a host "." (0x2E)
+    into "/" (0x2F), making a cut host look like a complete one with a
+    root path — treating root-path urls as ambiguous costs only the
+    (safe) salting insurance on the rare row group whose max stat is a
+    root url."""
     from urllib.parse import urlparse
 
     if isinstance(v, bytes):
         v = v.decode("utf-8", "replace")
     p = urlparse(v)
-    return p.netloc, bool(p.path or p.query or p.fragment)
+    return p.netloc, bool((p.path and p.path != "/") or p.query or p.fragment)
 
 
 def _resolve_salt(df: DataFrame, salt_buckets: int | str) -> int:

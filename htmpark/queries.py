@@ -2120,9 +2120,15 @@ def _label_prop_labels(spark, pairs: DataFrame,
     vertex) shuffles per pass; convergence = exact integer label-sum
     unchanged (labels only decrease).  Passes are O(component diameter).
 
-    Returns the PERSISTED (id, label) table, or None when ``max_passes``
-    elapse without convergence (every intermediate unpersisted) — the
-    signal q_dedup_clusters' adaptive mode uses to cut over to star."""
+    Returns the PERSISTED (doc_id, cluster_id) table — final column names
+    so a caller can memoize THIS node directly, no renaming projection
+    (which would have to be separately persisted, doubling the cached
+    label mass) — or None when ``max_passes`` CHANGING passes elapse
+    without convergence (every intermediate unpersisted): the signal
+    q_dedup_clusters' adaptive mode uses to cut over to star.  The
+    confirming pass is never charged against the budget; the first pass
+    always counts as changing (the None sentinel — avoiding the up-front
+    label-sum job is worth the one-pass overcount)."""
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     verts = (fwd.select("src")
              .union(fwd.select(F.col("dst").alias("src"))).distinct())
@@ -2132,28 +2138,31 @@ def _label_prop_labels(spark, pairs: DataFrame,
              .union(verts.select("src", F.col("src").alias("dst")))
              .repartition(F.col("dst"))  # static side keeps the join key
              .persist())
-    labels = verts.select(F.col("src").alias("id"),
-                          F.col("src").alias("label")).persist()
+    labels = verts.select(F.col("src").alias("doc_id"),
+                          F.col("src").alias("cluster_id")).persist()
     # no up-front label-sum job: on any non-empty edge set the first pass
     # strictly decreases some label (for edge a<b, b's min drops to <= a),
     # so None never falsely matches; on an empty set both sums are None and
     # the loop exits after one cheap pass
     prev_sum = None
-    passes = 0
+    changing = 0
     with _no_aqe(spark):
         while True:
-            new_labels = (edges.join(labels, edges.dst == labels.id)
-                          .groupBy("src").agg(F.min("label").alias("label"))
-                          .withColumnRenamed("src", "id")
+            new_labels = (edges.join(labels, edges.dst == labels.doc_id)
+                          .groupBy("src")
+                          .agg(F.min("cluster_id").alias("cluster_id"))
+                          .withColumnRenamed("src", "doc_id")
                           .persist())
-            new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+            new_sum = new_labels.agg(F.sum("cluster_id")).collect()[0][0]
             labels.unpersist()
             labels = new_labels
             if new_sum == prev_sum:  # int never equals the None sentinel
                 break
             prev_sum = new_sum
-            passes += 1
-            if max_passes is not None and passes >= max_passes:
+            changing += 1
+            # strictly >: a graph converging in exactly max_passes changing
+            # passes still gets its (free) confirming pass
+            if max_passes is not None and changing > max_passes:
                 labels.unpersist()
                 edges.unpersist()
                 return None
@@ -2221,7 +2230,6 @@ def q_dedup_clusters(spark, sf_dir, pairs: DataFrame | None = None,
             pairs.count()  # materialize WITH AQE, before the _no_aqe loop
             _EDGES_CACHE[key] = pairs
 
-    labels = None
     if star is True:
         result = cc_star_labels(spark, pairs)
     elif star == "auto":
@@ -2229,25 +2237,24 @@ def q_dedup_clusters(spark, sf_dir, pairs: DataFrame | None = None,
         if labels is None:  # still moving at the cap: deep graph -> star
             result = cc_star_labels(spark, pairs)
         else:
-            result = labels.select(F.col("id").alias("doc_id"),
-                                   F.col("label").alias("cluster_id"))
+            # the persisted node already carries the final column names,
+            # so it IS the memoizable result — no second persisted copy
+            if use_memo:
+                _CLUSTERS_CACHE[(id(spark), sf_dir)] = labels
+            else:
+                _BASELINE_NODES.append(labels)
+            return labels.select("doc_id", "cluster_id")
     else:
         # pure baseline; never memoized, so the equality tests always
         # compare two independent computations
         labels = _label_prop_labels(spark, pairs)
         _BASELINE_NODES.append(labels)
-        return labels.select(F.col("id").alias("doc_id"),
-                             F.col("label").alias("cluster_id"))
+        return labels.select("doc_id", "cluster_id")
 
     if use_memo:
         result = result.persist()
         result.count()
         _CLUSTERS_CACHE[(id(spark), sf_dir)] = result
-    if labels is not None:
-        # the projection rides the persisted labels node (unpersisting it
-        # here would CASCADE and drop the memoized projection's cache);
-        # track it so teardown reclaims it with everything else
-        _BASELINE_NODES.append(labels)
     return result
 
 
@@ -2667,6 +2674,23 @@ def _probe_pairs(e: DataFrame, probes: DataFrame,
     return eb.join(pb, "_b").drop("_b")
 
 
+def _self_derived_probes(e: DataFrame, sf_dir: str,
+                         probe_count: int | None,
+                         force_bucketed: bool):
+    """The shared probe rule (vec_id % 100 == 0) plus its self-derived
+    planning-time count: the %-100 rule makes probe_count = n_rows/100,
+    read from the parquet footer — no hint to forget, no counting job.
+    One definition so the rule and its crossover derivation can never
+    drift between the three probe-pairing queries.  Returns
+    (probes, probe_count)."""
+    if probe_count is None and not force_bucketed:
+        n = _table_num_rows(sf_dir, "embeddings")
+        probe_count = None if n is None else n // 100
+    probes = e.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe"))
+    return probes, probe_count
+
+
 def q_dedup_embedding_cosine(spark, sf_dir,
                              max_broadcast_probes: int = _MAX_BROADCAST_PROBES,
                              probe_count: int | None = None,
@@ -2682,11 +2706,8 @@ def q_dedup_embedding_cosine(spark, sf_dir,
     flips to the sign-LSH bucket equi-join with no hint to forget and no
     counting job (both regimes plan-asserted in tests)."""
     e = t(spark, sf_dir, "embeddings")
-    if probe_count is None and not force_bucketed:
-        n = _table_num_rows(sf_dir, "embeddings")
-        probe_count = None if n is None else n // 100
-    probes = e.where(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe"))
+    probes, probe_count = _self_derived_probes(e, sf_dir, probe_count,
+                                               force_bucketed)
     pairs = (_probe_pairs(e, probes, max_broadcast_probes,
                           probe_count=probe_count,
                           force_bucketed=force_bucketed)
@@ -2728,11 +2749,8 @@ def q_sim_topk_bruteforce(spark, sf_dir,
     from pyspark.sql.window import Window
 
     e = t(spark, sf_dir, "embeddings")
-    if probe_count is None and not force_bucketed:
-        n = _table_num_rows(sf_dir, "embeddings")
-        probe_count = None if n is None else n // 100
-    probes = e.where(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe"))
+    probes, probe_count = _self_derived_probes(e, sf_dir, probe_count,
+                                               force_bucketed)
     cos = _cos_expr(F.col("pe"), F.col("embedding"))
     scored = (
         _probe_pairs(e, probes, max_broadcast_probes,
@@ -2801,15 +2819,12 @@ def q_sim_quantized_topk(spark, sf_dir,
     from pyspark.sql.window import Window
 
     e = t(spark, sf_dir, "embeddings")
-    if probe_count is None and not force_bucketed:
-        n = _table_num_rows(sf_dir, "embeddings")
-        probe_count = None if n is None else n // 100
     eq = (e.withColumn("_mx", _max_abs_expr(F.col("embedding")))
           .select("vec_id",
                   _quantize_expr(F.col("embedding"),
                                  F.col("_mx")).alias("embedding")))
-    probes = eq.where(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe"))
+    probes, probe_count = _self_derived_probes(eq, sf_dir, probe_count,
+                                               force_bucketed)
     dot = F.aggregate(
         F.zip_with("pe", "embedding", lambda a, b: a * b),
         F.lit(0).cast("bigint"), lambda acc, x: acc + x)

@@ -23,7 +23,14 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 if _HERE not in sys.path:
     sys.path.insert(0, _HERE)
 
-from htmpark.queries import REGISTRY  # noqa: E402
+from htmpark.queries import REGISTRY, resolve_sql  # noqa: E402
+
+# the driver runs the side-by-side gate at sf0.01; callable oracles (whose
+# SQL text derives from table statistics, e.g. sim_lsh_buckets' bit width)
+# are resolved against that directory.  At every gate scale the derived
+# parameters equal their floors, so a mismatched assumption here would be
+# caught by tools/check_oracle.py, which resolves at its own --sf.
+_DRIVER_GATE_SF = "/root/testdata/sf0.01"
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -37,4 +44,5 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}
+    return {name: resolve_sql(sql, _DRIVER_GATE_SF)
+            for name, (_fn, sql) in REGISTRY.items() if sql is not None}

@@ -24,7 +24,7 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))) + "/tools")
 from check_oracle import frame_hash  # noqa: E402
 
-from htmpark.queries import REGISTRY  # noqa: E402
+from htmpark.queries import REGISTRY, resolve_sql  # noqa: E402
 
 VOCAB = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
          "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi "
@@ -213,6 +213,7 @@ def rnd_duck(rnd_sf):
 @pytest.mark.parametrize("name", QUERIES)
 def test_random_differential(spark, rnd_sf, rnd_duck, name):
     fn, sql = REGISTRY[name]
+    sql = resolve_sql(sql, rnd_sf)
     stab = fn(spark, rnd_sf).toArrow()
     scols = stab.column_names
     srows = [tuple(r[c] for c in scols) for r in stab.to_pylist()]

@@ -8,7 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 import __spark_entry__ as entrymod
-from htmpark.queries import REGISTRY
+from htmpark.queries import REGISTRY, resolve_sql
 
 SF = "/root/testdata/sf0.001"
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
@@ -49,6 +49,7 @@ def test_fast_query_matches_oracle(spark, duck, name):
     from check_oracle import frame_hash
 
     fn, sql = REGISTRY[name]
+    sql = resolve_sql(sql, SF)
     stab = fn(spark, SF).toArrow()
     scols = stab.column_names
     srows = [tuple(d[c] for c in scols) for d in stab.to_pylist()]
@@ -963,3 +964,39 @@ def test_cc_star_variant_matches_label_prop(spark):
             parent[max(rx, ry)] = min(rx, ry)
         verts = {v for e in edges for v in e}
         assert got == {(v, find(v)) for v in verts}
+
+
+def test_registry_outputs_are_scalar(spark):
+    """Driver-contract invariant: NO queries() output column may be an
+    array/map/struct.  The binding correctness driver canonicalizes via a
+    pandas sort_values across all columns, which raises "unhashable type"
+    on list/dict cells BEFORE comparing anything — the second
+    hash-representation trap it has sprung (r1: HUGEINT vs int64; r4:
+    text_inverted_index's array postings shipped driver-red despite being
+    oracle-exact).  Complex values must be serialized to strings
+    (concat_ws / array_to_string) on both engines."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = []
+    for name, (fn, _sql) in REGISTRY.items():
+        for field in fn(spark, SF).schema.fields:
+            if isinstance(field.dataType, (ArrayType, MapType, StructType)):
+                bad.append(f"{name}.{field.name}: {field.dataType.simpleString()}")
+    assert not bad, f"non-scalar driver output columns: {bad}"
+
+
+def test_registry_order_is_safe():
+    """The driver verifies only the first 50 registry entries; entries past
+    that window must be >=3x driver-green, green in the LATEST recorded
+    round, and byte-untouched since their fingerprints were recorded (r4
+    ADVICE: the order was a load-bearing manual invariant with no
+    enforcement).  tools/check_registry_order.py recomputes all three
+    from CORRECTNESS_r*.json + source fingerprints."""
+    import subprocess
+    import sys as _sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    res = subprocess.run(
+        [_sys.executable, os.path.join(root, "tools", "check_registry_order.py")],
+        capture_output=True, text=True)
+    assert res.returncode == 0, res.stdout + res.stderr

@@ -73,7 +73,7 @@ def main():
     import duckdb
 
     from htmpark.job import build_session
-    from htmpark.queries import REGISTRY
+    from htmpark.queries import REGISTRY, resolve_sql
 
     con = duckdb.connect()
     for tbl in TABLES:
@@ -88,6 +88,7 @@ def main():
     failures = 0
     for name in names:
         fn, sql = REGISTRY[name]
+        sql = resolve_sql(sql, args.sf)
         try:
             sdf = fn(spark, args.sf)
             stab = sdf.toArrow()

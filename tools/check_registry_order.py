@@ -1,0 +1,123 @@
+#!/usr/bin/env python3
+"""Enforce the registry-order invariant (r4 ADVICE).
+
+REGISTRY order IS the driver-verification schedule: the correctness gate
+reads only the FIRST ``WINDOW`` (50) entries, so entries past the window go
+driver-unverified that round.  That is only safe for queries that are
+(a) repeatedly driver-green, (b) green in the MOST RECENT round (they get
+no row next round, so their last signal must be fresh), and (c) untouched
+since that green row.  This tool recomputes all three from committed
+artifacts and fails loudly when a tail entry violates any of them —
+closing the "a future round touches a tail query and leaves it silently
+unverified" hazard.
+
+Evidence sources:
+- green history: CORRECTNESS_r*.json (committed per round by the driver);
+- untouched-ness: a sha256 fingerprint of each query's function source +
+  oracle SQL (inspect.getsource, so docstring edits count as touches —
+  conservative), stored in tools/registry_fingerprints.json.
+
+Run ``--update`` ONLY right after the full oracle gate passed on the
+current tree (tools/check_oracle.py): it re-records every fingerprint as
+"this source is what the latest green rows verified".  Helper-function
+changes are NOT fingerprinted (a query calling a changed helper keeps its
+fingerprint); reorder manually when a shared helper's semantics change.
+
+Exit 0 = order is safe; exit 1 = a tail entry needs to move into the
+window (or the fingerprints need a legitimate --update).
+"""
+import argparse
+import glob
+import hashlib
+import inspect
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+WINDOW = 50
+MIN_TAIL_GREENS = 3
+FPRINT_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "registry_fingerprints.json")
+
+
+def fingerprint(fn, sql) -> str:
+    h = hashlib.sha256(inspect.getsource(fn).encode())
+    if sql is not None:
+        h.update(inspect.getsource(sql).encode() if callable(sql)
+                 else sql.encode())
+    return h.hexdigest()
+
+
+def green_history(repo_root):
+    """{name: [(round_file, green_bool), ...]} from CORRECTNESS_r*.json."""
+    hist = {}
+    for f in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
+        for name, row in json.load(open(f)).items():
+            ok = row.get("err") is None and all(
+                v for k, v in row.items()
+                if k.endswith("_match") and v is not None)
+            hist.setdefault(name, []).append((os.path.basename(f), ok))
+    return hist
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--update", action="store_true",
+                    help="re-record fingerprints (run ONLY after the full "
+                         "oracle gate passed on this tree)")
+    args = ap.parse_args()
+
+    from htmpark.queries import REGISTRY
+
+    current = {name: fingerprint(fn, sql)
+               for name, (fn, sql) in REGISTRY.items()}
+    if args.update:
+        json.dump(current, open(FPRINT_PATH, "w"), indent=1, sort_keys=True)
+        print(f"recorded {len(current)} fingerprints -> {FPRINT_PATH}")
+        return
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    hist = green_history(repo_root)
+    latest = max(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")),
+                 default=None)
+    latest = os.path.basename(latest) if latest else None
+    stored = (json.load(open(FPRINT_PATH))
+              if os.path.exists(FPRINT_PATH) else {})
+
+    problems = []
+    for pos, name in enumerate(REGISTRY, start=1):
+        if pos <= WINDOW:
+            continue
+        rounds = hist.get(name, [])
+        greens = sum(ok for _, ok in rounds)
+        if greens < MIN_TAIL_GREENS:
+            problems.append(
+                f"pos {pos} {name}: only {greens} driver-green rounds "
+                f"(tail needs >= {MIN_TAIL_GREENS})")
+        fresh = [ok for f, ok in rounds if f == latest]
+        if latest and not (fresh and fresh[0]):
+            problems.append(
+                f"pos {pos} {name}: not green in {latest} — a tail entry "
+                f"gets no driver row next round, so its last signal must "
+                f"be fresh")
+        if name not in stored:
+            problems.append(f"pos {pos} {name}: no recorded fingerprint "
+                            f"(run --update after a green gate)")
+        elif stored[name] != current[name]:
+            problems.append(
+                f"pos {pos} {name}: source/oracle changed since last "
+                f"verification — move it into the first {WINDOW} entries")
+    if problems:
+        print("REGISTRY ORDER UNSAFE:")
+        for p in problems:
+            print("  " + p)
+        sys.exit(1)
+    print(f"registry order OK: {len(REGISTRY)} entries, "
+          f"{max(0, len(REGISTRY) - WINDOW)} tail entries all "
+          f">={MIN_TAIL_GREENS}x green, fresh in {latest}, untouched")
+
+
+if __name__ == "__main__":
+    main()

@@ -58,6 +58,21 @@ def main():
                             "row_number() OVER (PARTITION BY x ORDER BY id)"
                             " AS rn")
                 .groupBy("x").count())
+    # ...and the head-of-line queries themselves: the generic probe above
+    # still left a ~0.3-0.7s residual on whichever queries ran first
+    # (r4: text_repetition/text_decontamination at positions 1-2 read as
+    # regressions that were session residuals — codegen compiles,
+    # broadcast-exchange thread init, python worker pool growth).  Running
+    # the first two registry entries once untimed levels the field; every
+    # later query already runs in a fully warm session.
+    # (memo consumers are excluded: warm-running one would build the
+    # shared candidate-pair materialization here and zero out the
+    # dedup_family_memo attribution line below)
+    _MEMO_CONSUMERS = {"dedup_minhash_pairs", "dedup_clusters",
+                       "graph_pagerank", "curation_pipeline"}
+    for _name in list(REGISTRY)[:2]:
+        if _name not in _MEMO_CONSUMERS:
+            materialize(REGISTRY[_name][0](spark, sf_dir))
 
     timings = {}
 

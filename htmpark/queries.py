@@ -2050,15 +2050,19 @@ def cc_star_labels(spark, pairs: DataFrame) -> DataFrame:
     order-insensitive engine-side checksum (count + bit_xor(xxhash64)) —
     one 1-row collect per round, never row data on the driver.
 
-    Each round is localCheckpoint-ed eagerly: the alternating joins would
-    otherwise accrete a plan that doubles per round (same driver-dominates
-    lesson as the PageRank loop).  Output schema matches q_dedup_clusters:
+    Each round is localCheckpoint-ed LAZILY (eager=False) with the
+    checksum collect as the materializing action, so one round = ONE Spark
+    job, not checkpoint-then-scan (r4 VERDICT micro: at 10^12 edges the
+    extra per-round job scan is real money).  The checkpoint still
+    truncates lineage — the alternating joins would otherwise accrete a
+    plan that doubles per round (same driver-dominates lesson as the
+    PageRank loop).  Output schema matches q_dedup_clusters:
     (doc_id, cluster_id), components provably identical (both compute the
     min-id per connected component; equality-tested on the gate corpora, a
     100-deep chain, and seeded random graphs vs a python union-find)."""
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     edges = (fwd.where(F.col("src") != F.col("dst"))
-             .distinct().localCheckpoint(eager=True))
+             .distinct().localCheckpoint(eager=False))
     # vertices whose ONLY pair is a self-pair (doc_a == doc_b) never enter
     # the fixpoint but are vertices of the graph — the label-prop baseline
     # and the recursive-CTE oracle both emit them as their own singleton
@@ -2099,7 +2103,7 @@ def cc_star_labels(spark, pairs: DataFrame) -> DataFrame:
     with _no_aqe(spark):
         prev = _checksum(edges)
         while True:
-            edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+            edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
             cur = _checksum(edges)
             if cur == prev:
                 break

@@ -598,3 +598,72 @@ def test_package_runs_from_pyfiles_zip(tmp_out):
                        capture_output=True, text=True, timeout=120)
     assert r.returncode == 0, r.stderr
     assert "zip-ok" in r.stdout
+
+
+def test_auto_salt_surt_sharded_hot_host(spark, tmp_out):
+    """Hostile layout (r4 VERDICT fixture): a SURT-sorted corpus SHARDED
+    ACROSS FILES — every row group is single-host (clustered), but the hot
+    host's rows span many separate files rather than one contiguous run.
+    Per-file locality must not fool the row-weighted detector: the
+    scheduling hazard is the single-host ROW GROUP, wherever it lives, so
+    auto must still salt."""
+    from htmpark.job import detect_host_clustered
+
+    # 1 hot host with 16000 rows + 8 tail hosts with 500 each, sorted by
+    # url then range-sharded into 8 files: the hot host dominates ~6 of
+    # the 8 shards, each shard holding only its slice of the sorted run
+    pages = spark.range(0, 20000).selectExpr(
+        "concat('https://', CASE WHEN id < 16000 THEN 'hot' ELSE "
+        "concat('tail', cast(id % 8 as string)) END, "
+        "'.example.com/p/', lpad(cast(id as string), 8, '0')) as url",
+        "cast(concat('<p>page ', cast(id as string), repeat(' filler', 300),"
+        " '</p>') as binary) as html")
+    path = os.path.join(tmp_out, "surt_sharded")
+    (pages.repartitionByRange(8, "url").sortWithinPartitions("url")
+          .write.option("parquet.block.size", 64 * 1024).parquet(path))
+    sharded = spark.read.parquet(path)
+    assert len(sharded.inputFiles()) >= 8
+    assert detect_host_clustered(sharded) is True
+    plan = (extract_pages(sharded, salt_buckets="auto")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange hashpartitioning" in plan, plan
+
+
+def test_auto_salt_giant_url_statistics_edge(spark, tmp_out):
+    """Statistics-ambiguity edges (r4 VERDICT fixture): stats that cannot
+    prove interleaving must NEVER be read as interleaved — dropping the
+    salt on input that needs it is the asymmetric failure.
+
+    (a) 4KB+ urls: both parquet writers in this stack (Spark's parquet-mr
+    and pyarrow) OMIT min/max for values over the 4096-byte statistics
+    limit, so every row group is stat-less -> detector returns None (not
+    False) and auto keeps the 8-bucket insurance.
+    (b) a truncated stat that ends inside the host (no path/query left)
+    parses as ambiguous in _stat_host -> counted as clustered, never as
+    proof of interleaving."""
+    from htmpark.job import _stat_host, detect_host_clustered
+
+    giant = "x" * 5000  # url > 4096B -> writer drops the column stat
+    pages = spark.range(0, 300).selectExpr(
+        f"concat('https://h', cast(id % 7 as string), '.example.com/{giant}/',"
+        " cast(id as string)) as url",
+        "cast('<p>x</p>' as binary) as html")
+    path = os.path.join(tmp_out, "giant_urls")
+    pages.write.parquet(path)
+    giant_df = spark.read.parquet(path)
+    import pyarrow.parquet as pq
+    f = giant_df.inputFiles()[0]
+    st = (pq.ParquetFile(f[len("file:"):]).metadata
+          .row_group(0).column(0).statistics)
+    assert st is None or not st.has_min_max  # the premise: stat was dropped
+    assert detect_host_clustered(giant_df) is None
+    plan = (extract_pages(giant_df, salt_buckets="auto")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange hashpartitioning" in plan, plan
+
+    # (b) the truncation-ambiguity arm: a min/max cut mid-host has no
+    # path/query/fragment -> ok=False -> detect counts the group clustered
+    host, ok = _stat_host("https://aaaaaaaa")  # truncated inside the host
+    assert not ok
+    host2, ok2 = _stat_host("https://a.example.com/p/1")
+    assert ok2 and host2 == "a.example.com"

@@ -3765,6 +3765,154 @@ FROM s
 """
 
 
+def q_text_unigram_lm(spark, sf_dir):
+    """Unigram-LM quality proxy, INTEGER-EXACT: per-document mean
+    log2(collection frequency) per token, in centibits.  High scores mean
+    a document made of common corpus words; rare-garbage/OCR noise scores
+    low — the cheap LM-style quality gate that runs before a real
+    KenLM-perplexity pass in a pre-training pipeline.
+
+    floor(log2(cf)) is computed as ``length(bin(cf)) - 1`` — a binary
+    string length, never a float log (float log2 of exact powers of two
+    is engine-dependent in the last ulp; string length is exact in both
+    engines by construction).
+
+    Scale shape: ONE explode scan feeds (doc_id, term) partial-agg counts;
+    the vocabulary table (term -> cf) is a second partial agg over those
+    counts (map-side combine shrinks both shuffles to distinct keys per
+    task).  The scoring join keys on term, which is stop-word-skewed by
+    nature: the build side is one row per term, so skew lands on the
+    probe side where AQE's skew-join split handles it (at 10^12 docs a
+    trained vocabulary is also bounded — broadcast it when known small).
+    Final per-doc aggregate keys on high-cardinality doc_id."""
+    d = t(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    w = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = w.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    cf = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
+    bits = F.length(F.bin(F.col("cf"))) - 1  # floor(log2(cf)), exact
+    return (tf.join(cf, "term")
+            .groupBy("doc_id")
+            .agg(F.sum("tf").alias("n_tokens"),
+                 F.sum(F.col("tf") * bits).alias("lm_num"))
+            .withColumn("lm_cb", F.expr("lm_num * 100 DIV n_tokens")))
+
+
+SQL_TEXT_UNIGRAM_LM = """
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY doc_id, term),
+cf AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY term)
+SELECT doc_id,
+       CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       CAST(SUM(tf * (length(bin(cf)) - 1)) AS BIGINT) AS lm_num,
+       CAST(SUM(tf * (length(bin(cf)) - 1)) * 100
+            // SUM(tf) AS BIGINT) AS lm_cb
+FROM tf JOIN cf USING (term)
+GROUP BY doc_id
+"""
+
+
+def q_rel_event_funnel(spark, sf_dir):
+    """Conversion funnel, cohorted by first-view date: per user, the first
+    'view' event and the first 'purchase' STRICTLY AFTER it; cohorts
+    aggregate user count, converted count, and the exact summed
+    view-to-purchase delay in microseconds (integer — never an averaged
+    float).  Users who never view land in the NULL cohort.
+
+    Scale shape: ONE exchange on user_id serves everything — the
+    first-view window, the per-user conditional min (user_id is a subset
+    of the group keys, so the window's hashpartitioning satisfies the
+    aggregate's distribution; same single-exchange contract as
+    rel_event_sessions, plan-asserted), and only |users| rows reach the
+    tiny cohort aggregate.  Delays use unix_micros/epoch_us — engine-exact
+    integers, no timestamp-cast floor divergence."""
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id")
+    fv = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    per_user = (ev.withColumn("_fv", fv)
+                .groupBy("user_id", "_fv")
+                .agg(F.min(F.when((F.col("event_type") == "purchase")
+                                  & (F.col("ts") > F.col("_fv")),
+                                  F.col("ts"))).alias("_fp")))
+    return (per_user
+            .groupBy(F.to_date("_fv").alias("cohort_date"))
+            .agg(F.count("*").alias("n_users"),
+                 F.count("_fp").alias("n_converted"),
+                 # cast before unix_micros: parquet reads TIMESTAMP_NTZ
+                 # (UTC session tz, same idiom as streaming.py's gap_us)
+                 F.sum(F.unix_micros(F.col("_fp").cast("timestamp"))
+                       - F.unix_micros(F.col("_fv").cast("timestamp")))
+                 .alias("delay_us_sum"))
+            .orderBy("cohort_date"))
+
+
+SQL_REL_EVENT_FUNNEL = """
+WITH u AS (
+  SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS fv
+  FROM events GROUP BY user_id
+), p AS (
+  SELECT e.user_id, u.fv,
+         MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > u.fv
+                  THEN e.ts END) AS fp
+  FROM events e JOIN u USING (user_id)
+  GROUP BY e.user_id, u.fv
+)
+SELECT CAST(fv AS DATE) AS cohort_date,
+       COUNT(*) AS n_users,
+       COUNT(fp) AS n_converted,
+       CAST(SUM(epoch_us(fp) - epoch_us(fv)) AS BIGINT) AS delay_us_sum
+FROM p
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def q_dedup_label_noise(spark, sf_dir, pairs: DataFrame | None = None):
+    """Label-noise / representation-drift audit: MinHash near-dup TEXT
+    pairs whose EMBEDDINGS disagree (cosine below 0.8) — texts the dedup
+    pass says are the same document but the embedding model says are not.
+    Standard pre-training data-quality sweep: such pairs flag stale
+    embeddings, truncated encoder inputs, or near-dup false positives,
+    and feed a re-embed/re-shingle queue.
+
+    Scale shape: reuses the session's memoized candidate-pair
+    materialization (banding keeps |pairs| near the true near-dup count —
+    never all-pairs), then two hash joins keyed on the high-cardinality
+    doc id pull in both embeddings; cosine + flag are row-local.  At
+    10^12 docs the pair table is the small side — AQE broadcasts it when
+    it fits, and both joins shuffle at most |pairs| + matched vectors."""
+    if pairs is None:
+        pairs = candidate_pairs(spark, sf_dir)
+    e = t(spark, sf_dir, "embeddings")
+    ea = e.select(F.col("vec_id").alias("doc_a"),
+                  F.col("embedding").alias("emb_a"))
+    eb = e.select(F.col("vec_id").alias("doc_b"),
+                  F.col("embedding").alias("emb_b"))
+    cos = _cos_expr(F.col("emb_a"), F.col("emb_b"))
+    return (pairs.join(ea, "doc_a").join(eb, "doc_b")
+            .select("doc_a", "doc_b",
+                    F.round(cos * 10000).cast("int").alias("cos_e4"))
+            .withColumn("label_noise",
+                        (F.col("cos_e4") < 8000).cast("int")))
+
+
+SQL_DEDUP_LABEL_NOISE = f"""
+WITH pairs AS ({SQL_DEDUP_MINHASH_PAIRS})
+SELECT p.doc_a, p.doc_b,
+       CAST(round({_duck_cos('ea.embedding', 'eb.embedding')} * 10000)
+            AS INT) AS cos_e4,
+       CAST(CASE WHEN CAST(round({_duck_cos('ea.embedding', 'eb.embedding')}
+                                 * 10000) AS INT) < 8000
+                 THEN 1 ELSE 0 END AS INT) AS label_noise
+FROM pairs p
+JOIN embeddings ea ON p.doc_a = ea.vec_id
+JOIN embeddings eb ON p.doc_b = eb.vec_id
+"""
+
+
 # ---------------------------------------------------------------------------
 
 # REGISTRY order IS the driver-verification schedule: the correctness gate
@@ -3782,6 +3930,10 @@ REGISTRY = {
     #    postings serialized to string; LSH oracle width now derived
     "text_inverted_index": (q_text_inverted_index, SQL_TEXT_INVERTED_INDEX),
     "sim_lsh_buckets": (q_sim_lsh_buckets, SQL_SIM_LSH_BUCKETS),
+    # -- new in r5
+    "text_unigram_lm": (q_text_unigram_lm, SQL_TEXT_UNIGRAM_LM),
+    "rel_event_funnel": (q_rel_event_funnel, SQL_REL_EVENT_FUNNEL),
+    "dedup_label_noise": (q_dedup_label_noise, SQL_DEDUP_LABEL_NOISE),
     # -- no r4 driver row (r4's tail): rotate forward for fresh rows
     "rel_customers_without_orders": (q_rel_customers_without_orders, SQL_REL_CUSTOMERS_WITHOUT_ORDERS),
     "rel_topk_expensive_parts": (q_rel_topk_expensive_parts, SQL_REL_TOPK_EXPENSIVE_PARTS),

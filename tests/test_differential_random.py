@@ -38,6 +38,7 @@ QUERIES = [
     # events family
     "rel_events_minutely", "rel_event_sessions", "rel_events_pivot",
     "rel_events_json", "rel_events_gapfill", "rel_asof_attribution",
+    "rel_event_funnel",
     "rel_range_join", "sketch_distinct_kmv", "sketch_kminima_merge",
     # documents family
     "dedup_exact", "dedup_substring", "dedup_minhash_sig",
@@ -46,6 +47,7 @@ QUERIES = [
     "text_repetition", "text_lang_id", "text_hash_split",
     "text_stratified_sample", "text_decontamination",
     "text_pack_sequences", "text_mixture_stats", "text_inverted_index",
+    "text_unigram_lm",
     # embeddings family
     "sim_topk_bruteforce", "sim_quantized_topk", "sim_lsh_buckets",
     "sim_kmeans_update",
@@ -58,7 +60,7 @@ QUERIES = [
     # the full dedup DAG: banding pairs -> connected components ->
     # pagerank -> curation verdict, incl. the recursive-CTE oracle, on
     # a corpus whose dup structure is random
-    "dedup_minhash_pairs", "dedup_clusters", "graph_pagerank",
+    "dedup_minhash_pairs", "dedup_label_noise", "dedup_clusters", "graph_pagerank",
     "curation_pipeline",
     # TPC-H-shaped relational family on random tables with duplicate
     # dates/prices — tiebreak determinism must carry them

@@ -1000,3 +1000,41 @@ def test_registry_order_is_safe():
         [_sys.executable, os.path.join(root, "tools", "check_registry_order.py")],
         capture_output=True, text=True)
     assert res.returncode == 0, res.stdout + res.stderr
+
+
+def test_event_funnel_single_user_exchange(spark):
+    """The funnel's window + per-user conditional-min aggregate must share
+    ONE hashpartitioning(user_id) exchange (user_id is a subset of the
+    aggregate's keys); the only other hash exchange is the tiny cohort
+    aggregate."""
+    fn, _ = REGISTRY["rel_event_funnel"]
+    plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2
+    # plans print top-down: the bottom exchange is the user_id one that
+    # serves both the window and the per-user aggregate
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_unigram_lm_reuses_term_exchange(spark):
+    """The vocabulary aggregate and the scoring join probe are the same
+    term-partitioned (doc_id, term) subtree; AQE must materialize that
+    exchange once (ReusedExchange in the final plan), so term counts
+    shuffle a single time."""
+    fn, _ = REGISTRY["text_unigram_lm"]
+    df = fn(spark, SF)
+    df.collect()  # exchange reuse is decided at runtime
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan
+
+
+def test_label_noise_reuses_pairs_memo(spark):
+    """dedup_label_noise consumes the session's memoized candidate-pair
+    materialization: with the memo warm its plan reads the cached table,
+    never a second banding DAG."""
+    from htmpark.queries import candidate_pairs
+
+    candidate_pairs(spark, SF)  # warm the memo
+    fn, _ = REGISTRY["dedup_label_noise"]
+    plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan

@@ -887,9 +887,11 @@ def test_inverted_index_posting_state_is_bounded(spark):
     rows = df.collect()
     assert rows
     for r in rows:
-        assert len(r.postings) <= _IDX_POSTING_CAP
-        assert r.postings == sorted(r.postings)
-        assert r.df >= len(r.postings) and r.cf >= r.df
+        # postings is a comma-joined STRING (driver-canonicalizer contract)
+        ids = [int(x) for x in r.postings.split(",")]
+        assert len(ids) <= _IDX_POSTING_CAP
+        assert ids == sorted(ids)
+        assert r.df >= len(ids) and r.cf >= r.df
 
 
 def test_cc_star_variant_matches_label_prop(spark):

@@ -27,7 +27,7 @@ def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from htmpark.corpus import synthesize_pages
     from htmpark.job import build_session, extract_pages
-    from htmpark.queries import REGISTRY, candidate_pairs
+    from htmpark.queries import REGISTRY, candidate_pairs, q_dedup_clusters
 
     spark = build_session(f"local[{cpus}]", shuffle_partitions=max(cpus, 32),
                           app_name="htmpark-bench")
@@ -86,6 +86,15 @@ def main():
     t0 = time.time()
     candidate_pairs(spark, sf_dir)  # persist + eager count inside
     timings["dedup_family_memo"] = round(time.time() - t0, 3)
+
+    # same treatment for the cluster-labels fixpoint: q_dedup_clusters
+    # memoizes the persisted label table, so whichever family consumer the
+    # registry order puts first would otherwise absorb the whole CC cost
+    # (r5 reorder: curation_pipeline ran before dedup_clusters and read as
+    # a 6x regression that was really this memo build)
+    t0 = time.time()
+    materialize(q_dedup_clusters(spark, sf_dir))
+    timings["dedup_labels_memo"] = round(time.time() - t0, 3)
 
     # headline: synthetic web-corpus extraction, sized to SF
     n_pages = max(2000, int(200_000 * sf))

@@ -378,7 +378,7 @@ def write_bucketed(df: DataFrame, table: str, key: str, buckets: int = 64,
     w.saveAsTable(table)
 
 
-_TABLE_FORMATS = ("parquet", "orc", "json", "csv")
+_TABLE_FORMATS = ("parquet", "orc", "json", "csv", "warc")
 
 
 def write_table(df: DataFrame, path: str, fmt: str = "parquet",
@@ -429,6 +429,12 @@ def read_table(spark: SparkSession, path: str, fmt: str = "parquet",
     the default splittable path."""
     if fmt not in _TABLE_FORMATS:
         raise ValueError(f"fmt must be one of {_TABLE_FORMATS}")
+    if fmt == "warc":
+        # Common-Crawl-style archive shards -> (url, warc_ts, html, ...)
+        # via the binaryFile scan + Arrow-batched record splitter
+        from .warc import read_warc
+
+        return read_warc(spark, path)
     r = spark.read.format(fmt)
     if schema is not None:
         r = r.schema(schema)

@@ -28,7 +28,6 @@ count so lineage audits can find rotten shards.
 """
 from __future__ import annotations
 
-import io
 import zlib
 from datetime import datetime, timezone
 
@@ -192,10 +191,67 @@ def write_warc(path: str, records, gzip_members: bool = False) -> int:
     ``records``: iterable of ``(url, warc_date_str, html_bytes)``.  Each
     becomes a ``response`` record wrapping a minimal HTTP 200 message;
     ``gzip_members=True`` writes the Common Crawl layout (one gzip member
-    per record, mtime pinned to 0 so output is byte-deterministic).
+    per record; zlib carries no mtime, so output is byte-deterministic).
     Returns the record count."""
+    return _append_warc(path, records, gzip_members, fresh=True)
+
+
+def write_warc_shards(df: DataFrame, out_dir: str,
+                      gzip_members: bool = True) -> list:
+    """Distributed WARC export: ONE ``.warc(.gz)`` shard per input
+    partition — the inverse of :func:`read_warc`, for handing extracted
+    or re-filtered corpora back to archive consumers.
+
+    Input frame: ``(url, warc_ts, html)`` (extra columns ignored).  Each
+    executor task streams its partition into
+    ``{out_dir}/part-{pid:05d}.warc[.gz]`` and emits one manifest row —
+    the job's collected result is the manifest ``[(shard, n_records,
+    n_bytes)]``, tiny regardless of corpus size (same
+    audit-before-publish shape as run_extraction's manifest; the page
+    data itself never touches the driver).  Shard size = partition size:
+    callers control it with repartition, exactly how Common Crawl sizes
+    its ~1 GB shards."""
+    import os
+
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+    ext = ".warc.gz" if gzip_members else ".warc"
+
+    def dump(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}{ext}")
+        n = 0
+        for pdf in batches:
+            recs = []
+            for url, ts, html in zip(pdf["url"], pdf["warc_ts"],
+                                     pdf["html"]):
+                date_s = ("" if ts is None or pd.isna(ts)
+                          else pd.Timestamp(ts).strftime(
+                              "%Y-%m-%dT%H:%M:%SZ"))
+                recs.append((url, date_s, bytes(html)))
+            # append mode: write_warc opens fresh, so buffer per batch
+            n += _append_warc(path, recs, gzip_members, fresh=(n == 0))
+        size = os.path.getsize(path) if n else 0
+        yield pd.DataFrame({"shard": pd.Series([path], dtype="object"),
+                            "n_records": pd.Series([n], dtype="int64"),
+                            "n_bytes": pd.Series([size], dtype="int64")})
+
+    manifest = (df.select("url", "warc_ts", "html")
+                .mapInPandas(dump, "shard string, n_records long, "
+                                   "n_bytes long")
+                .collect())
+    return [(r.shard, r.n_records, r.n_bytes) for r in manifest
+            if r.n_records > 0]
+
+
+def _append_warc(path: str, records, gzip_members: bool,
+                 fresh: bool) -> int:
+    """write_warc's framing, append-capable (multi-batch partitions)."""
     n = 0
-    with open(path, "wb") as f:
+    with open(path, "wb" if fresh else "ab") as f:
         for url, date_s, html in records:
             http = (b"HTTP/1.1 200 OK\r\n"
                     b"Content-Type: text/html\r\n\r\n" + html)
@@ -207,11 +263,8 @@ def write_warc(path: str, records, gzip_members: bool = False) -> int:
                    f"Content-Length: {len(http)}\r\n\r\n").encode("ascii")
             rec = hdr + http + _CRLF2
             if gzip_members:
-                buf = io.BytesIO()
                 gz = zlib.compressobj(9, zlib.DEFLATED, 31)
                 rec = gz.compress(rec) + gz.flush()
-                buf.write(rec)
-                rec = buf.getvalue()
             f.write(rec)
             n += 1
     return n

@@ -17,28 +17,34 @@ import json
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", help="parquet/Iceberg path of (url, warc_ts, html, text, lang)")
+    ap.add_argument("--input", help="path of (url, warc_ts, html, text, lang)")
+    ap.add_argument("--input-format", default="parquet",
+                    choices=["parquet", "orc", "json", "csv", "warc"],
+                    help="source format; warc = Common-Crawl shard dir")
     ap.add_argument("--synthesize", type=int, default=0,
                     help="instead of --input, synthesize N deterministic pages")
     ap.add_argument("--output", required=True)
     ap.add_argument("--parts", type=int, default=64,
                     help="checkpoint partitions (scale with input size)")
-    ap.add_argument("--salt", type=int, default=8,
-                    help="salt buckets for host skew; 0 = no repartition")
+    ap.add_argument("--salt", default="auto",
+                    help="salt buckets for host skew: an int, 0 = no "
+                         "repartition, or 'auto' (default) = decide from "
+                         "parquet footer url statistics")
     ap.add_argument("--no-resume", action="store_true")
     args = ap.parse_args()
 
     from htmpark.corpus import synthesize_pages
-    from htmpark.job import build_session, run_extraction
+    from htmpark.job import build_session, read_table, run_extraction
 
+    salt = args.salt if args.salt == "auto" else int(args.salt)
     spark = build_session()  # master comes from spark-submit
     spark.sparkContext.setLogLevel("WARN")
     if args.synthesize:
         df = synthesize_pages(spark, args.synthesize)
     else:
-        df = spark.read.parquet(args.input)
+        df = read_table(spark, args.input, fmt=args.input_format)
     res = run_extraction(spark, df, args.output, num_parts=args.parts,
-                         salt_buckets=args.salt, resume=not args.no_resume)
+                         salt_buckets=salt, resume=not args.no_resume)
     print(json.dumps(res))
     spark.stop()
 

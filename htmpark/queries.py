@@ -3765,6 +3765,48 @@ FROM s
 """
 
 
+def q_warc_round_trip(spark, sf_dir):
+    """WARC I/O through the binding gate: wrap each document as a page,
+    EXPORT one gzip-member WARC shard per partition (write_warc_shards),
+    read the shards back through the binaryFile source (read_warc), and
+    emit per-url payload byte count + record timestamp — the oracle
+    recomputes both straight from the documents table, so a framing,
+    gzip, Content-Length, or date round-trip defect anywhere in
+    htmpark/warc.py breaks the hash.  Same run-real-I/O-in-the-gate
+    pattern as the streaming queries (tmp sink tracked in
+    _STREAM_SINK_DIRS, reclaimed at teardown).
+
+    Scale shape is the sink's + source's own: shard-per-partition export
+    with an audited manifest (no page bytes on the driver), then a
+    one-task-per-shard scan + Arrow-batched record split."""
+    import tempfile
+
+    from .warc import read_warc, write_warc_shards
+
+    d = t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://docs.example.com/"),
+                 F.col("doc_id")).alias("url"),
+        F.lit("2024-01-01T00:00:00").cast("timestamp_ntz").alias("warc_ts"),
+        F.encode(F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>")),
+                 "UTF-8").alias("html"))
+    out = tempfile.mkdtemp(prefix="htmpark_warc_gate_")
+    _STREAM_SINK_DIRS.append(out)
+    write_warc_shards(d.repartition(8, "url"), out)
+    back = read_warc(spark, out)
+    return back.select(
+        "url",
+        F.length("html").alias("n_bytes"),
+        F.unix_micros(F.col("warc_ts").cast("timestamp")).alias("ts_us"))
+
+
+SQL_WARC_ROUND_TRIP = """
+SELECT 'https://docs.example.com/' || doc_id AS url,
+       CAST(octet_length(encode('<p>' || text || '</p>')) AS INT) AS n_bytes,
+       CAST(1704067200000000 AS BIGINT) AS ts_us
+FROM documents
+"""
+
+
 def q_text_unigram_lm(spark, sf_dir):
     """Unigram-LM quality proxy, INTEGER-EXACT: per-document mean
     log2(collection frequency) per token, in centibits.  High scores mean
@@ -3931,6 +3973,7 @@ REGISTRY = {
     "text_inverted_index": (q_text_inverted_index, SQL_TEXT_INVERTED_INDEX),
     "sim_lsh_buckets": (q_sim_lsh_buckets, SQL_SIM_LSH_BUCKETS),
     # -- new in r5
+    "warc_round_trip": (q_warc_round_trip, SQL_WARC_ROUND_TRIP),
     "text_unigram_lm": (q_text_unigram_lm, SQL_TEXT_UNIGRAM_LM),
     "rel_event_funnel": (q_rel_event_funnel, SQL_REL_EVENT_FUNNEL),
     "dedup_label_noise": (q_dedup_label_noise, SQL_DEDUP_LABEL_NOISE),

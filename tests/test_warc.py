@@ -123,3 +123,30 @@ def test_write_warc_shards_round_trip(spark, tmp_path):
             for r in read_warc(spark, out).collect()}
     assert back == {r.url: (r.warc_ts, bytes(r.html))
                     for r in df.collect()}
+
+
+def test_warc_round_trip_property(tmp_path):
+    """Property: ANY byte body (including embedded CRLFCRLF, gzip magic,
+    NULs) and any printable-ASCII url round-trips exactly through the
+    writer + record parser, in both plain and gzip-member layouts —
+    Content-Length framing means record content can never corrupt the
+    grammar."""
+    from hypothesis import given, settings, strategies as st
+
+    url_st = st.text(
+        alphabet=st.characters(min_codepoint=0x21, max_codepoint=0x7E),
+        min_size=1, max_size=50).map(lambda s: "https://h.example.com/" + s)
+    body_st = st.binary(min_size=0, max_size=400)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.tuples(url_st, body_st), min_size=1, max_size=6),
+           st.booleans())
+    def check(recs, gz):
+        pages = [(u, "2024-01-01T00:00:00Z", b) for u, b in recs]
+        p = str(tmp_path / ("prop.warc.gz" if gz else "prop.warc"))
+        write_warc(p, pages, gzip_members=gz)
+        got = [(h["warc-target-uri"], http_payload(b))
+               for h, b in iter_warc_records(open(p, "rb").read())]
+        assert got == [(u, b) for u, b in recs]
+
+    check()

@@ -3765,6 +3765,106 @@ FROM s
 """
 
 
+def q_web_url_canonical(spark, sf_dir):
+    """URL canonicalization + SURT key — the exact-dedup key a crawl
+    frontier / web-corpus dedup actually groups on (raw url strings
+    over-count: case, default ports, fragments, param order, and
+    trailing slashes all alias the same page).
+
+    Input urls are SYNTHESIZED deterministically from doc_id (the
+    documents table carries no url column) with every mess the
+    canonicalizer must fix: mixed-case scheme+host, explicit :80,
+    www. prefix, trailing slash, shuffled query params, fragments.
+    Canonical form: lowercase scheme/host, www. and :80 stripped,
+    fragment dropped, query params sorted, trailing slash trimmed.
+    SURT key: host labels reversed + comma-joined (org,example,site3)/
+    — the prefix-clusterable form columnar web indexes sort on.
+
+    Scale shape: pure row-local string/array expressions (split,
+    array_sort, reverse, concat) inside whole-stage codegen — no
+    shuffle, no UDF; the canonical key then feeds the standard exact
+    groupBy dedup (map-side combine), same as dedup_exact."""
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTP://")).otherwise(F.lit("https://")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("Site"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".Example.COM"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/A/b"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("?b=2&a=1")).otherwise(F.lit("?a=1&b=2")),
+        F.when(F.col("doc_id") % 6 == 0, F.lit("#frag")).otherwise(F.lit("")))
+    u = d.select("doc_id", url.alias("url"))
+    # strip fragment, split authority+path from query
+    nofrag = F.substring_index(F.col("url"), "#", 1)
+    base = F.substring_index(nofrag, "?", 1)
+    query = F.when(nofrag.contains("?"),
+                   F.substring_index(nofrag, "?", -1)).otherwise(F.lit(""))
+    sorted_q = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    # lowercase scheme://host[:port], strip :80 and www.
+    scheme = F.lower(F.substring_index(base, "://", 1))
+    rest = F.substring_index(base, "://", -1)
+    hostport = F.lower(F.substring_index(rest, "/", 1))
+    host = F.regexp_replace(
+        F.regexp_replace(hostport, ":80$", ""), "^www\\.", "")
+    path = F.expr("substr(rest, length(split_part(rest, '/', 1)) + 1)")
+    path = F.regexp_replace(path, "/$", "")
+    c = (u.withColumn("rest", rest)
+         .withColumn("canon_url",
+                     F.concat(scheme, F.lit("://"), host, path,
+                              F.when(sorted_q != "",
+                                     F.concat(F.lit("?"), sorted_q))
+                              .otherwise(F.lit(""))))
+         .withColumn("surt_key",
+                     F.concat(F.array_join(
+                         F.reverse(F.split(host, "\\.")), ","),
+                         F.lit(")"), path)))
+    return c.select("doc_id", "url", "canon_url", "surt_key")
+
+
+SQL_WEB_URL_CANONICAL = """
+WITH u AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END)
+         || (CASE WHEN doc_id % 5 = 0 THEN 'WWW.' ELSE '' END)
+         || 'Site' || (doc_id % 7) || '.Example.COM'
+         || (CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE '' END)
+         || '/A/b'
+         || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+         || (CASE WHEN doc_id % 2 = 0 THEN '?b=2&a=1' ELSE '?a=1&b=2' END)
+         || (CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END) AS url
+  FROM documents
+), parts AS (
+  SELECT doc_id, url,
+         split_part(split_part(url, '#', 1), '?', 1) AS base,
+         CASE WHEN contains(split_part(url, '#', 1), '?')
+              THEN split_part(split_part(url, '#', 1), '?', 2)
+              ELSE '' END AS query
+  FROM u
+), comp AS (
+  SELECT doc_id, url,
+         lower(split_part(base, '://', 1)) AS scheme,
+         split_part(base, '://', 2) AS rest,
+         regexp_replace(regexp_replace(
+             lower(split_part(split_part(base, '://', 2), '/', 1)),
+             ':80$', ''), '^www\\.', '') AS host,
+         regexp_replace(
+             substr(split_part(base, '://', 2),
+                    length(split_part(split_part(base, '://', 2), '/', 1)) + 1),
+             '/$', '') AS path,
+         array_to_string(list_sort(string_split(query, '&')), '&') AS sq
+  FROM parts
+)
+SELECT doc_id, url,
+       scheme || '://' || host || path
+         || (CASE WHEN sq != '' THEN '?' || sq ELSE '' END) AS canon_url,
+       array_to_string(list_reverse(string_split(host, '.')), ',')
+         || ')' || path AS surt_key
+FROM comp
+"""
+
+
 def q_warc_round_trip(spark, sf_dir):
     """WARC I/O through the binding gate: wrap each document as a page,
     EXPORT one gzip-member WARC shard per partition (write_warc_shards),
@@ -3974,6 +4074,7 @@ REGISTRY = {
     "sim_lsh_buckets": (q_sim_lsh_buckets, SQL_SIM_LSH_BUCKETS),
     # -- new in r5
     "warc_round_trip": (q_warc_round_trip, SQL_WARC_ROUND_TRIP),
+    "web_url_canonical": (q_web_url_canonical, SQL_WEB_URL_CANONICAL),
     "text_unigram_lm": (q_text_unigram_lm, SQL_TEXT_UNIGRAM_LM),
     "rel_event_funnel": (q_rel_event_funnel, SQL_REL_EVENT_FUNNEL),
     "dedup_label_noise": (q_dedup_label_noise, SQL_DEDUP_LABEL_NOISE),

@@ -57,8 +57,8 @@ QUERIES = [
     "html_node_stats",
     # multimodal fakes derived from documents
     "mm_binary_meta", "mm_frame_sample",
-    # WARC export->import round trip over random docs
-    "warc_round_trip",
+    # WARC export->import round trip + url canonicalization over random docs
+    "warc_round_trip", "web_url_canonical",
     # the full dedup DAG: banding pairs -> connected components ->
     # pagerank -> curation verdict, incl. the recursive-CTE oracle, on
     # a corpus whose dup structure is random

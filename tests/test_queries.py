@@ -1040,3 +1040,21 @@ def test_label_noise_reuses_pairs_memo(spark):
     fn, _ = REGISTRY["dedup_label_noise"]
     plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan
+
+
+def test_url_canonical_aliases_collapse(spark):
+    """The canonicalizer's whole point: urls that alias the same page
+    (case, :80, www., fragment, param order, trailing slash) share one
+    canon_url; scheme differences stay distinct.  Also pins the SURT
+    shape (reversed host labels + ')' + path)."""
+    fn, _ = REGISTRY["web_url_canonical"]
+    rows = {r.doc_id: r for r in fn(spark, SF).collect()}
+    # doc 0: every mess at once -> fully cleaned
+    assert rows[0].canon_url == "http://site0.example.com/A/b?a=1&b=2"
+    assert rows[0].surt_key == "com,example,site0)/A/b"
+    # messy raw urls collapse: far fewer canon urls than raw ones
+    raw = {r.url for r in rows.values()}
+    canon = {r.canon_url for r in rows.values()}
+    assert len(canon) < len(raw)
+    # scheme is NOT normalized away: http vs https stay distinct pages
+    assert {c.split("://")[0] for c in canon} == {"http", "https"}

@@ -3765,6 +3765,91 @@ FROM s
 """
 
 
+_WIN_K = 4  # tokens per k-gram
+_WIN_W = 5  # winnowing window: consecutive k-gram hashes per selection
+
+
+def q_dedup_winnowing(spark, sf_dir, k: int = _WIN_K, w: int = _WIN_W,
+                      fingerprint_rows: bool = False):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — the MOSS primitive): hash every k-token gram, slide a
+    w-hash window, keep each window's MINIMUM hash; the selected set is
+    a ~2/(w+1) fraction of all grams with the paper's guarantee that any
+    shared substring of length >= k + w - 1 tokens contributes at least
+    one COMMON fingerprint — a bounded, overlap-robust dedup key set
+    where plain sampling has no such guarantee.  (Variant note: we keep
+    the distinct selected hash VALUES per doc, dropping positions — the
+    standard dedup usage; the positional variant only matters for
+    locating matches.)
+
+    Output per doc: gram count, fingerprint count, and engine-exact
+    set checksums (bit_xor + min over int64 hashes) — the driver hash
+    pins the SELECTED SET, not just its size.
+
+    Scale shape: pre-explode repartition, then ONE window pass partitioned
+    on doc_id (grams of one doc are array-local by the same bounded-doc
+    contract as dedup_substring), distinct + partial-agg to one row per
+    doc.  Hashes use the md5-prefix int64 idiom shared with minhash —
+    engine-exact, no float anywhere."""
+    from pyspark.sql.window import Window
+
+    d = (t(spark, sf_dir, "documents")
+         .select("doc_id", F.split("text", " ").alias("toks"))
+         .where(F.size("toks") >= k + w - 1)
+         .repartition(spark.sparkContext.defaultParallelism))
+    g = d.select(
+        "doc_id", (F.size("toks") - (k - 1)).cast("long").alias("n_grams"),
+        F.posexplode(F.expr(
+            f"transform(sequence(1, size(toks) - {k - 1}), "
+            f"i -> concat_ws(' ', slice(toks, i, {k})))"))
+        .alias("pos", "gram"))
+    h = F.conv(F.substring(F.md5(F.col("gram").cast("binary")), 1, 15),
+               16, 10).cast("long")
+    wn = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    sel = (g.select("doc_id", "n_grams", "pos", h.alias("h"))
+           .withColumn("wmin", F.min("h").over(wn))
+           .where(F.col("pos") <= F.col("n_grams") - w)
+           .select("doc_id", "n_grams", "wmin").distinct())
+    if fingerprint_rows:
+        # the pairing consumer's surface: one row per selected hash —
+        # join docs on wmin to find winnowing-overlap candidates
+        return sel
+    return (sel.groupBy("doc_id", "n_grams")
+            .agg(F.count("*").alias("n_fp"),
+                 F.bit_xor("wmin").alias("fp_xor"),
+                 F.min("wmin").alias("fp_min")))
+
+
+SQL_DEDUP_WINNOWING = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  WHERE len(string_split(text, ' ')) >= {_WIN_K + _WIN_W - 1}
+), g AS (
+  SELECT doc_id, len(toks) - {_WIN_K - 1} AS n_grams,
+         unnest(generate_series(1, len(toks) - {_WIN_K - 1})) AS p, toks
+  FROM tok
+), gh AS (
+  SELECT doc_id, n_grams, p - 1 AS pos,
+         ('0x' || substr(md5(array_to_string(toks[p:p+{_WIN_K - 1}], ' ')),
+                         1, 15))::BIGINT AS h
+  FROM g
+), wm AS (
+  SELECT doc_id, n_grams, pos,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING)
+           AS wmin
+  FROM gh
+), fp AS (
+  SELECT DISTINCT doc_id, n_grams, wmin FROM wm
+  WHERE pos <= n_grams - {_WIN_W}
+)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, COUNT(*) AS n_fp,
+       CAST(bit_xor(wmin) AS BIGINT) AS fp_xor, MIN(wmin) AS fp_min
+FROM fp
+GROUP BY doc_id, n_grams
+"""
+
+
 def q_web_url_canonical(spark, sf_dir):
     """URL canonicalization + SURT key — the exact-dedup key a crawl
     frontier / web-corpus dedup actually groups on (raw url strings
@@ -4075,6 +4160,7 @@ REGISTRY = {
     # -- new in r5
     "warc_round_trip": (q_warc_round_trip, SQL_WARC_ROUND_TRIP),
     "web_url_canonical": (q_web_url_canonical, SQL_WEB_URL_CANONICAL),
+    "dedup_winnowing": (q_dedup_winnowing, SQL_DEDUP_WINNOWING),
     "text_unigram_lm": (q_text_unigram_lm, SQL_TEXT_UNIGRAM_LM),
     "rel_event_funnel": (q_rel_event_funnel, SQL_REL_EVENT_FUNNEL),
     "dedup_label_noise": (q_dedup_label_noise, SQL_DEDUP_LABEL_NOISE),

@@ -42,7 +42,7 @@ QUERIES = [
     "rel_range_join", "sketch_distinct_kmv", "sketch_kminima_merge",
     # documents family
     "dedup_exact", "dedup_substring", "dedup_minhash_sig",
-    "dedup_simhash", "dedup_ngram_jaccard", "text_quality",
+    "dedup_simhash", "dedup_ngram_jaccard", "dedup_winnowing", "text_quality",
     "text_token_count", "text_fingerprint", "text_top_terms",
     "text_repetition", "text_lang_id", "text_hash_split",
     "text_stratified_sample", "text_decontamination",

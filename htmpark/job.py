@@ -68,6 +68,9 @@ def build_session(master: str | None = None, shuffle_partitions: int = 32,
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # pin the session zone: NTZ->TIMESTAMP casts (e.g. unix_micros in
+        # the funnel/WARC gate queries) must not depend on the host TZ
+        .config("spark.sql.session.timeZone", "UTC")
         # html blobs are KBs-sized: cap Arrow batches so a batch of pages
         # stays well inside executor memory even with MB-sized outliers
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")

@@ -3858,10 +3858,13 @@ def q_web_url_canonical(spark, sf_dir):
 
     Input urls are SYNTHESIZED deterministically from doc_id (the
     documents table carries no url column) with every mess the
-    canonicalizer must fix: mixed-case scheme+host, explicit :80,
-    www. prefix, trailing slash, shuffled query params, fragments.
-    Canonical form: lowercase scheme/host, www. and :80 stripped,
-    fragment dropped, query params sorted, trailing slash trimmed.
+    canonicalizer must fix: mixed-case scheme+host, explicit :80/:443
+    (default AND non-default pairings), www. prefix, trailing slash,
+    shuffled query params, fragments.  Canonical form: lowercase
+    scheme/host, www. stripped, the scheme's OWN default port stripped
+    (:80 only for http, :443 only for https — https://host:80 is a
+    distinct origin and keeps its port; r5 ADVICE), fragment dropped,
+    query params sorted, trailing slash trimmed.
     SURT key: host labels reversed + comma-joined (org,example,site3)/
     — the prefix-clusterable form columnar web indexes sort on.
 
@@ -3875,7 +3878,13 @@ def q_web_url_canonical(spark, sf_dir):
         F.when(F.col("doc_id") % 5 == 0, F.lit("WWW.")).otherwise(F.lit("")),
         F.lit("Site"), (F.col("doc_id") % 7).cast("string"),
         F.lit(".Example.COM"),
-        F.when(F.col("doc_id") % 3 == 0, F.lit(":80")).otherwise(F.lit("")),
+        # ports cover all four scheme pairings: doc_id%3==0 -> :80
+        # (default for the even/http rows, non-default kept for odd/https)
+        # and doc_id%3==1 & %5==1 -> :443 (vice versa)
+        F.when(F.col("doc_id") % 3 == 0, F.lit(":80"))
+         .when((F.col("doc_id") % 3 == 1) & (F.col("doc_id") % 5 == 1),
+               F.lit(":443"))
+         .otherwise(F.lit("")),
         F.lit("/A/b"),
         F.when(F.col("doc_id") % 4 == 0, F.lit("/")).otherwise(F.lit("")),
         F.when(F.col("doc_id") % 2 == 0, F.lit("?b=2&a=1")).otherwise(F.lit("?a=1&b=2")),
@@ -3891,8 +3900,14 @@ def q_web_url_canonical(spark, sf_dir):
     scheme = F.lower(F.substring_index(base, "://", 1))
     rest = F.substring_index(base, "://", -1)
     hostport = F.lower(F.substring_index(rest, "/", 1))
-    host = F.regexp_replace(
-        F.regexp_replace(hostport, ":80$", ""), "^www\\.", "")
+    # strip only the scheme's own default port: :80 is non-default (a
+    # distinct origin) under https, and vice versa
+    noport = (F.when(scheme == "http",
+                     F.regexp_replace(hostport, ":80$", ""))
+               .when(scheme == "https",
+                     F.regexp_replace(hostport, ":443$", ""))
+               .otherwise(hostport))
+    host = F.regexp_replace(noport, "^www\\.", "")
     path = F.expr("substr(rest, length(split_part(rest, '/', 1)) + 1)")
     path = F.regexp_replace(path, "/$", "")
     c = (u.withColumn("rest", rest)
@@ -3914,7 +3929,9 @@ WITH u AS (
          (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END)
          || (CASE WHEN doc_id % 5 = 0 THEN 'WWW.' ELSE '' END)
          || 'Site' || (doc_id % 7) || '.Example.COM'
-         || (CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE '' END)
+         || (CASE WHEN doc_id % 3 = 0 THEN ':80'
+                  WHEN doc_id % 3 = 1 AND doc_id % 5 = 1 THEN ':443'
+                  ELSE '' END)
          || '/A/b'
          || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
          || (CASE WHEN doc_id % 2 = 0 THEN '?b=2&a=1' ELSE '?a=1&b=2' END)
@@ -3931,9 +3948,16 @@ WITH u AS (
   SELECT doc_id, url,
          lower(split_part(base, '://', 1)) AS scheme,
          split_part(base, '://', 2) AS rest,
-         regexp_replace(regexp_replace(
-             lower(split_part(split_part(base, '://', 2), '/', 1)),
-             ':80$', ''), '^www\\.', '') AS host,
+         regexp_replace(
+             CASE lower(split_part(base, '://', 1))
+               WHEN 'http' THEN regexp_replace(
+                 lower(split_part(split_part(base, '://', 2), '/', 1)),
+                 ':80$', '')
+               WHEN 'https' THEN regexp_replace(
+                 lower(split_part(split_part(base, '://', 2), '/', 1)),
+                 ':443$', '')
+               ELSE lower(split_part(split_part(base, '://', 2), '/', 1))
+             END, '^www\\.', '') AS host,
          regexp_replace(
              substr(split_part(base, '://', 2),
                     length(split_part(split_part(base, '://', 2), '/', 1)) + 1),
@@ -3978,10 +4002,15 @@ def q_warc_round_trip(spark, sf_dir):
     _STREAM_SINK_DIRS.append(out)
     write_warc_shards(d.repartition(8, "url"), out)
     back = read_warc(spark, out)
-    return back.select(
+    return back.where(F.col("html").isNotNull()).select(
         "url",
         F.length("html").alias("n_bytes"),
-        F.unix_micros(F.col("warc_ts").cast("timestamp")).alias("ts_us"))
+        # NTZ epoch via wall-clock timestampdiff — NOT a cast to
+        # TIMESTAMP, whose epoch depends on spark.sql.session.timeZone
+        # (build_session pins UTC, but the driver's own session need not)
+        F.expr("timestampdiff(MICROSECOND, "
+               "TIMESTAMP_NTZ '1970-01-01 00:00:00', warc_ts)")
+        .alias("ts_us"))
 
 
 SQL_WARC_ROUND_TRIP = """
@@ -4068,10 +4097,11 @@ def q_rel_event_funnel(spark, sf_dir):
             .groupBy(F.to_date("_fv").alias("cohort_date"))
             .agg(F.count("*").alias("n_users"),
                  F.count("_fp").alias("n_converted"),
-                 # cast before unix_micros: parquet reads TIMESTAMP_NTZ
-                 # (UTC session tz, same idiom as streaming.py's gap_us)
-                 F.sum(F.unix_micros(F.col("_fp").cast("timestamp"))
-                       - F.unix_micros(F.col("_fv").cast("timestamp")))
+                 # wall-clock timestampdiff on the NTZ columns: exact
+                 # micros, independent of spark.sql.session.timeZone (a
+                 # cast-to-TIMESTAMP difference can shift across a DST
+                 # boundary in a non-UTC session zone)
+                 F.sum(F.expr("timestampdiff(MICROSECOND, _fv, _fp)"))
                  .alias("delay_us_sum"))
             .orderBy("cohort_date"))
 

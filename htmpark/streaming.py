@@ -86,12 +86,12 @@ def click_attribution_stream(events: DataFrame, gap_minutes: int = 120,
             & (F.col("buy_ts") > F.col("click_ts"))
             & (F.col("buy_ts") <= F.col("click_ts")
                + F.expr(f"INTERVAL {gap_minutes} MINUTES")))
-    # cast before unix_micros: a parquet batch twin reads TIMESTAMP_NTZ,
-    # the stream schema declares TIMESTAMP — the difference is tz-invariant
+    # timestampdiff handles both legs of the twin (stream schema declares
+    # TIMESTAMP, the parquet batch twin reads TIMESTAMP_NTZ) and never
+    # routes through a session-timeZone-dependent cast
     return (clicks.join(buys, cond, "inner")
             .select(F.col("c_user").alias("user_id"), "click_id", "buy_id",
-                    (F.unix_micros(F.col("buy_ts").cast("timestamp"))
-                     - F.unix_micros(F.col("click_ts").cast("timestamp")))
+                    F.expr("timestampdiff(MICROSECOND, click_ts, buy_ts)")
                     .alias("gap_us"),
                     F.round(F.col("value") * 100).cast("bigint")
                      .alias("value_cents")))

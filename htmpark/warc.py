@@ -20,11 +20,17 @@ ONE task per shard, which is exactly the Common Crawl unit of work
 (~1 GB gzip per shard, tens of thousands of shards per crawl, so file
 count >> cluster parallelism and per-file tasks saturate any executor
 fleet).  Record splitting + gunzip run inside an Arrow-batched
-mapInPandas (no per-row Python); downstream re-parallelization beyond
-file granularity is extract_pages' salted repartition, decided there.
-Malformed shard tails are tolerated and COUNTED (never silently
-dropped): each emitted row carries the shard-level truncated-record
-count so lineage audits can find rotten shards.
+mapInPandas (no per-row Python), and both are STREAMED: gzip members
+are decompressed one at a time from bounded input slices and pages are
+emitted in bounded Arrow batches, so peak transient memory per task is
+~(compressed shard + one record + one output batch) — never the 4-5 GB
+decompressed image of a ~1 GB Common Crawl shard.  (The compressed
+shard itself is one in-memory value: that is ``binaryFile``'s contract;
+streaming the raw bytes too would need a custom DataSource.)
+Malformed shards are tolerated and COUNTED (never silently dropped):
+an unreadable shard tail — truncation, bit-rot, trailing garbage —
+emits one html-NULL lineage sentinel row with ``shard_truncated = 1``,
+so audits find rotten shards even when the rot precedes every page.
 """
 from __future__ import annotations
 
@@ -34,34 +40,83 @@ from datetime import datetime, timezone
 from pyspark.sql import DataFrame, SparkSession
 
 _CRLF2 = b"\r\n\r\n"
+# feed zlib bounded input slices; a WARC header block larger than this is
+# malformed (real headers are a few hundred bytes)
+_CHUNK = 1 << 20
+_MAX_HEADER = 1 << 16
+
+
+def _iter_decompressed(buf, chunk_size: int = _CHUNK):
+    """Yield decompressed chunks of a concatenation of gzip members (the
+    Common Crawl layout: one member per record) WITHOUT materializing the
+    whole decompressed shard: input is fed to zlib in bounded memoryview
+    slices (no copies) and each member's output is yielded as produced,
+    so peak transient memory is ~one member regardless of shard size.
+    Plain (non-gzip) input is yielded in raw slices.
+
+    A bit-rotten member (``zlib.error``: bad CRC / corrupt stream) and
+    trailing non-gzip garbage both re-raise as ``ValueError`` so tolerant
+    callers count a shard truncation instead of crashing the Spark task;
+    a truncated final member yields what zlib buffered and lets the
+    record grammar surface the cut."""
+    n = len(buf)
+    if not buf.startswith(b"\x1f\x8b"):
+        mv = memoryview(buf)
+        for pos in range(0, n, chunk_size):
+            yield mv[pos:pos + chunk_size].tobytes()
+        return
+    mv = memoryview(buf)
+    pos = 0
+    d = zlib.decompressobj(wbits=31)
+    carry = b""  # input fed but not yet consumed (max_length backpressure)
+    while pos < n or carry:
+        if not carry:
+            carry = mv[pos:pos + chunk_size]
+            pos += len(carry)
+        try:
+            # cap the output too: a single-stream .warc.gz (not the
+            # member-per-record CC layout) could otherwise blow one input
+            # slice up into an unbounded buffer
+            out = d.decompress(carry, chunk_size)
+        except zlib.error as e:
+            raise ValueError(f"corrupt gzip member near offset {pos}: {e}")
+        carry = d.unconsumed_tail
+        if out:
+            yield out
+        if d.eof:
+            pos -= len(d.unused_data)  # rewind to the next member start
+            carry = b""
+            if pos < n and not buf.startswith(b"\x1f\x8b", pos):
+                raise ValueError(
+                    f"trailing non-gzip garbage at offset {pos}")
+            d = zlib.decompressobj(wbits=31)
+    if not d.eof:
+        tail = d.flush()  # truncated final member: emit what decoded
+        if tail:
+            yield tail
 
 
 def gunzip_members(buf: bytes) -> bytes:
-    """Decompress a concatenation of gzip members (the Common Crawl WARC
-    layout: one member per record).  Plain input is returned unchanged."""
+    """Decompress a concatenation of gzip members into one buffer — the
+    small-shard/test convenience over :func:`_iter_decompressed` (the
+    Spark path streams and never calls this).  Plain input is returned
+    unchanged; corrupt members raise ``ValueError``, never
+    ``zlib.error``."""
     if not buf.startswith(b"\x1f\x8b"):
         return buf
-    out = []
-    while buf:
-        d = zlib.decompressobj(wbits=31)
-        out.append(d.decompress(buf))
-        out.append(d.flush())
-        buf = d.unused_data
-        if buf and not buf.startswith(b"\x1f\x8b"):
-            break  # trailing non-gzip garbage: surfaced by record parsing
-    return b"".join(out)
+    return b"".join(_iter_decompressed(buf))
 
 
 def _parse_header_block(block: bytes) -> dict:
     """'Name: value' lines -> dict (names lower-cased; first line kept
     under 'version')."""
     lines = block.split(b"\r\n")
-    hdr = {"version": lines[0].decode("ascii", "replace")}
+    hdr = {"version": lines[0].decode("utf-8", "replace")}
     for ln in lines[1:]:
         if b":" in ln:
             k, v = ln.split(b":", 1)
-            hdr[k.strip().lower().decode("ascii", "replace")] = \
-                v.strip().decode("ascii", "replace")
+            hdr[k.strip().lower().decode("utf-8", "replace")] = \
+                v.strip().decode("utf-8", "replace")
     return hdr
 
 
@@ -69,31 +124,49 @@ def iter_warc_records(buf: bytes):
     """Yield ``(headers, body)`` per WARC record; gzip members handled.
 
     ``headers`` is the parsed WARC header dict; ``body`` is the raw record
-    block (for ``response`` records: an HTTP message).  A truncated final
-    record raises ``ValueError`` — callers that must tolerate rotten
-    shard tails use :func:`parse_warc_shard`, which counts instead."""
-    buf = gunzip_members(buf)
-    pos = 0
-    n = len(buf)
-    while pos < n:
-        # skip inter-record CRLFs
-        while pos < n and buf[pos:pos + 2] == b"\r\n":
-            pos += 2
-        if pos >= n:
-            return
-        end_hdr = buf.find(_CRLF2, pos)
-        if end_hdr < 0 or not buf.startswith(b"WARC/", pos):
-            raise ValueError(f"malformed WARC header at offset {pos}")
-        hdr = _parse_header_block(buf[pos:end_hdr])
-        try:
-            length = int(hdr["content-length"])
-        except (KeyError, ValueError):
-            raise ValueError(f"missing Content-Length at offset {pos}")
-        body_start = end_hdr + 4
-        if body_start + length > n:
-            raise ValueError(f"truncated record at offset {pos}")
-        yield hdr, buf[body_start:body_start + length]
-        pos = body_start + length
+    block (for ``response`` records: an HTTP message).  STREAMING: records
+    are parsed from a rolling buffer fed one decompressed gzip member at a
+    time, so peak memory is ~one record, not the decompressed shard (the
+    r5 scale-shape fix).  A truncated/corrupt shard raises ``ValueError``
+    after the readable prefix has been yielded — callers that must
+    tolerate rotten shard tails use :func:`parse_warc_shard` (or the
+    Spark source's sentinel rows), which count instead."""
+    pending = bytearray()
+
+    def drain(at_end: bool):
+        while True:
+            pos = 0
+            while pending[pos:pos + 2] == b"\r\n":
+                pos += 2  # skip inter-record CRLFs
+            if pos:
+                del pending[:pos]
+            if not pending:
+                return
+            end_hdr = pending.find(_CRLF2, 0, _MAX_HEADER)
+            if end_hdr < 0:
+                if at_end or len(pending) >= _MAX_HEADER:
+                    raise ValueError("malformed WARC header "
+                                     "(no CRLFCRLF terminator)")
+                return  # need more data
+            if not pending.startswith(b"WARC/"):
+                raise ValueError("malformed WARC header (bad magic)")
+            hdr = _parse_header_block(bytes(pending[:end_hdr]))
+            try:
+                length = int(hdr["content-length"])
+            except (KeyError, ValueError):
+                raise ValueError("missing Content-Length in WARC header")
+            body_start = end_hdr + 4
+            if body_start + length > len(pending):
+                if at_end:
+                    raise ValueError("truncated final WARC record")
+                return  # need more data
+            yield hdr, bytes(pending[body_start:body_start + length])
+            del pending[:body_start + length]
+
+    for chunk in _iter_decompressed(buf):
+        pending += chunk
+        yield from drain(False)
+    yield from drain(True)
 
 
 def http_payload(body: bytes) -> bytes:
@@ -106,9 +179,12 @@ def http_payload(body: bytes) -> bytes:
 def parse_warc_shard(buf: bytes):
     """Tolerant shard parse: ``(pages, truncated)`` where pages is a list
     of ``(url, warc_date_str, html_bytes)`` from ``response`` records and
-    ``truncated`` counts parse aborts (0 or 1 per shard — a WARC error
-    makes the remainder of the shard unaddressable, which is precisely
-    what the per-partition lineage metrics must surface)."""
+    ``truncated`` counts parse aborts (0 or 1 per shard — a WARC error,
+    including a bit-rotten gzip member or trailing garbage, makes the
+    remainder of the shard unaddressable, which is precisely what the
+    per-partition lineage metrics must surface).  Materializes the page
+    list — the small-shard/test convenience; the Spark source streams
+    bounded batches instead (:func:`read_warc`)."""
     pages = []
     truncated = 0
     try:
@@ -138,6 +214,13 @@ READ_WARC_SCHEMA = ("url string, warc_ts timestamp_ntz, html binary, "
                     "lang string, shard string, shard_truncated int")
 
 
+# flush thresholds for the streamed record splitter: an output batch is
+# capped at ~2k pages or ~64 MB of payload, whichever comes first, so a
+# 4-5 GB decompressed Common Crawl shard never exists as one Python list
+_BATCH_ROWS = 2048
+_BATCH_BYTES = 64 << 20
+
+
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """Directory/glob of ``.warc`` / ``.warc.gz`` shards -> DataFrame
     (url, warc_ts, html, lang, shard, shard_truncated) — the pipeline's
@@ -145,10 +228,19 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     language; text_lang_id annotates it post-extraction) plus lineage.
 
     ``binaryFile`` scan (one task per shard — the Common Crawl work unit)
-    feeding an Arrow-batched mapInPandas record splitter; ``shard`` +
-    ``shard_truncated`` ride along for per-partition lineage (the
-    run_extraction manifest pattern: errors are counted, never silently
-    dropped)."""
+    feeding a STREAMED Arrow-batched mapInPandas record splitter: pages
+    flow shard -> bounded decompress -> bounded pandas batches, so peak
+    task memory is ~(compressed shard + one output batch).
+
+    Lineage: page rows carry ``shard_truncated = 0``; a shard whose tail
+    is unreadable (truncated record, bit-rotten gzip member, trailing
+    garbage) additionally emits ONE sentinel row — url/warc_ts/html NULL,
+    ``shard_truncated = 1`` — after its readable prefix.  Audits find
+    rotten shards via ``max(shard_truncated) GROUP BY shard`` even when
+    the rot precedes every page; page consumers filter
+    ``html IS NOT NULL`` (``extract_pages`` and the registry queries
+    do).  Errors are counted, never silently dropped — the
+    run_extraction manifest pattern."""
     import pandas as pd
 
     files = (spark.read.format("binaryFile")
@@ -156,31 +248,43 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
              .load(path)
              .select("path", "content"))
 
+    def frame(rows):
+        url, ts, html, shard, trunc = zip(*rows)
+        return pd.DataFrame({
+            # explicit dtypes: a sparse batch otherwise infers float64
+            # columns, which Arrow cannot cast to timestamp/int
+            "url": pd.Series(url, dtype="object"),
+            "warc_ts": pd.to_datetime(pd.Series(ts, dtype="object")),
+            "html": pd.Series(html, dtype="object"),
+            "lang": pd.Series([None] * len(rows), dtype="object"),
+            "shard": pd.Series(shard, dtype="object"),
+            "shard_truncated": pd.Series(trunc, dtype="int32"),
+        })
+
     def split(batches):
         for pdf in batches:
-            out = {"url": [], "warc_ts": [], "html": [],
-                   "shard": [], "shard_truncated": []}
             for p, content in zip(pdf["path"], pdf["content"]):
-                pages, truncated = parse_warc_shard(bytes(content))
-                for url, date_s, payload in pages:
-                    out["url"].append(url)
-                    out["warc_ts"].append(_parse_warc_date(date_s))
-                    out["html"].append(payload)
-                    out["shard"].append(p)
-                    out["shard_truncated"].append(truncated)
-            # explicit dtypes: an all-empty batch otherwise infers float64
-            # columns, which Arrow cannot cast to timestamp/int
-            yield pd.DataFrame({
-                "url": pd.Series(out["url"], dtype="object"),
-                "warc_ts": pd.to_datetime(
-                    pd.Series(out["warc_ts"], dtype="object")),
-                "html": pd.Series(out["html"], dtype="object"),
-                "lang": pd.Series([None] * len(out["url"]),
-                                  dtype="object"),
-                "shard": pd.Series(out["shard"], dtype="object"),
-                "shard_truncated": pd.Series(out["shard_truncated"],
-                                             dtype="int32"),
-            })
+                buf = (content if isinstance(content, (bytes, bytearray))
+                       else bytes(content))
+                rows, nbytes = [], 0
+                try:
+                    for hdr, body in iter_warc_records(buf):
+                        if hdr.get("warc-type") != "response":
+                            continue
+                        payload = http_payload(body)
+                        rows.append((hdr.get("warc-target-uri", ""),
+                                     _parse_warc_date(
+                                         hdr.get("warc-date", "")),
+                                     payload, p, 0))
+                        nbytes += len(payload)
+                        if (len(rows) >= _BATCH_ROWS
+                                or nbytes >= _BATCH_BYTES):
+                            yield frame(rows)
+                            rows, nbytes = [], 0
+                except ValueError:
+                    rows.append((None, None, None, p, 1))  # lineage sentinel
+                if rows:
+                    yield frame(rows)
 
     return files.mapInPandas(split, READ_WARC_SCHEMA)
 
@@ -247,9 +351,18 @@ def write_warc_shards(df: DataFrame, out_dir: str,
             if r.n_records > 0]
 
 
+def _hdr_value(s) -> str:
+    """Sanitize a WARC header value: CR/LF would inject lines into the
+    record grammar the property tests pin, so they are percent-encoded
+    (RFC 3986 style — a URI may not contain raw CR/LF anyway)."""
+    return str(s).replace("\r", "%0D").replace("\n", "%0A")
+
+
 def _append_warc(path: str, records, gzip_members: bool,
                  fresh: bool) -> int:
-    """write_warc's framing, append-capable (multi-batch partitions)."""
+    """write_warc's framing, append-capable (multi-batch partitions).
+    Headers are UTF-8 (WARC 1.1 §4: header content is UTF-8 — an ASCII
+    encode would crash the executor on any non-ASCII url)."""
     n = 0
     with open(path, "wb" if fresh else "ab") as f:
         for url, date_s, html in records:
@@ -257,10 +370,10 @@ def _append_warc(path: str, records, gzip_members: bool,
                     b"Content-Type: text/html\r\n\r\n" + html)
             hdr = (f"WARC/1.0\r\n"
                    f"WARC-Type: response\r\n"
-                   f"WARC-Target-URI: {url}\r\n"
-                   f"WARC-Date: {date_s}\r\n"
+                   f"WARC-Target-URI: {_hdr_value(url)}\r\n"
+                   f"WARC-Date: {_hdr_value(date_s)}\r\n"
                    f"Content-Type: application/http; msgtype=response\r\n"
-                   f"Content-Length: {len(http)}\r\n\r\n").encode("ascii")
+                   f"Content-Length: {len(http)}\r\n\r\n").encode("utf-8")
             rec = hdr + http + _CRLF2
             if gzip_members:
                 gz = zlib.compressobj(9, zlib.DEFLATED, 31)

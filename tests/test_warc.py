@@ -65,13 +65,113 @@ def test_warc_tolerant_shard_tail(tmp_path):
     assert truncated == 1
     # clean shard: zero truncations
     assert parse_warc_shard(raw)[1] == 0
-    # garbage after a valid gzip member surfaces as a truncation too
+    # garbage after a valid gzip member surfaces as a truncation too,
+    # and the pages before it still parse byte-identically
     gzp = str(tmp_path / "t2.warc.gz")
     write_warc(gzp, PAGES, gzip_members=True)
     dirty = open(gzp, "rb").read() + b"not gzip"
-    assert parse_warc_shard(dirty)[0] == [
-        (u, d, h) for u, d, h in PAGES] or True  # pages still parse
-    assert len(parse_warc_shard(dirty)[0]) >= 3
+    pages, truncated = parse_warc_shard(dirty)
+    assert pages == [(u, d, h) for u, d, h in PAGES]
+    assert truncated == 1
+
+
+def test_warc_corrupt_gzip_member_is_counted(tmp_path):
+    """A bit-flipped gzip member raises zlib.error inside zlib; the
+    reader must convert it to the tolerated-and-counted path (r5 ADVICE:
+    zlib.error used to escape the splitter and kill the whole task).
+    Records from members before the rot still parse."""
+    import zlib
+
+    p = str(tmp_path / "t.warc.gz")
+    write_warc(p, PAGES, gzip_members=True)
+    raw = bytearray(open(p, "rb").read())
+    # find the second member boundary and flip a byte inside its deflate
+    # stream (well past the header so the member still starts cleanly)
+    d = zlib.decompressobj(wbits=31)
+    d.decompress(bytes(raw))
+    second = len(raw) - len(d.unused_data)
+    raw[second + 20] ^= 0xFF
+    pages, truncated = parse_warc_shard(bytes(raw))
+    assert truncated == 1
+    assert [u for u, _, _ in pages] == [PAGES[0][0]]
+    assert pages[0][2] == PAGES[0][2]
+
+
+def test_warc_streaming_is_bounded(tmp_path):
+    """Peak Python allocation while iterating a many-member shard stays
+    ~one record, not the decompressed shard (the r5 scale-shape fix:
+    the old reader materialized the whole decompressed buffer + page
+    list).  128 x 64KB bodies = 8 MB raw; bound the peak well under
+    half of that."""
+    import tracemalloc
+
+    from htmpark.warc import _iter_decompressed
+
+    body = bytes(range(256)) * 256  # 64 KB, incompressible-ish pattern
+    pages = [(f"https://s.example.com/{i}", "2024-01-01T00:00:00Z", body)
+             for i in range(128)]
+    p = str(tmp_path / "big.warc.gz")
+    write_warc(p, pages, gzip_members=True)
+    buf = open(p, "rb").read()
+
+    tracemalloc.start()
+    n = 0
+    for hdr, rec_body in iter_warc_records(buf):
+        assert http_payload(rec_body) == body
+        n += 1
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert n == 128
+    assert peak < 4 << 20, f"peak {peak} bytes — not streaming"
+
+    # the decompress layer alone is bounded too
+    tracemalloc.start()
+    total = sum(len(c) for c in _iter_decompressed(buf))
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert total > 8 << 20
+    assert peak < 4 << 20
+
+
+def test_warc_header_injection_and_utf8(tmp_path):
+    """CR/LF in a url is percent-encoded (cannot inject header lines into
+    the record grammar) and a non-ASCII url round-trips as UTF-8 instead
+    of crashing the executor on .encode('ascii') (r5 ADVICE)."""
+    evil = "https://e.example.com/a\r\nWARC-Type: fake"
+    utf8 = "https://u.example.com/café/über"
+    p = str(tmp_path / "t.warc.gz")
+    write_warc(p, [(evil, "2024-01-01T00:00:00Z", b"<p>x</p>"),
+                   (utf8, "2024-01-01T00:00:00Z", b"<p>y</p>")],
+               gzip_members=True)
+    recs = list(iter_warc_records(open(p, "rb").read()))
+    assert len(recs) == 2
+    assert recs[0][0]["warc-type"] == "response"  # not the injected value
+    assert recs[0][0]["warc-target-uri"] == \
+        "https://e.example.com/a%0D%0AWARC-Type: fake"
+    assert recs[1][0]["warc-target-uri"] == utf8
+
+
+def test_read_warc_rotten_shard_sentinel(spark, tmp_path):
+    """A shard whose tail is unreadable emits its readable pages plus ONE
+    html-NULL lineage sentinel with shard_truncated=1 — so
+    max(shard_truncated) GROUP BY shard finds rotten shards even when
+    the rot precedes every page."""
+    d = str(tmp_path)
+    write_warc(os.path.join(d, "ok.warc"), PAGES[:2])
+    with open(os.path.join(d, "rotten.warc"), "wb") as f:
+        f.write(b"WARC/1.0\r\nWARC-Type: response\r\n"
+                b"WARC-Target-URI: https://r.example.com/\r\n"
+                b"Content-Length: 999\r\n\r\nshort")
+    rows = read_warc(spark, d).collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(os.path.basename(r.shard), []).append(r)
+    ok = by_shard["ok.warc"]
+    assert len(ok) == 2 and all(r.shard_truncated == 0 for r in ok)
+    rot = by_shard["rotten.warc"]
+    assert len(rot) == 1
+    assert rot[0].url is None and rot[0].html is None
+    assert rot[0].shard_truncated == 1
 
 
 def test_read_warc_spark_pipeline(spark, tmp_path):

@@ -4183,39 +4183,42 @@ JOIN embeddings eb ON p.doc_b = eb.vec_id
 # from CORRECTNESS_r*.json + per-query source fingerprints) — run it
 # after any registry/query edit; re-derive + --update each round end.
 REGISTRY = {
-    # -- r4 driver-red (schema contract) + changed this round (r5):
-    #    postings serialized to string; LSH oracle width now derived
-    "text_inverted_index": (q_text_inverted_index, SQL_TEXT_INVERTED_INDEX),
-    "sim_lsh_buckets": (q_sim_lsh_buckets, SQL_SIM_LSH_BUCKETS),
-    # -- new in r5
+    # -- changed in r6: WARC streaming/sentinel rows, tz-free
+    #    timestampdiff, scheme-conditional port strip -> window
     "warc_round_trip": (q_warc_round_trip, SQL_WARC_ROUND_TRIP),
     "web_url_canonical": (q_web_url_canonical, SQL_WEB_URL_CANONICAL),
+    "rel_event_funnel": (q_rel_event_funnel, SQL_REL_EVENT_FUNNEL),
+    "stream_click_attribution": (q_stream_click_attribution, SQL_STREAM_CLICK_ATTRIBUTION),
+    # -- one prior driver-green round (new in r5)
+    "text_inverted_index": (q_text_inverted_index, SQL_TEXT_INVERTED_INDEX),
     "dedup_winnowing": (q_dedup_winnowing, SQL_DEDUP_WINNOWING),
     "text_unigram_lm": (q_text_unigram_lm, SQL_TEXT_UNIGRAM_LM),
-    "rel_event_funnel": (q_rel_event_funnel, SQL_REL_EVENT_FUNNEL),
     "dedup_label_noise": (q_dedup_label_noise, SQL_DEDUP_LABEL_NOISE),
-    # -- no r4 driver row (r4's tail): rotate forward for fresh rows
-    "rel_customers_without_orders": (q_rel_customers_without_orders, SQL_REL_CUSTOMERS_WITHOUT_ORDERS),
-    "rel_topk_expensive_parts": (q_rel_topk_expensive_parts, SQL_REL_TOPK_EXPENSIVE_PARTS),
-    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
-    "dedup_minhash_sig": (q_dedup_minhash_sig, SQL_DEDUP_MINHASH_SIG),
-    # the registry entry routes through the shared materialization so the
-    # driver/bench session builds the banding DAG once for the whole dedup
-    # family; q_dedup_minhash_pairs stays pure for plan tests
-    "dedup_minhash_pairs": (candidate_pairs, SQL_DEDUP_MINHASH_PAIRS),
-    "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
-    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
-    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
-    "text_quality_filter": (q_text_quality_filter, SQL_TEXT_QUALITY_FILTER),
-    "text_lang_id": (q_text_lang_id, SQL_TEXT_LANG_ID),
-    "text_token_count": (q_text_token_count, SQL_TEXT_TOKEN_COUNT),
-    # -- one prior driver-green round
+    # -- two prior driver-green rounds
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "text_decontamination": (q_text_decontamination, SQL_TEXT_DECONTAMINATION),
     "text_pack_sequences": (q_text_pack_sequences, SQL_TEXT_PACK_SEQUENCES),
     "text_mixture_stats": (q_text_mixture_stats, SQL_TEXT_MIXTURE_STATS),
     "sim_quantized_topk": (q_sim_quantized_topk, SQL_SIM_QUANTIZED_TOPK),
-    # -- two prior driver-green rounds
+    # -- no r5 driver row (r5's tail): rotate forward for fresh rows
+    "rel_events_pivot": (q_rel_events_pivot, SQL_REL_EVENTS_PIVOT),
+    "rel_order_value_median": (q_rel_order_value_median, SQL_REL_ORDER_VALUE_MEDIAN),
+    "rel_revenue_rollup": (q_rel_revenue_rollup, SQL_REL_REVENUE_ROLLUP),
+    "sim_ivf_topk": (q_sim_ivf_topk, SQL_SIM_IVF_TOPK),
+    "sketch_distinct_kmv": (q_sketch_distinct_kmv, SQL_SKETCH_DISTINCT_KMV),
+    "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
+    "html_corpus_pipeline": (q_html_corpus_pipeline, SQL_HTML_CORPUS_PIPELINE),
+    "rel_events_minutely": (q_rel_events_minutely, SQL_REL_EVENTS_MINUTELY),
+    "rel_pricing_summary": (q_rel_pricing_summary, SQL_REL_PRICING_SUMMARY),
+    "rel_top_revenue_nations": (q_rel_top_revenue_nations, SQL_REL_TOP_REVENUE_NATIONS),
+    "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING_COSINE),
+    "html_node_stats": (q_html_node_stats, SQL_HTML_NODE_STATS),
+    "html_node_table": (q_html_node_table, SQL_HTML_NODE_TABLE),
+    "html_parse_entities": (q_html_parse_entities, SQL_HTML_PARSE_ENTITIES),
+    "html_parse_extract": (q_html_parse_extract, SQL_HTML_PARSE_EXTRACT),
+    "rel_window_latest_orders": (q_rel_window_latest_orders, SQL_REL_WINDOW_LATEST_ORDERS),
+    "sim_topk_bruteforce": (q_sim_topk_bruteforce, SQL_SIM_TOPK_BRUTEFORCE),
+    # -- three prior driver-green rounds
     "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
     "dedup_substring": (q_dedup_substring, SQL_DEDUP_SUBSTRING),
     "html_headings": (q_html_headings, SQL_HTML_HEADINGS),
@@ -4230,12 +4233,23 @@ REGISTRY = {
     "rel_value_percentiles": (q_rel_value_percentiles, SQL_REL_VALUE_PERCENTILES),
     "sim_kmeans_update": (q_sim_kmeans_update, SQL_SIM_KMEANS_UPDATE),
     "sketch_kminima_merge": (q_sketch_kminima_merge, SQL_SKETCH_KMINIMA_MERGE),
-    "stream_click_attribution": (q_stream_click_attribution, SQL_STREAM_CLICK_ATTRIBUTION),
     "stream_windowed_counts": (q_stream_windowed_counts, SQL_STREAM_WINDOWED_COUNTS),
     "text_hash_split": (q_text_hash_split, SQL_TEXT_HASH_SPLIT),
     "text_stratified_sample": (q_text_stratified_sample, SQL_TEXT_STRATIFIED_SAMPLE),
     "text_top_terms": (q_text_top_terms, SQL_TEXT_TOP_TERMS),
-    # -- three prior driver-green rounds (all green r4)
+    # -- tail (>50): >=3x driver-green, green in r5, untouched this round
+    "sim_lsh_buckets": (q_sim_lsh_buckets, SQL_SIM_LSH_BUCKETS),
+    "rel_customers_without_orders": (q_rel_customers_without_orders, SQL_REL_CUSTOMERS_WITHOUT_ORDERS),
+    "rel_topk_expensive_parts": (q_rel_topk_expensive_parts, SQL_REL_TOPK_EXPENSIVE_PARTS),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_minhash_sig": (q_dedup_minhash_sig, SQL_DEDUP_MINHASH_SIG),
+    "dedup_minhash_pairs": (candidate_pairs, SQL_DEDUP_MINHASH_PAIRS),
+    "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "text_quality_filter": (q_text_quality_filter, SQL_TEXT_QUALITY_FILTER),
+    "text_lang_id": (q_text_lang_id, SQL_TEXT_LANG_ID),
+    "text_token_count": (q_text_token_count, SQL_TEXT_TOKEN_COUNT),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "graph_pagerank": (q_graph_pagerank, SQL_GRAPH_PAGERANK),
     "html_meta": (q_html_meta, SQL_HTML_META),
@@ -4243,22 +4257,5 @@ REGISTRY = {
     "html_sax_events": (q_html_sax_events, SQL_HTML_SAX_EVENTS),
     "mm_binary_meta": (q_mm_binary_meta, SQL_MM_BINARY_META),
     "rel_event_sessions": (q_rel_event_sessions, SQL_REL_EVENT_SESSIONS),
-    "rel_events_pivot": (q_rel_events_pivot, SQL_REL_EVENTS_PIVOT),
-    "rel_order_value_median": (q_rel_order_value_median, SQL_REL_ORDER_VALUE_MEDIAN),
-    "rel_revenue_rollup": (q_rel_revenue_rollup, SQL_REL_REVENUE_ROLLUP),
-    "sim_ivf_topk": (q_sim_ivf_topk, SQL_SIM_IVF_TOPK),
-    "sketch_distinct_kmv": (q_sketch_distinct_kmv, SQL_SKETCH_DISTINCT_KMV),
-    "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
-    # -- tail (>50): >=3x driver-green, green in r4, untouched this round
-    "html_corpus_pipeline": (q_html_corpus_pipeline, SQL_HTML_CORPUS_PIPELINE),
-    "rel_events_minutely": (q_rel_events_minutely, SQL_REL_EVENTS_MINUTELY),
-    "rel_pricing_summary": (q_rel_pricing_summary, SQL_REL_PRICING_SUMMARY),
-    "rel_top_revenue_nations": (q_rel_top_revenue_nations, SQL_REL_TOP_REVENUE_NATIONS),
-    "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING_COSINE),
-    "html_node_stats": (q_html_node_stats, SQL_HTML_NODE_STATS),
-    "html_node_table": (q_html_node_table, SQL_HTML_NODE_TABLE),
-    "html_parse_entities": (q_html_parse_entities, SQL_HTML_PARSE_ENTITIES),
-    "html_parse_extract": (q_html_parse_extract, SQL_HTML_PARSE_EXTRACT),
-    "rel_window_latest_orders": (q_rel_window_latest_orders, SQL_REL_WINDOW_LATEST_ORDERS),
-    "sim_topk_bruteforce": (q_sim_topk_bruteforce, SQL_SIM_TOPK_BRUTEFORCE),
 }
+

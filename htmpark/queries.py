@@ -3850,6 +3850,47 @@ GROUP BY doc_id, n_grams
 """
 
 
+def _with_canon_url(df):
+    """Add ``canon_url`` + ``surt_key`` columns derived from ``url`` —
+    pure row-local string/array expressions (split/substring_index/
+    array_sort/reverse) inside whole-stage codegen, zero exchanges.
+    Canonical rules: lowercase scheme/host, www. stripped, the scheme's
+    OWN default port stripped (:80 http, :443 https), fragment dropped,
+    query params sorted, trailing slash trimmed.  Shared by
+    q_web_url_canonical (synthetic mess) and q_web_outlink_canonical
+    (parser-extracted hrefs)."""
+    nofrag = F.substring_index(F.col("url"), "#", 1)
+    base = F.substring_index(nofrag, "?", 1)
+    query = F.when(nofrag.contains("?"),
+                   F.substring_index(nofrag, "?", -1)).otherwise(F.lit(""))
+    sorted_q = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    scheme = F.lower(F.substring_index(base, "://", 1))
+    rest = F.substring_index(base, "://", -1)
+    hostport = F.lower(F.substring_index(rest, "/", 1))
+    # strip only the scheme's own default port: :80 is non-default (a
+    # distinct origin) under https, and vice versa
+    noport = (F.when(scheme == "http",
+                     F.regexp_replace(hostport, ":80$", ""))
+               .when(scheme == "https",
+                     F.regexp_replace(hostport, ":443$", ""))
+               .otherwise(hostport))
+    host = F.regexp_replace(noport, "^www\\.", "")
+    path = F.expr("substr(_canon_rest, "
+                  "length(split_part(_canon_rest, '/', 1)) + 1)")
+    path = F.regexp_replace(path, "/$", "")
+    return (df.withColumn("_canon_rest", rest)
+            .withColumn("canon_url",
+                        F.concat(scheme, F.lit("://"), host, path,
+                                 F.when(sorted_q != "",
+                                        F.concat(F.lit("?"), sorted_q))
+                                 .otherwise(F.lit(""))))
+            .withColumn("surt_key",
+                        F.concat(F.array_join(
+                            F.reverse(F.split(host, "\\.")), ","),
+                            F.lit(")"), path))
+            .drop("_canon_rest"))
+
+
 def q_web_url_canonical(spark, sf_dir):
     """URL canonicalization + SURT key — the exact-dedup key a crawl
     frontier / web-corpus dedup actually groups on (raw url strings
@@ -3890,37 +3931,8 @@ def q_web_url_canonical(spark, sf_dir):
         F.when(F.col("doc_id") % 2 == 0, F.lit("?b=2&a=1")).otherwise(F.lit("?a=1&b=2")),
         F.when(F.col("doc_id") % 6 == 0, F.lit("#frag")).otherwise(F.lit("")))
     u = d.select("doc_id", url.alias("url"))
-    # strip fragment, split authority+path from query
-    nofrag = F.substring_index(F.col("url"), "#", 1)
-    base = F.substring_index(nofrag, "?", 1)
-    query = F.when(nofrag.contains("?"),
-                   F.substring_index(nofrag, "?", -1)).otherwise(F.lit(""))
-    sorted_q = F.array_join(F.array_sort(F.split(query, "&")), "&")
-    # lowercase scheme://host[:port], strip :80 and www.
-    scheme = F.lower(F.substring_index(base, "://", 1))
-    rest = F.substring_index(base, "://", -1)
-    hostport = F.lower(F.substring_index(rest, "/", 1))
-    # strip only the scheme's own default port: :80 is non-default (a
-    # distinct origin) under https, and vice versa
-    noport = (F.when(scheme == "http",
-                     F.regexp_replace(hostport, ":80$", ""))
-               .when(scheme == "https",
-                     F.regexp_replace(hostport, ":443$", ""))
-               .otherwise(hostport))
-    host = F.regexp_replace(noport, "^www\\.", "")
-    path = F.expr("substr(rest, length(split_part(rest, '/', 1)) + 1)")
-    path = F.regexp_replace(path, "/$", "")
-    c = (u.withColumn("rest", rest)
-         .withColumn("canon_url",
-                     F.concat(scheme, F.lit("://"), host, path,
-                              F.when(sorted_q != "",
-                                     F.concat(F.lit("?"), sorted_q))
-                              .otherwise(F.lit(""))))
-         .withColumn("surt_key",
-                     F.concat(F.array_join(
-                         F.reverse(F.split(host, "\\.")), ","),
-                         F.lit(")"), path)))
-    return c.select("doc_id", "url", "canon_url", "surt_key")
+    return (_with_canon_url(u)
+            .select("doc_id", "url", "canon_url", "surt_key"))
 
 
 SQL_WEB_URL_CANONICAL = """
@@ -3972,6 +3984,150 @@ SELECT doc_id, url,
          || ')' || path AS surt_key
 FROM comp
 """
+
+
+def q_html_main_content(spark, sf_dir):
+    """Boilerplate strip as a first-class oracled surface (SURVEY §7 step
+    4): the synthetic web corpus through the full vectorized parse, per
+    page the MAIN-CONTENT text — chrome subtrees (nav/header/footer/
+    aside/script/...) dropped, link-dominated short blocks dropped,
+    block texts joined with newlines (htmpark/extract.py ExtractSink;
+    an engine addition — zadean/htmerl has no boilerplate notion, so the
+    oracle is the corpus-constant ledger, not reference parity).
+
+    Oracle: main_text per page is a pure per-fragment TEMPLATE with
+    '{i}' substituted (htmpark/corpus_oracle.py CORPUS_FRAGMENT_MAIN,
+    generated + live-pinned in tests; the generator additionally proves
+    the length-dependent link-density gate is stable across digit
+    widths).
+
+    Scale shape: JVM-side synthesis -> stateless mapInPandas parse ->
+    row-local select; salt_buckets=0 because the synthetic input is
+    host-interleaved by construction (the auto-salting decision for real
+    crawls lives in extract_pages)."""
+    from .corpus import synthesize_pages
+    from .job import extract_pages
+
+    n_docs = _table_num_rows(sf_dir, "documents")
+    if n_docs is None:
+        n_docs = t(spark, sf_dir, "documents").count()
+    pages = synthesize_pages(spark, _corpus_n_pages(n_docs))
+    out = extract_pages(pages, salt_buckets=0)
+    return out.select("url", "main_text",
+                      F.length("main_text").alias("main_chars"),
+                      F.col("parse_ok").cast("int").alias("ok"))
+
+
+def _main_content_oracle_sql() -> str:
+    from .corpus_oracle import CORPUS_FRAGMENT_MAIN
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    vals = ",\n    ".join(f"({f}, {lit(tmpl)})"
+                          for f, tmpl in CORPUS_FRAGMENT_MAIN)
+    return f"""
+WITH n AS (SELECT GREATEST(500, COUNT(*) * 2 // 5) AS n FROM documents),
+mt(fi, tmpl) AS (VALUES
+    {vals}),
+idx AS (SELECT unnest(range(n.n)) AS i FROM n)
+SELECT 'https://host'
+       || lpad(CAST(CASE WHEN i % 5 = 0 THEN 0
+                         ELSE (i % 97) + 1 END AS VARCHAR), 3, '0')
+       || '.example.com/p/' || CAST(i AS VARCHAR) AS url,
+       replace(tmpl, '{{i}}', CAST(i AS VARCHAR)) AS main_text,
+       CAST(length(replace(tmpl, '{{i}}', CAST(i AS VARCHAR))) AS INT)
+         AS main_chars,
+       1 AS ok
+FROM idx JOIN mt ON mt.fi = i % 10
+"""
+
+
+SQL_HTML_MAIN_CONTENT = _main_content_oracle_sql()
+
+
+def q_web_outlink_canonical(spark, sf_dir):
+    """The crawl-dedup key on PARSER-EXTRACTED hrefs (r5 verdict item 8):
+    corpus pages -> vectorized parse -> posexplode(outlinks) -> relative
+    href resolution against the page url -> the SAME canonical+SURT
+    transform as q_web_url_canonical (_with_canon_url) — the full
+    page-to-frontier edge pipeline, not just the synthetic-mess twin.
+
+    Resolution (row-local CASE): absolute hrefs pass through; '/'-rooted
+    hrefs join scheme://host; bare relative hrefs join the page url's
+    directory.  The canonical rules themselves are proven on the messy
+    domain by web_url_canonical; this oracle proves the resolution + the
+    plumbing on clean crawl urls (per-fragment href constants,
+    CORPUS_FRAGMENT_OUTLINKS, generated + live-pinned).
+
+    Scale shape: stateless parse -> posexplode (no shuffle) -> row-local
+    codegen; at 10^12 pages the output IS the web-graph edge table,
+    ready for the groupBy(surt_key) exact dedup."""
+    from .corpus import synthesize_pages
+    from .job import extract_pages
+
+    n_docs = _table_num_rows(sf_dir, "documents")
+    if n_docs is None:
+        n_docs = t(spark, sf_dir, "documents").count()
+    pages = synthesize_pages(spark, _corpus_n_pages(n_docs))
+    out = extract_pages(pages, salt_buckets=0)
+    links = out.select("url", F.posexplode("outlinks").alias("seq", "href"))
+    page_scheme = F.substring_index(F.col("url"), "://", 1)
+    page_rest = F.substring_index(F.col("url"), "://", -1)
+    page_host = F.substring_index(page_rest, "/", 1)
+    page_dir = F.expr("regexp_replace(substr(_pr, "
+                      "length(split_part(_pr, '/', 1)) + 1), '[^/]*$', '')")
+    abs_url = (F.when(F.col("href").contains("://"), F.col("href"))
+               .when(F.col("href").startswith("/"),
+                     F.concat(page_scheme, F.lit("://"), page_host,
+                              F.col("href")))
+               .otherwise(F.concat(page_scheme, F.lit("://"), page_host,
+                                   page_dir, F.col("href"))))
+    resolved = (links.withColumn("_pr", page_rest)
+                .withColumn("page_url", F.col("url"))
+                .withColumn("url", abs_url)
+                .drop("_pr"))
+    return (_with_canon_url(resolved)
+            .select("page_url", "seq", "href", "canon_url", "surt_key"))
+
+
+def _outlinks_oracle_sql() -> str:
+    from .corpus_oracle import CORPUS_FRAGMENT_OUTLINKS
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    vals = ",\n    ".join(f"({f}, {seq}, {lit(href)})"
+                          for f, seq, href in CORPUS_FRAGMENT_OUTLINKS)
+    # corpus hrefs/urls are already canonical-clean (lowercase, no port/
+    # www/query/fragment/trailing slash), so the oracle reconstructs the
+    # RESOLVED url directly; any canonicalizer mangling of a clean url
+    # still breaks the hash (the messy-domain rules are pinned by
+    # SQL_WEB_URL_CANONICAL)
+    return f"""
+WITH n AS (SELECT GREATEST(500, COUNT(*) * 2 // 5) AS n FROM documents),
+lk(fi, seq, href) AS (VALUES
+    {vals}),
+idx AS (SELECT unnest(range(n.n)) AS i FROM n),
+pages AS (
+  SELECT i, 'host' || lpad(CAST(CASE WHEN i % 5 = 0 THEN 0
+                                     ELSE (i % 97) + 1 END AS VARCHAR),
+                           3, '0') || '.example.com' AS host
+  FROM idx
+)
+SELECT 'https://' || p.host || '/p/' || CAST(p.i AS VARCHAR) AS page_url,
+       CAST(l.seq AS INT) AS seq, l.href,
+       'https://' || p.host
+         || (CASE WHEN l.href LIKE '/%' THEN l.href
+                  ELSE '/p/' || l.href END) AS canon_url,
+       array_to_string(list_reverse(string_split(p.host, '.')), ',')
+         || ')' || (CASE WHEN l.href LIKE '/%' THEN l.href
+                         ELSE '/p/' || l.href END) AS surt_key
+FROM pages p JOIN lk l ON l.fi = p.i % 10
+"""
+
+
+SQL_WEB_OUTLINK_CANONICAL = _outlinks_oracle_sql()
 
 
 def q_warc_round_trip(spark, sf_dir):
@@ -4183,6 +4339,10 @@ JOIN embeddings eb ON p.doc_b = eb.vec_id
 # from CORRECTNESS_r*.json + per-query source fingerprints) — run it
 # after any registry/query edit; re-derive + --update each round end.
 REGISTRY = {
+    # -- new in r6
+    "html_main_content": (q_html_main_content, SQL_HTML_MAIN_CONTENT),
+    "web_outlink_canonical": (q_web_outlink_canonical,
+                              SQL_WEB_OUTLINK_CANONICAL),
     # -- changed in r6: WARC streaming/sentinel rows, tz-free
     #    timestampdiff, scheme-conditional port strip -> window
     "warc_round_trip": (q_warc_round_trip, SQL_WARC_ROUND_TRIP),

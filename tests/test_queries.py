@@ -94,18 +94,29 @@ def test_corpus_oracle_constants_match_live_parse():
     counters from a live extract_doc and pin byte equality, including the
     substitution identity for a multi-digit index."""
     from htmpark.corpus import FRAGMENTS
-    from htmpark.corpus_oracle import CORPUS_FRAGMENT_PARSE
+    from htmpark.corpus_oracle import (CORPUS_FRAGMENT_MAIN,
+                                       CORPUS_FRAGMENT_OUTLINKS,
+                                       CORPUS_FRAGMENT_PARSE)
     from htmpark.extract import extract_doc
 
     assert len(CORPUS_FRAGMENT_PARSE) == len(FRAGMENTS)
+    assert len(CORPUS_FRAGMENT_MAIN) == len(FRAGMENTS)
+    mains = dict(CORPUS_FRAGMENT_MAIN)
+    links = {}
+    for f, seq, href in CORPUS_FRAGMENT_OUTLINKS:
+        links.setdefault(f, []).append((seq, href))
     for f, tmpl, tok, tree, ok in CORPUS_FRAGMENT_PARSE:
         page = ("<!DOCTYPE html><html><head><title>T{i}</title></head><body>"
                 + FRAGMENTS[f] + "</body></html>")
         live = extract_doc(page.encode("utf-8"))
         assert (live["text"], live["tok_errors"], live["tree_errors"],
                 live["parse_ok"]) == (tmpl, tok, tree, ok)
+        assert live["main_text"] == mains[f]
+        assert live["outlinks"] == [h for _, h in
+                                    sorted(links.get(f, []))]
         real = extract_doc(page.replace("{i}", "4242").encode("utf-8"))
         assert tmpl.replace("{i}", "4242") == real["text"]
+        assert mains[f].replace("{i}", "4242") == real["main_text"]
 
 
 def test_minhash_pairs_reuses_sig_subtree(spark):
@@ -1058,6 +1069,51 @@ def test_url_canonical_aliases_collapse(spark):
     assert len(canon) < len(raw)
     # scheme is NOT normalized away: http vs https stay distinct pages
     assert {c.split("://")[0] for c in canon} == {"http", "https"}
+    # default-port strip is scheme-conditional (r5 ADVICE): https+:80 is
+    # a distinct origin and KEEPS its port (doc 3: https, %3==0 -> :80);
+    # https+:443 is stripped (doc 1: https, %3==1 & %5==1 -> :443)
+    assert ":80" in rows[3].canon_url
+    assert ":443" not in rows[1].canon_url and \
+        rows[1].canon_url.startswith("https://")
+    # http+:443 kept (doc 16: even/http, %3==1 & %5==1)
+    assert ":443" in rows[16].canon_url
+
+
+def test_main_content_strips_chrome(spark):
+    """html_main_content drops nav/footer/script/style/svg/textarea
+    chrome and link-dominated short blocks, keeps prose — per-fragment
+    behavior pinned against the corpus templates in
+    test_corpus_oracle_constants_match_live_parse; here the Spark leg:
+    fragment 1's nav links never appear, fragment 5's script/style text
+    never appears, parity text still carries both."""
+    fn, _ = REGISTRY["html_main_content"]
+    rows = {r.url: r for r in fn(spark, SF).collect()}
+    r1 = rows["https://host002.example.com/p/1"]  # fragment 1
+    assert "Post 1" in r1.main_text
+    assert "home" not in r1.main_text and "contact" not in r1.main_text
+    r5 = rows["https://host000.example.com/p/5"]  # fragment 5
+    assert r5.main_text == "T5\nvisible 5"
+    assert r5.ok == 1 and r5.main_chars == len(r5.main_text)
+
+
+def test_outlink_canonical_resolution(spark):
+    """Relative hrefs resolve against the page url before
+    canonicalization: '/'-rooted against the host, bare against the
+    page directory; SURT keys follow."""
+    fn, _ = REGISTRY["web_outlink_canonical"]
+    rows = [r for r in fn(spark, SF).collect()
+            if r.page_url.endswith("/p/1") or r.page_url.endswith("/p/9")]
+    by = {(r.page_url.rsplit("/", 1)[-1], r.seq): r for r in rows
+          if r.page_url in ("https://host002.example.com/p/1",
+                            "https://host010.example.com/p/9")}
+    a = by[("1", 0)]
+    assert a.href == "/a"
+    assert a.canon_url == "https://host002.example.com/a"
+    assert a.surt_key == "com,example,host002)/a"
+    x = by[("9", 0)]
+    assert x.href == "x"
+    assert x.canon_url == "https://host010.example.com/p/x"
+    assert x.surt_key == "com,example,host010)/p/x"
 
 
 def test_winnowing_guarantee(spark, tmp_path):

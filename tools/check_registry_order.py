@@ -38,6 +38,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 WINDOW = 50
 MIN_TAIL_GREENS = 3
+# Rotation-debt bound (r5 verdict item 6): everything in today's tail
+# plus every window entry still short of MIN_TAIL_GREENS after this
+# round's row MUST fit into NEXT round's window, with slack left for
+# next round's new + changed queries.  Registry growth that violates
+# this pushes the rotation period past every-other-round, silently
+# aging tail evidence.
+ROTATION_SLACK = 8
 FPRINT_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "registry_fingerprints.json")
 
@@ -109,14 +116,29 @@ def main():
             problems.append(
                 f"pos {pos} {name}: source/oracle changed since last "
                 f"verification — move it into the first {WINDOW} entries")
+    # rotation-debt bound: project next round's forced window occupancy
+    tail_count = max(0, len(REGISTRY) - WINDOW)
+    immature = sum(
+        1 for pos, name in enumerate(REGISTRY, start=1)
+        if pos <= WINDOW
+        and sum(ok for _, ok in hist.get(name, [])) + 1 < MIN_TAIL_GREENS)
+    forced_next = tail_count + immature
+    if forced_next > WINDOW - ROTATION_SLACK:
+        problems.append(
+            f"rotation debt: next round must window {tail_count} rotated "
+            f"tail entries + {immature} still-immature entries = "
+            f"{forced_next} > {WINDOW - ROTATION_SLACK} "
+            f"(WINDOW - ROTATION_SLACK) — stop adding queries or split "
+            f"a stable annex (COVERAGE.md policy)")
     if problems:
         print("REGISTRY ORDER UNSAFE:")
         for p in problems:
             print("  " + p)
         sys.exit(1)
     print(f"registry order OK: {len(REGISTRY)} entries, "
-          f"{max(0, len(REGISTRY) - WINDOW)} tail entries all "
-          f">={MIN_TAIL_GREENS}x green, fresh in {latest}, untouched")
+          f"{tail_count} tail entries all "
+          f">={MIN_TAIL_GREENS}x green, fresh in {latest}, untouched; "
+          f"rotation debt {forced_next}/{WINDOW - ROTATION_SLACK}")
 
 
 if __name__ == "__main__":

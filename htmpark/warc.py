@@ -329,13 +329,14 @@ def write_warc_shards(df: DataFrame, out_dir: str,
         path = os.path.join(out_dir, f"part-{pid:05d}{ext}")
         n = 0
         for pdf in batches:
-            recs = []
-            for url, ts, html in zip(pdf["url"], pdf["warc_ts"],
-                                     pdf["html"]):
-                date_s = ("" if ts is None or pd.isna(ts)
-                          else pd.Timestamp(ts).strftime(
-                              "%Y-%m-%dT%H:%M:%SZ"))
-                recs.append((url, date_s, bytes(html)))
+            # vectorized date formatting (one .dt.strftime per Arrow
+            # batch, not one strftime per record)
+            dates = (pd.to_datetime(pdf["warc_ts"])
+                     .dt.strftime("%Y-%m-%dT%H:%M:%SZ")
+                     .fillna(""))
+            recs = [(url, date_s, bytes(html))
+                    for url, date_s, html in zip(pdf["url"], dates,
+                                                 pdf["html"])]
             # append mode: write_warc opens fresh, so buffer per batch
             n += _append_warc(path, recs, gzip_members, fresh=(n == 0))
         size = os.path.getsize(path) if n else 0

@@ -1096,6 +1096,17 @@ def test_main_content_strips_chrome(spark):
     assert r5.ok == 1 and r5.main_chars == len(r5.main_text)
 
 
+def test_web_corpus_queries_have_no_exchange(spark):
+    """The two r6 corpus-web queries are stateless maps end-to-end:
+    JVM synthesis -> mapInPandas parse -> (posexplode) -> row-local
+    codegen.  Zero exchanges — the plan that scales to 10^12 pages by
+    partition count alone."""
+    for name in ("html_main_content", "web_outlink_canonical"):
+        fn, _ = REGISTRY[name]
+        plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, name
+
+
 def test_outlink_canonical_resolution(spark):
     """Relative hrefs resolve against the page url before
     canonicalization: '/'-rooted against the host, bare against the

@@ -69,10 +69,18 @@ def _iter_decompressed(buf, chunk_size: int = _CHUNK):
     pos = 0
     d = zlib.decompressobj(wbits=31)
     carry = b""  # input fed but not yet consumed (max_length backpressure)
+    # Feed each member a small first bite and grow geometrically: zlib
+    # COPIES whatever it was fed beyond the member's end into
+    # unused_data, so feeding a fixed 1 MB to a stream of KB-sized
+    # members (the CC one-member-per-record layout) would memcpy
+    # ~chunk_size per member — O(members x chunk_size) for the shard
+    # (measured: ~10 GB of copying on a 20k-record shard).
+    feed = min(8 << 10, chunk_size)
     while pos < n or carry:
         if not carry:
-            carry = mv[pos:pos + chunk_size]
+            carry = mv[pos:pos + feed]
             pos += len(carry)
+            feed = min(feed * 4, chunk_size)
         try:
             # cap the output too: a single-stream .warc.gz (not the
             # member-per-record CC layout) could otherwise blow one input
@@ -86,6 +94,7 @@ def _iter_decompressed(buf, chunk_size: int = _CHUNK):
         if d.eof:
             pos -= len(d.unused_data)  # rewind to the next member start
             carry = b""
+            feed = min(8 << 10, chunk_size)
             if pos < n and not buf.startswith(b"\x1f\x8b", pos):
                 raise ValueError(
                     f"trailing non-gzip garbage at offset {pos}")
@@ -131,42 +140,50 @@ def iter_warc_records(buf: bytes):
     after the readable prefix has been yielded — callers that must
     tolerate rotten shard tails use :func:`parse_warc_shard` (or the
     Spark source's sentinel rows), which count instead."""
-    pending = bytearray()
+    pending = bytearray()  # cross-chunk spill only (records usually
+    #                        align with gzip members, so this stays empty)
+    end = [0]  # consumed-offset out-param of scan
 
-    def drain(at_end: bool):
+    def scan(data, at_end: bool):
+        pos, n = 0, len(data)
         while True:
-            pos = 0
-            while pending[pos:pos + 2] == b"\r\n":
+            while data[pos:pos + 2] == b"\r\n":
                 pos += 2  # skip inter-record CRLFs
-            if pos:
-                del pending[:pos]
-            if not pending:
-                return
-            end_hdr = pending.find(_CRLF2, 0, _MAX_HEADER)
+            if pos >= n:
+                break
+            end_hdr = data.find(_CRLF2, pos, pos + _MAX_HEADER)
             if end_hdr < 0:
-                if at_end or len(pending) >= _MAX_HEADER:
+                if at_end or n - pos >= _MAX_HEADER:
                     raise ValueError("malformed WARC header "
                                      "(no CRLFCRLF terminator)")
-                return  # need more data
-            if not pending.startswith(b"WARC/"):
+                break  # need more data
+            if not data.startswith(b"WARC/", pos):
                 raise ValueError("malformed WARC header (bad magic)")
-            hdr = _parse_header_block(bytes(pending[:end_hdr]))
+            hdr = _parse_header_block(bytes(data[pos:end_hdr]))
             try:
                 length = int(hdr["content-length"])
             except (KeyError, ValueError):
                 raise ValueError("missing Content-Length in WARC header")
             body_start = end_hdr + 4
-            if body_start + length > len(pending):
+            if body_start + length > n:
                 if at_end:
                     raise ValueError("truncated final WARC record")
-                return  # need more data
-            yield hdr, bytes(pending[body_start:body_start + length])
-            del pending[:body_start + length]
+                break  # need more data
+            yield hdr, bytes(data[body_start:body_start + length])
+            pos = body_start + length
+        end[0] = pos
 
     for chunk in _iter_decompressed(buf):
-        pending += chunk
-        yield from drain(False)
-    yield from drain(True)
+        if pending:
+            pending += chunk
+            yield from scan(pending, False)
+            del pending[:end[0]]
+        else:
+            yield from scan(chunk, False)
+            if end[0] < len(chunk):
+                pending += chunk[end[0]:]
+    if pending:
+        yield from scan(pending, True)
 
 
 def http_payload(body: bytes) -> bytes:

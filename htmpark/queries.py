@@ -4177,6 +4177,60 @@ FROM documents
 """
 
 
+def q_stream_warc_ingest(spark, sf_dir):
+    """Continuous crawl ingest as a REAL Structured-Streaming query in
+    the gate: the same WARC export as warc_round_trip, then a
+    binaryFile FILE STREAM (read_warc_stream) splits records inside
+    micro-batches and lands pages in a parquet sink (availableNow).
+    Oracle: identical to the batch round trip — the streamed leg must
+    lose/duplicate/alter nothing vs spark.read.
+
+    Scale shape: the production shape is a crawl drop-directory with
+    ``maxFilesPerTrigger`` bounding each micro-batch (a 10^12-page
+    backfill = many bounded batches, one task per shard within each);
+    the splitter is stateless so no state store / watermark is
+    involved, and the file-sink commit log gives exactly-once page
+    landing across restarts."""
+    import shutil
+    import tempfile
+
+    from .warc import read_warc_stream, write_warc_shards
+
+    d = t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://docs.example.com/"),
+                 F.col("doc_id")).alias("url"),
+        F.lit("2024-01-01T00:00:00").cast("timestamp_ntz").alias("warc_ts"),
+        F.encode(F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>")),
+                 "UTF-8").alias("html"))
+    src = tempfile.mkdtemp(prefix="htmpark_warcs_src_")
+    out = tempfile.mkdtemp(prefix="htmpark_warcs_out_")
+    ck = tempfile.mkdtemp(prefix="htmpark_warcs_ck_")
+    try:
+        write_warc_shards(d.repartition(8, "url"), src)
+        sdf = read_warc_stream(spark, src).where(F.col("html").isNotNull())
+        q = (sdf.select("url", "warc_ts", "html")
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ck).outputMode("append")
+             .trigger(availableNow=True).start())
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError(
+                f"stream did not finish: {q.exception() or 'timeout'}")
+    finally:
+        _STREAM_SINK_DIRS.append(out)
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+    return (spark.read.parquet(out)
+            .select("url",
+                    F.length("html").alias("n_bytes"),
+                    F.expr("timestampdiff(MICROSECOND, "
+                           "TIMESTAMP_NTZ '1970-01-01 00:00:00', warc_ts)")
+                    .alias("ts_us")))
+
+
+SQL_STREAM_WARC_INGEST = SQL_WARC_ROUND_TRIP
+
+
 def q_text_unigram_lm(spark, sf_dir):
     """Unigram-LM quality proxy, INTEGER-EXACT: per-document mean
     log2(collection frequency) per token, in centibits.  High scores mean
@@ -4343,6 +4397,7 @@ REGISTRY = {
     "html_main_content": (q_html_main_content, SQL_HTML_MAIN_CONTENT),
     "web_outlink_canonical": (q_web_outlink_canonical,
                               SQL_WEB_OUTLINK_CANONICAL),
+    "stream_warc_ingest": (q_stream_warc_ingest, SQL_STREAM_WARC_INGEST),
     # -- changed in r6: WARC streaming/sentinel rows, tz-free
     #    timestampdiff, scheme-conditional port strip -> window
     "warc_round_trip": (q_warc_round_trip, SQL_WARC_ROUND_TRIP),

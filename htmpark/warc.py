@@ -258,12 +258,35 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     ``html IS NOT NULL`` (``extract_pages`` and the registry queries
     do).  Errors are counted, never silently dropped — the
     run_extraction manifest pattern."""
-    import pandas as pd
-
     files = (spark.read.format("binaryFile")
              .option("pathGlobFilter", "*.warc*")
              .load(path)
              .select("path", "content"))
+    return files.mapInPandas(_split_shard_batches, READ_WARC_SCHEMA)
+
+
+def read_warc_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Structured-Streaming twin of :func:`read_warc`: a binaryFile FILE
+    STREAM over a shard directory through the same record splitter —
+    the continuous-crawl-ingest shape (new shards land, micro-batches
+    pick them up; ``maxFilesPerTrigger`` bounds a backfill).  Stateless,
+    so watermarks/state sizing don't apply; schema and lineage semantics
+    are identical to the batch reader."""
+    files = (spark.readStream.format("binaryFile")
+             .schema("path string, modificationTime timestamp, "
+                     "length long, content binary")
+             .option("pathGlobFilter", "*.warc*")
+             .load(path)
+             .select("path", "content"))
+    return files.mapInPandas(_split_shard_batches, READ_WARC_SCHEMA)
+
+
+def _split_shard_batches(batches):
+    """mapInPandas splitter shared by the batch and streaming WARC
+    sources: shard -> streamed records -> bounded pandas frames (page
+    rows with shard_truncated=0; one html-NULL sentinel per rotten
+    shard)."""
+    import pandas as pd
 
     def frame(rows):
         url, ts, html, shard, trunc = zip(*rows)
@@ -278,32 +301,29 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
             "shard_truncated": pd.Series(trunc, dtype="int32"),
         })
 
-    def split(batches):
-        for pdf in batches:
-            for p, content in zip(pdf["path"], pdf["content"]):
-                buf = (content if isinstance(content, (bytes, bytearray))
-                       else bytes(content))
-                rows, nbytes = [], 0
-                try:
-                    for hdr, body in iter_warc_records(buf):
-                        if hdr.get("warc-type") != "response":
-                            continue
-                        payload = http_payload(body)
-                        rows.append((hdr.get("warc-target-uri", ""),
-                                     _parse_warc_date(
-                                         hdr.get("warc-date", "")),
-                                     payload, p, 0))
-                        nbytes += len(payload)
-                        if (len(rows) >= _BATCH_ROWS
-                                or nbytes >= _BATCH_BYTES):
-                            yield frame(rows)
-                            rows, nbytes = [], 0
-                except ValueError:
-                    rows.append((None, None, None, p, 1))  # lineage sentinel
-                if rows:
-                    yield frame(rows)
-
-    return files.mapInPandas(split, READ_WARC_SCHEMA)
+    for pdf in batches:
+        for p, content in zip(pdf["path"], pdf["content"]):
+            buf = (content if isinstance(content, (bytes, bytearray))
+                   else bytes(content))
+            rows, nbytes = [], 0
+            try:
+                for hdr, body in iter_warc_records(buf):
+                    if hdr.get("warc-type") != "response":
+                        continue
+                    payload = http_payload(body)
+                    rows.append((hdr.get("warc-target-uri", ""),
+                                 _parse_warc_date(
+                                     hdr.get("warc-date", "")),
+                                 payload, p, 0))
+                    nbytes += len(payload)
+                    if (len(rows) >= _BATCH_ROWS
+                            or nbytes >= _BATCH_BYTES):
+                        yield frame(rows)
+                        rows, nbytes = [], 0
+            except ValueError:
+                rows.append((None, None, None, p, 1))  # lineage sentinel
+            if rows:
+                yield frame(rows)
 
 
 def write_warc(path: str, records, gzip_members: bool = False) -> int:

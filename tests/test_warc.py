@@ -151,6 +151,38 @@ def test_warc_header_injection_and_utf8(tmp_path):
     assert recs[1][0]["warc-target-uri"] == utf8
 
 
+def test_read_warc_stream_incremental(spark, tmp_path):
+    """The streaming twin picks up ONLY shards that arrived since the
+    last micro-batch (file-source commit log): first availableNow run
+    lands shard 1's pages, a second run after shard 2 appears appends
+    exactly shard 2's pages — no re-reads, no duplicates."""
+    from htmpark.warc import read_warc_stream
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    os.makedirs(src)
+
+    def run_once():
+        q = (read_warc_stream(spark, src).select("url", "html")
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ck).outputMode("append")
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(300)
+
+    write_warc(os.path.join(src, "s1.warc"), PAGES[:2])
+    run_once()
+    assert sorted(r.url for r in spark.read.parquet(out).collect()) == \
+        sorted(u for u, _, _ in PAGES[:2])
+
+    write_warc(os.path.join(src, "s2.warc.gz"), PAGES[2:],
+               gzip_members=True)
+    run_once()
+    got = [r.url for r in spark.read.parquet(out).collect()]
+    assert sorted(got) == sorted(u for u, _, _ in PAGES)
+    assert len(got) == len(set(got))  # exactly-once: no duplicates
+
+
 def test_read_warc_rotten_shard_sentinel(spark, tmp_path):
     """A shard whose tail is unreadable emits its readable pages plus ONE
     html-NULL lineage sentinel with shard_truncated=1 — so

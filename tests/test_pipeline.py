@@ -137,6 +137,43 @@ def test_run_extraction_and_resume(spark, tmp_out):
     assert res3 == {"parts_done": 0, "pages": 0}
 
 
+def test_run_extraction_resumes_over_warc_input(spark, tmp_out):
+    """The north rule's resumable-checkpoint loop over ARCHIVE input:
+    pages exported as gzip-member WARC shards, ingested via
+    read_table(fmt='warc'), run interrupted after one published wave,
+    resumed — bit-identical to an uninterrupted run, with per-part
+    lineage intact.  (Consumers filter the html-NULL rotten-shard
+    sentinels, per the read_warc contract.)"""
+    from htmpark.job import read_table
+    from htmpark.warc import write_warc_shards
+
+    shards = os.path.join(tmp_out, "shards")
+    write_warc_shards(
+        synthesize_pages(spark, N).repartition(4, "url"), shards)
+    src = (read_table(spark, shards, fmt="warc")
+           .where(F.col("html").isNotNull()))
+
+    full_out = os.path.join(tmp_out, "full")
+    res = run_extraction(spark, src, full_out, num_parts=8, salt_buckets=4)
+    assert res["pages"] == N and res["parts_done"] == 8
+    full = {r.url: r.text
+            for r in spark.read.parquet(full_out + "/data").collect()}
+    assert len(full) == N
+
+    part_out = os.path.join(tmp_out, "partial")
+    run_extraction(spark, src, part_out, num_parts=8, salt_buckets=4,
+                   publish_every=3, max_waves=1)
+    res2 = run_extraction(spark, src, part_out, num_parts=8, salt_buckets=4)
+    assert res2["parts_done"] == 5
+    resumed = {r.url: r.text
+               for r in spark.read.parquet(part_out + "/data").collect()}
+    assert resumed == full
+
+    man = spark.read.parquet(part_out + "/manifest")
+    assert man.select("part_id").distinct().count() == 8
+    assert man.agg(F.sum("n_pages")).collect()[0][0] == N
+
+
 def test_run_extraction_publishes_empty_parts(spark, tmp_out):
     """Empty partitions (guaranteed when distinct urls hash into fewer than
     num_parts buckets) must still publish manifest rows (n_pages=0) —

@@ -4130,6 +4130,122 @@ FROM pages p JOIN lk l ON l.fi = p.i % 10
 SQL_WEB_OUTLINK_CANONICAL = _outlinks_oracle_sql()
 
 
+# per-host robots.txt synthesis for the politeness gate: four grammar
+# shapes (path rules with allow-override, allow-then-block-all, a named
+# bot group ahead of a permissive * group, no robots at all), cycled by
+# host; gcd(7 hosts, 4 path shapes) = 1 so every (rules, path) pairing
+# occurs in the gate data
+_ROBOTS_TEXTS = [
+    "User-agent: *\nDisallow: /private/\nAllow: /private/stats\n"
+    "Disallow: /tmp\n",
+    "# block everything but articles\nUser-agent: *\nAllow: /p/\n"
+    "Disallow: /\n",
+    "User-agent: specialbot\nDisallow: /\n\nUser-agent: *\n"
+    "Crawl-delay: 2\n",
+    "",
+]
+
+
+def q_web_robots_gate(spark, sf_dir):
+    """robots.txt politeness gate (RFC 9309 subset, htmpark/robots.py):
+    the crawl-compliance decision a training-data pipeline must make
+    before a url is ever fetched/extracted.  Per-host robots texts are
+    synthesized deterministically (_ROBOTS_TEXTS: allow-overrides,
+    block-all-but, named-bot group ahead of the * group, no robots) and
+    PARSED BY THE REAL PARSER inside a mapInPandas over the tiny host
+    dimension; the decision is pure relational algebra: urls broadcast-
+    join the parsed-rules dim on host, matching rules score
+    2*len(prefix) + is_allow, and max(score) implements RFC longest-
+    match with the allow tie-break — the low bit of the max IS the
+    verdict (no UDF in the per-url path).
+
+    Scale shape: rules are a broadcast dim (a few rules per host), the
+    url stream joins map-side and aggregates by url with partial aggs;
+    at 10^12 urls this is one broadcast + one keyed agg, and the
+    group-selection logic runs once per HOST, not per url."""
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    urls = d.select(
+        "doc_id",
+        (F.col("doc_id") % 7).cast("int").alias("host_num"),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("/p/"), F.col("doc_id")))
+         .when(F.col("doc_id") % 4 == 1,
+               F.concat(F.lit("/private/"), F.col("doc_id")))
+         .when(F.col("doc_id") % 4 == 2,
+               F.concat(F.lit("/tmp"), F.col("doc_id")))
+         .otherwise(F.concat(F.lit("/pub/"), F.col("doc_id")))
+        .alias("path"))
+
+    hosts = spark.range(0, 7).select(
+        F.col("id").cast("int").alias("host_num"),
+        F.element_at(F.array(*[F.lit(s) for s in _ROBOTS_TEXTS]),
+                     (F.col("id") % 4 + 1).cast("int")).alias("robots_txt"))
+
+    def parse(batches):
+        from .robots import parse_robots
+
+        for pdf in batches:
+            hn, typ, pref = [], [], []
+            for h, txt in zip(pdf["host_num"], pdf["robots_txt"]):
+                for rule_type, prefix in parse_robots(txt):
+                    if prefix:  # empty Disallow: = allow-all no-op
+                        hn.append(h)
+                        typ.append(rule_type)
+                        pref.append(prefix)
+            yield pd.DataFrame({
+                "host_num": pd.Series(hn, dtype="int32"),
+                "rule_type": pd.Series(typ, dtype="object"),
+                "prefix": pd.Series(pref, dtype="object"),
+            })
+
+    rules = hosts.mapInPandas(
+        parse, "host_num int, rule_type string, prefix string")
+    score = F.when(
+        F.col("prefix").isNotNull()
+        & F.col("path").startswith(F.col("prefix")),
+        F.length("prefix") * 2
+        + (F.col("rule_type") == "allow").cast("int"))
+    return (urls.join(F.broadcast(rules), "host_num", "left")
+            .withColumn("score", score)
+            .groupBy("doc_id", "path")
+            .agg(F.when(F.max("score").isNull(), F.lit(1))
+                 .otherwise(F.max("score") % 2).cast("int")
+                 .alias("allowed")))
+
+
+SQL_WEB_ROBOTS_GATE = """
+WITH u AS (
+  SELECT doc_id, CAST(doc_id % 7 AS INT) % 4 AS hmod,
+         CASE CAST(doc_id % 4 AS INT)
+           WHEN 0 THEN '/p/' || doc_id
+           WHEN 1 THEN '/private/' || doc_id
+           WHEN 2 THEN '/tmp' || doc_id
+           ELSE '/pub/' || doc_id END AS path
+  FROM documents
+), r(hmod, rule_type, prefix) AS (VALUES
+    (0, 'disallow', '/private/'),
+    (0, 'allow',    '/private/stats'),
+    (0, 'disallow', '/tmp'),
+    (1, 'allow',    '/p/'),
+    (1, 'disallow', '/')
+), j AS (
+  SELECT u.doc_id, u.path,
+         CASE WHEN r.prefix IS NOT NULL
+                   AND starts_with(u.path, r.prefix)
+              THEN length(r.prefix) * 2
+                   + CASE WHEN r.rule_type = 'allow' THEN 1 ELSE 0 END
+         END AS score
+  FROM u LEFT JOIN r ON r.hmod = u.hmod
+)
+SELECT doc_id, path,
+       CAST(CASE WHEN max(score) IS NULL THEN 1
+                 ELSE max(score) % 2 END AS INT) AS allowed
+FROM j GROUP BY doc_id, path
+"""
+
+
 def q_warc_round_trip(spark, sf_dir):
     """WARC I/O through the binding gate: wrap each document as a page,
     EXPORT one gzip-member WARC shard per partition (write_warc_shards),
@@ -4398,6 +4514,7 @@ REGISTRY = {
     "web_outlink_canonical": (q_web_outlink_canonical,
                               SQL_WEB_OUTLINK_CANONICAL),
     "stream_warc_ingest": (q_stream_warc_ingest, SQL_STREAM_WARC_INGEST),
+    "web_robots_gate": (q_web_robots_gate, SQL_WEB_ROBOTS_GATE),
     # -- changed in r6: WARC streaming/sentinel rows, tz-free
     #    timestampdiff, scheme-conditional port strip -> window
     "warc_round_trip": (q_warc_round_trip, SQL_WARC_ROUND_TRIP),

@@ -1,0 +1,69 @@
+"""robots.txt parser + decision rules (htmpark/robots.py, RFC 9309
+subset) and the Spark politeness-gate query."""
+from htmpark.robots import parse_robots, robots_allowed
+
+
+def test_group_selection_named_beats_star():
+    txt = ("User-agent: specialbot\nDisallow: /\n\n"
+           "User-agent: *\nDisallow: /private/\n")
+    assert parse_robots(txt, agent="specialbot") == [("disallow", "/")]
+    assert parse_robots(txt, agent="htmpark") == \
+        [("disallow", "/private/")]
+    # substring match on the product token, case-insensitive
+    assert parse_robots(txt, agent="SpecialBot/2.1") == [("disallow", "/")]
+
+
+def test_shared_group_and_comments():
+    txt = ("# politeness\n"
+           "User-agent: alpha\n"
+           "User-agent: beta\n"
+           "Disallow: /x  # trailing comment\n"
+           "Crawl-delay: 2\n"
+           "Unknown-directive: y\n")
+    assert parse_robots(txt, agent="beta") == [("disallow", "/x")]
+    assert parse_robots(txt, agent="alpha") == [("disallow", "/x")]
+    # no * group: an unmatched agent gets no rules
+    assert parse_robots(txt, agent="other") == []
+
+
+def test_longest_match_and_allow_tiebreak():
+    rules = [("disallow", "/private/"), ("allow", "/private/stats"),
+             ("disallow", "/tmp")]
+    assert not robots_allowed("/private/x", rules)
+    assert robots_allowed("/private/stats/2024", rules)
+    assert not robots_allowed("/tmpfile", rules)
+    assert robots_allowed("/public", rules)
+    # tie on length: allow wins
+    assert robots_allowed("/a/b", [("disallow", "/a/b"), ("allow", "/a/b")])
+
+
+def test_empty_disallow_and_empty_text():
+    assert parse_robots("", agent="x") == []
+    assert robots_allowed("/anything", [("disallow", "")])
+    txt = "User-agent: *\nDisallow:\n"
+    assert robots_allowed("/a", parse_robots(txt))
+
+
+def test_allow_override_block_all():
+    rules = parse_robots("User-agent: *\nAllow: /p/\nDisallow: /\n")
+    assert robots_allowed("/p/42", rules)
+    assert not robots_allowed("/private/42", rules)
+    assert not robots_allowed("/", rules)
+
+
+def test_robots_gate_query(spark):
+    """The gate query's verdicts match a direct parse+decide re-derivation
+    for every (host rules, path shape) pairing."""
+    from htmpark.queries import REGISTRY, _ROBOTS_TEXTS
+
+    fn, _ = REGISTRY["web_robots_gate"]
+    rows = fn(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 500
+    for r in rows:
+        hmod = (r.doc_id % 7) % 4
+        rules = parse_robots(_ROBOTS_TEXTS[hmod])
+        assert r.allowed == int(robots_allowed(r.path, rules)), \
+            (r.doc_id, hmod, r.path)
+    # both verdicts occur (the gate actually gates)
+    verdicts = {r.allowed for r in rows}
+    assert verdicts == {0, 1}

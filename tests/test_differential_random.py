@@ -57,8 +57,12 @@ QUERIES = [
     "html_node_stats",
     # multimodal fakes derived from documents
     "mm_binary_meta", "mm_frame_sample",
-    # WARC export->import round trip + url canonicalization over random docs
-    "warc_round_trip", "web_url_canonical",
+    # WARC export->import round trips (batch + streaming) + url
+    # canonicalization + robots gate over random docs (html_main_content
+    # and web_outlink_canonical are NOT here: they consume the documents
+    # table only through its row count — random text adds no signal)
+    "warc_round_trip", "stream_warc_ingest", "web_url_canonical",
+    "web_robots_gate",
     # the full dedup DAG: banding pairs -> connected components ->
     # pagerank -> curation verdict, incl. the recursive-CTE oracle, on
     # a corpus whose dup structure is random

@@ -51,6 +51,24 @@ def test_allow_override_block_all():
     assert not robots_allowed("/", rules)
 
 
+def test_robots_parser_total_on_arbitrary_text():
+    """Property: parse_robots/robots_allowed are TOTAL — arbitrary text
+    (binary noise, pathological colons, huge lines) never raises, the
+    group-selection result is deterministic, and a text with no
+    applicable rules always allows."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.text(max_size=400), st.text(min_size=1, max_size=30))
+    def check(txt, path):
+        rules = parse_robots(txt)
+        assert rules == parse_robots(txt)
+        assert isinstance(robots_allowed(path, rules), bool)
+        assert robots_allowed(path, [])
+
+    check()
+
+
 def test_robots_gate_query(spark):
     """The gate query's verdicts match a direct parse+decide re-derivation
     for every (host rules, path shape) pairing."""

@@ -297,6 +297,13 @@ def extract_pages(df: DataFrame, salt_buckets: int | str = 8,
     """
     cols = [c for c in ("url", "warc_ts", "html", "lang") if c in df.columns]
     df = df.select(*cols)  # explicit pruning; Catalyst pushes into the scan
+    # drop WARC rotten-shard lineage sentinels (url AND html both NULL,
+    # see warc.read_warc) — they are shard metadata, not pages, and must
+    # not become phantom error rows in the extraction output.  Pages
+    # nulled by the size cap below keep their url and DO surface as
+    # error rows.
+    if "html" in cols and "url" in cols:
+        df = df.where(F.col("url").isNotNull() | F.col("html").isNotNull())
     if max_html_bytes:
         # octet_length, not length: length() counts CHARACTERS on a string
         # column, letting a multi-byte-heavy page up to ~4x over the byte

@@ -4131,38 +4131,48 @@ SQL_WEB_OUTLINK_CANONICAL = _outlinks_oracle_sql()
 
 
 # per-host robots.txt synthesis for the politeness gate: four grammar
-# shapes (path rules with allow-override, allow-then-block-all, a named
-# bot group ahead of a permissive * group, no robots at all), cycled by
-# host; gcd(7 hosts, 4 path shapes) = 1 so every (rules, path) pairing
-# occurs in the gate data
+# shapes (prefix rules with an allow-override + a RFC 9309 §2.2.3
+# wildcard/'$'-anchored pattern, allow-then-block-all, MULTIPLE named
+# groups whose rules must merge per §2.2.1, no robots at all), cycled
+# by host; gcd(7 hosts, 4 path shapes) = 1 so every (rules, path)
+# pairing occurs in the gate data
 _ROBOTS_TEXTS = [
     "User-agent: *\nDisallow: /private/\nAllow: /private/stats\n"
-    "Disallow: /tmp\n",
+    "Disallow: /*.tmp$\n",
     "# block everything but articles\nUser-agent: *\nAllow: /p/\n"
     "Disallow: /\n",
-    "User-agent: specialbot\nDisallow: /\n\nUser-agent: *\n"
-    "Crawl-delay: 2\n",
+    "User-agent: htmpark\nDisallow: /files/\n\n"
+    "User-agent: htm\nDisallow: /pub/\n\n"
+    "User-agent: specialbot\nDisallow: /\n",
     "",
 ]
 
 
 def q_web_robots_gate(spark, sf_dir):
-    """robots.txt politeness gate (RFC 9309 subset, htmpark/robots.py):
-    the crawl-compliance decision a training-data pipeline must make
-    before a url is ever fetched/extracted.  Per-host robots texts are
-    synthesized deterministically (_ROBOTS_TEXTS: allow-overrides,
-    block-all-but, named-bot group ahead of the * group, no robots) and
-    PARSED BY THE REAL PARSER inside a mapInPandas over the tiny host
-    dimension; the decision is pure relational algebra: urls broadcast-
-    join the parsed-rules dim on host, matching rules score
-    2*len(prefix) + is_allow, and max(score) implements RFC longest-
-    match with the allow tie-break — the low bit of the max IS the
-    verdict (no UDF in the per-url path).
+    """robots.txt politeness gate (RFC 9309, htmpark/robots.py): the
+    crawl-compliance decision a training-data pipeline must make before
+    a url is ever fetched/extracted.  Per-host robots texts are
+    synthesized deterministically (_ROBOTS_TEXTS: allow-override +
+    wildcard/'$'-anchored patterns, block-all-but, multiple named
+    groups that must MERGE per §2.2.1, no robots) and PARSED BY THE
+    REAL PARSER inside a mapInPandas over the tiny host dimension —
+    which also pre-translates each rule pattern to its anchored regex
+    (robots.pattern_regex, the §2.2.3 '*'/'$' semantics).  The per-url
+    decision is pure relational algebra: urls broadcast-join the rules
+    dim on host, matching rules score 2*len(pattern) + is_allow, and
+    max(score) implements RFC longest-match with the allow tie-break —
+    the low bit of the max IS the verdict (no UDF in the per-url path).
+
+    Oracle: ANALYTIC — the expected verdict per (host-rules, path
+    shape) pairing derived from the RFC by hand (the corpus-template
+    pattern): any parsing, merging, wildcard-matching, or scoring
+    defect that flips a verdict breaks the hash.
 
     Scale shape: rules are a broadcast dim (a few rules per host), the
     url stream joins map-side and aggregates by url with partial aggs;
     at 10^12 urls this is one broadcast + one keyed agg, and the
-    group-selection logic runs once per HOST, not per url."""
+    group-selection + regex-translation logic runs once per HOST, not
+    per url."""
     import pandas as pd
 
     d = t(spark, sf_dir, "documents").select("doc_id")
@@ -4174,7 +4184,8 @@ def q_web_robots_gate(spark, sf_dir):
          .when(F.col("doc_id") % 4 == 1,
                F.concat(F.lit("/private/"), F.col("doc_id")))
          .when(F.col("doc_id") % 4 == 2,
-               F.concat(F.lit("/tmp"), F.col("doc_id")))
+               F.concat(F.lit("/files/"), F.col("doc_id"),
+                        F.lit(".tmp")))
          .otherwise(F.concat(F.lit("/pub/"), F.col("doc_id")))
         .alias("path"))
 
@@ -4184,29 +4195,29 @@ def q_web_robots_gate(spark, sf_dir):
                      (F.col("id") % 4 + 1).cast("int")).alias("robots_txt"))
 
     def parse(batches):
-        from .robots import parse_robots
+        from .robots import parse_robots, pattern_regex
 
         for pdf in batches:
-            hn, typ, pref = [], [], []
+            hn, typ, rx, pl = [], [], [], []
             for h, txt in zip(pdf["host_num"], pdf["robots_txt"]):
-                for rule_type, prefix in parse_robots(txt):
-                    if prefix:  # empty Disallow: = allow-all no-op
+                for rule_type, pattern in parse_robots(txt):
+                    if pattern:  # empty Disallow: = allow-all no-op
                         hn.append(h)
                         typ.append(rule_type)
-                        pref.append(prefix)
+                        rx.append(pattern_regex(pattern))
+                        pl.append(len(pattern))
             yield pd.DataFrame({
                 "host_num": pd.Series(hn, dtype="int32"),
                 "rule_type": pd.Series(typ, dtype="object"),
-                "prefix": pd.Series(pref, dtype="object"),
+                "rx": pd.Series(rx, dtype="object"),
+                "plen": pd.Series(pl, dtype="int32"),
             })
 
     rules = hosts.mapInPandas(
-        parse, "host_num int, rule_type string, prefix string")
+        parse, "host_num int, rule_type string, rx string, plen int")
     score = F.when(
-        F.col("prefix").isNotNull()
-        & F.col("path").startswith(F.col("prefix")),
-        F.length("prefix") * 2
-        + (F.col("rule_type") == "allow").cast("int"))
+        F.col("rx").isNotNull() & F.expr("rlike(path, rx)"),
+        F.col("plen") * 2 + (F.col("rule_type") == "allow").cast("int"))
     return (urls.join(F.broadcast(rules), "host_num", "left")
             .withColumn("score", score)
             .groupBy("doc_id", "path")
@@ -4215,35 +4226,44 @@ def q_web_robots_gate(spark, sf_dir):
                  .alias("allowed")))
 
 
+# analytic expected verdicts, derived from _ROBOTS_TEXTS by hand:
+# hmod 0: /private/ disallowed (prefix), /files/{i}.tmp disallowed
+#         (the '/*.tmp$' wildcard), /p/ and /pub/ allowed;
+# hmod 1: 'Allow: /p/' (len 3) outscores 'Disallow: /' (len 1) on /p/
+#         paths, everything else disallowed;
+# hmod 2: BOTH named groups match agent 'htmpark' ('htmpark' and 'htm'
+#         are substrings) and their rules merge -> /files/ and /pub/
+#         disallowed, /p/ and /private/ allowed; the specialbot
+#         block-all group must NOT apply;
+# hmod 3: no robots -> everything allowed.
 SQL_WEB_ROBOTS_GATE = """
-WITH u AS (
-  SELECT doc_id, CAST(doc_id % 7 AS INT) % 4 AS hmod,
-         CASE CAST(doc_id % 4 AS INT)
-           WHEN 0 THEN '/p/' || doc_id
-           WHEN 1 THEN '/private/' || doc_id
-           WHEN 2 THEN '/tmp' || doc_id
-           ELSE '/pub/' || doc_id END AS path
-  FROM documents
-), r(hmod, rule_type, prefix) AS (VALUES
-    (0, 'disallow', '/private/'),
-    (0, 'allow',    '/private/stats'),
-    (0, 'disallow', '/tmp'),
-    (1, 'allow',    '/p/'),
-    (1, 'disallow', '/')
-), j AS (
-  SELECT u.doc_id, u.path,
-         CASE WHEN r.prefix IS NOT NULL
-                   AND starts_with(u.path, r.prefix)
-              THEN length(r.prefix) * 2
-                   + CASE WHEN r.rule_type = 'allow' THEN 1 ELSE 0 END
-         END AS score
-  FROM u LEFT JOIN r ON r.hmod = u.hmod
-)
-SELECT doc_id, path,
-       CAST(CASE WHEN max(score) IS NULL THEN 1
-                 ELSE max(score) % 2 END AS INT) AS allowed
-FROM j GROUP BY doc_id, path
+SELECT doc_id,
+       CASE CAST(doc_id % 4 AS INT)
+         WHEN 0 THEN '/p/' || doc_id
+         WHEN 1 THEN '/private/' || doc_id
+         WHEN 2 THEN '/files/' || doc_id || '.tmp'
+         ELSE '/pub/' || doc_id END AS path,
+       CAST(CASE CAST(doc_id % 7 AS INT) % 4
+         WHEN 3 THEN 1
+         WHEN 2 THEN CASE WHEN doc_id % 4 IN (2, 3) THEN 0 ELSE 1 END
+         WHEN 1 THEN CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END
+         ELSE CASE WHEN doc_id % 4 IN (1, 2) THEN 0 ELSE 1 END
+       END AS INT) AS allowed
+FROM documents
 """
+
+
+def _warc_gate_pages(spark, sf_dir):
+    """Documents wrapped as WARC-exportable pages — shared by the batch
+    (q_warc_round_trip) and streaming (q_stream_warc_ingest) gate
+    queries, which BOTH verify against SQL_WARC_ROUND_TRIP: one
+    synthesis, one oracle, nothing to desynchronize."""
+    return t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://docs.example.com/"),
+                 F.col("doc_id")).alias("url"),
+        F.lit("2024-01-01T00:00:00").cast("timestamp_ntz").alias("warc_ts"),
+        F.encode(F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>")),
+                 "UTF-8").alias("html"))
 
 
 def q_warc_round_trip(spark, sf_dir):
@@ -4264,12 +4284,7 @@ def q_warc_round_trip(spark, sf_dir):
 
     from .warc import read_warc, write_warc_shards
 
-    d = t(spark, sf_dir, "documents").select(
-        F.concat(F.lit("https://docs.example.com/"),
-                 F.col("doc_id")).alias("url"),
-        F.lit("2024-01-01T00:00:00").cast("timestamp_ntz").alias("warc_ts"),
-        F.encode(F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>")),
-                 "UTF-8").alias("html"))
+    d = _warc_gate_pages(spark, sf_dir)
     out = tempfile.mkdtemp(prefix="htmpark_warc_gate_")
     _STREAM_SINK_DIRS.append(out)
     write_warc_shards(d.repartition(8, "url"), out)
@@ -4312,12 +4327,7 @@ def q_stream_warc_ingest(spark, sf_dir):
 
     from .warc import read_warc_stream, write_warc_shards
 
-    d = t(spark, sf_dir, "documents").select(
-        F.concat(F.lit("https://docs.example.com/"),
-                 F.col("doc_id")).alias("url"),
-        F.lit("2024-01-01T00:00:00").cast("timestamp_ntz").alias("warc_ts"),
-        F.encode(F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>")),
-                 "UTF-8").alias("html"))
+    d = _warc_gate_pages(spark, sf_dir)
     src = tempfile.mkdtemp(prefix="htmpark_warcs_src_")
     out = tempfile.mkdtemp(prefix="htmpark_warcs_out_")
     ck = tempfile.mkdtemp(prefix="htmpark_warcs_ck_")

@@ -1,4 +1,4 @@
-"""robots.txt politeness gate (RFC 9309 subset) for crawl pipelines.
+"""robots.txt politeness gate (RFC 9309) for crawl pipelines.
 
 A training-data crawl must honor robots.txt before a page ever reaches
 extraction; this module is the engine-side implementation: a stdlib
@@ -10,20 +10,26 @@ Not derived from the reference (zadean/htmerl parses HTML only); the
 grammar and precedence rules follow public RFC 9309:
 * groups = one or more ``User-agent`` lines followed by rules; a group
   applies if any of its agent tokens is a case-insensitive substring of
-  the product token, with ``*`` as the fallback group (§2.2.1);
-* ``Allow``/``Disallow`` match by path prefix; the LONGEST matching
-  prefix wins and a tie goes to ``Allow`` (§2.2.2);
-* an empty ``Disallow:`` value is a no-op (allow everything);
+  the product token; rules of ALL matching named groups are COMBINED
+  (§2.2.1), with the union of ``*`` groups as the fallback;
+* ``Allow``/``Disallow`` patterns support the §2.2.3 special
+  characters: ``*`` matches any run of octets and a trailing ``$``
+  anchors the end; otherwise the pattern matches as a path prefix;
+* the LONGEST matching pattern (octet length) wins and a tie goes to
+  ``Allow`` (§2.2.2); an empty ``Disallow:`` value is a no-op;
 * comments (``#``), unknown directives, and ``Crawl-delay`` are
   tolerated and ignored for the allow decision.
 """
 from __future__ import annotations
 
+import re
+
 
 def parse_robots(text: str, agent: str = "htmpark") -> list:
-    """Parse robots.txt and return the ``(rule_type, path_prefix)`` list
-    of the group that applies to ``agent`` (named-group match first,
-    else the ``*`` group, else no rules)."""
+    """Parse robots.txt and return the ``(rule_type, pattern)`` list
+    applying to ``agent``: the COMBINED rules of every group with a
+    matching named agent token, else the combined ``*`` groups, else
+    no rules."""
     groups = []  # [(agent_tokens, rules)]
     cur_agents: list = []
     cur_rules: list = []
@@ -46,26 +52,38 @@ def parse_robots(text: str, agent: str = "htmpark") -> list:
         groups.append((cur_agents, cur_rules))
 
     agent_l = agent.lower()
-    for agents, rules in groups:
-        if any(a != "*" and a in agent_l for a in agents):
-            return rules
-    for agents, rules in groups:
-        if "*" in agents:
-            return rules
-    return []
+    named = [r for agents, rules in groups
+             if any(a != "*" and a in agent_l for a in agents)
+             for r in rules]
+    if named:
+        return named
+    return [r for agents, rules in groups if "*" in agents for r in rules]
+
+
+def pattern_regex(pattern: str) -> str:
+    """RFC 9309 §2.2.3 rule pattern -> anchored regex source: ``*``
+    matches any octet run, a trailing ``$`` anchors the end, everything
+    else is literal; the match is anchored at the path start (prefix
+    semantics).  The same translation runs in the Spark gate's rules
+    dimension, so the per-url match is a plain ``rlike``."""
+    anchored = pattern.endswith("$")
+    if anchored:
+        pattern = pattern[:-1]
+    body = ".*".join(re.escape(part) for part in pattern.split("*"))
+    return "^" + body + ("$" if anchored else "")
 
 
 def robots_allowed(path: str, rules: list) -> bool:
-    """RFC 9309 §2.2.2 decision: longest matching prefix wins, a tie
-    goes to Allow; no matching rule (or an empty-value Disallow, the
-    allow-all idiom) means allowed."""
+    """RFC 9309 §2.2.2 decision: longest matching pattern (octet
+    length) wins, a tie goes to Allow; no matching rule (or an
+    empty-value Disallow, the allow-all idiom) means allowed."""
     best_len = -1
     allowed = True
-    for rule_type, prefix in rules:
-        if prefix == "":
+    for rule_type, pattern in rules:
+        if pattern == "":
             continue  # "Disallow:" with no value = no restriction
-        if path.startswith(prefix):
-            n = len(prefix)
+        if re.search(pattern_regex(pattern), path):
+            n = len(pattern)
             if n > best_len or (n == best_len and rule_type == "allow"):
                 best_len = n
                 allowed = rule_type == "allow"

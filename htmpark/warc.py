@@ -254,10 +254,10 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     garbage) additionally emits ONE sentinel row — url/warc_ts/html NULL,
     ``shard_truncated = 1`` — after its readable prefix.  Audits find
     rotten shards via ``max(shard_truncated) GROUP BY shard`` even when
-    the rot precedes every page; page consumers filter
-    ``html IS NOT NULL`` (``extract_pages`` and the registry queries
-    do).  Errors are counted, never silently dropped — the
-    run_extraction manifest pattern."""
+    the rot precedes every page; ``extract_pages`` drops the sentinels
+    (url AND html both NULL) before parsing, and other page consumers
+    filter ``html IS NOT NULL``.  Errors are counted, never silently
+    dropped — the run_extraction manifest pattern."""
     files = (spark.read.format("binaryFile")
              .option("pathGlobFilter", "*.warc*")
              .load(path)

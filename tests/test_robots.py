@@ -13,6 +13,36 @@ def test_group_selection_named_beats_star():
     assert parse_robots(txt, agent="SpecialBot/2.1") == [("disallow", "/")]
 
 
+def test_matching_named_groups_merge():
+    """RFC 9309 §2.2.1: rules of ALL matching groups combine."""
+    txt = ("User-agent: htm\nDisallow: /a\n\n"
+           "User-agent: htmpark\nDisallow: /b\n\n"
+           "User-agent: other\nDisallow: /c\n")
+    assert parse_robots(txt, agent="htmpark") == \
+        [("disallow", "/a"), ("disallow", "/b")]
+    # the * fallback also unions every * group
+    txt2 = ("User-agent: *\nDisallow: /x\n\n"
+            "User-agent: *\nDisallow: /y\n")
+    assert parse_robots(txt2, agent="nobody") == \
+        [("disallow", "/x"), ("disallow", "/y")]
+
+
+def test_wildcard_and_anchor_patterns():
+    """RFC 9309 §2.2.3: '*' matches any octet run, trailing '$' anchors
+    the end; longest PATTERN (octet length) still wins."""
+    rules = [("disallow", "/*.php")]
+    assert not robots_allowed("/index.php", rules)
+    assert not robots_allowed("/a/b.php?x=1", rules)
+    assert robots_allowed("/index.html", rules)
+    anchored = [("disallow", "/*.tmp$")]
+    assert not robots_allowed("/files/1.tmp", anchored)
+    assert robots_allowed("/files/1.tmp.bak", anchored)
+    # wildcard disallow vs longer literal allow
+    both = [("disallow", "/p/*"), ("allow", "/p/keep/")]
+    assert robots_allowed("/p/keep/x", both)
+    assert not robots_allowed("/p/drop/x", both)
+
+
 def test_shared_group_and_comments():
     txt = ("# politeness\n"
            "User-agent: alpha\n"
@@ -82,6 +112,15 @@ def test_robots_gate_query(spark):
         rules = parse_robots(_ROBOTS_TEXTS[hmod])
         assert r.allowed == int(robots_allowed(r.path, rules)), \
             (r.doc_id, hmod, r.path)
+    # the merged-groups hosts (hmod 2) must block /pub/ via the SECOND
+    # matching named group — a first-match-only parser passes /pub/
+    merged = [r for r in rows
+              if (r.doc_id % 7) % 4 == 2 and r.path.startswith("/pub/")]
+    assert merged and all(r.allowed == 0 for r in merged)
+    # the wildcard hosts (hmod 0) must block the .tmp paths
+    wild = [r for r in rows
+            if (r.doc_id % 7) % 4 == 0 and r.path.endswith(".tmp")]
+    assert wild and all(r.allowed == 0 for r in wild)
     # both verdicts occur (the gate actually gates)
     verdicts = {r.allowed for r in rows}
     assert verdicts == {0, 1}

@@ -205,6 +205,15 @@ def test_read_warc_rotten_shard_sentinel(spark, tmp_path):
     assert rot[0].url is None and rot[0].html is None
     assert rot[0].shard_truncated == 1
 
+    # the documented production path drops the sentinel before parsing:
+    # no phantom NULL-url error row in the extraction output
+    from htmpark.job import extract_pages
+
+    out = extract_pages(read_warc(spark, d).select(
+        "url", "warc_ts", "html", "lang"), salt_buckets=0).collect()
+    assert len(out) == 2
+    assert all(r.url is not None and r.parse_ok for r in out)
+
 
 def test_read_warc_spark_pipeline(spark, tmp_path):
     """Two shards (one plain, one gzip-member) through the Spark source:

@@ -116,12 +116,16 @@ def main():
             problems.append(
                 f"pos {pos} {name}: source/oracle changed since last "
                 f"verification — move it into the first {WINDOW} entries")
-    # rotation-debt bound: project next round's forced window occupancy
+    # rotation-debt bound: project next round's forced window occupancy.
+    # Deliberately NO credit for the upcoming round's driver row — a red
+    # row would leave the entry immature (and a red row also forces a
+    # window seat regardless of green count), so an optimistic "+1"
+    # projection under-counts exactly when things go wrong.
     tail_count = max(0, len(REGISTRY) - WINDOW)
     immature = sum(
         1 for pos, name in enumerate(REGISTRY, start=1)
         if pos <= WINDOW
-        and sum(ok for _, ok in hist.get(name, [])) + 1 < MIN_TAIL_GREENS)
+        and sum(ok for _, ok in hist.get(name, [])) < MIN_TAIL_GREENS)
     forced_next = tail_count + immature
     if forced_next > WINDOW - ROTATION_SLACK:
         problems.append(

@@ -60,6 +60,48 @@ def parse_robots(text: str, agent: str = "htmpark") -> list:
     return [r for agents, rules in groups if "*" in agents for r in rules]
 
 
+def crawl_delay(text: str, agent: str = "htmpark"):
+    """``Crawl-delay`` (a de-facto extension, not RFC 9309) in seconds
+    for ``agent``: the first delay declared in any matching named
+    group, else in any ``*`` group, else None.  A politeness scheduler
+    turns this into a per-host token bucket; it never affects the
+    allow/disallow verdict."""
+    groups = []
+    cur_agents: list = []
+    cur_delay = None
+    saw_rule = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, val = line.split(":", 1)
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if saw_rule:
+                groups.append((cur_agents, cur_delay))
+                cur_agents, cur_delay, saw_rule = [], None, False
+            cur_agents.append(val.lower())
+        elif key in ("allow", "disallow", "crawl-delay"):
+            saw_rule = True
+            if key == "crawl-delay" and cur_delay is None:
+                try:
+                    cur_delay = float(val)
+                except ValueError:
+                    pass
+    if cur_agents:
+        groups.append((cur_agents, cur_delay))
+    agent_l = agent.lower()
+    for agents, delay in groups:
+        if delay is not None and any(a != "*" and a in agent_l
+                                     for a in agents):
+            return delay
+    for agents, delay in groups:
+        if delay is not None and "*" in agents:
+            return delay
+    return None
+
+
 def pattern_regex(pattern: str) -> str:
     """RFC 9309 §2.2.3 rule pattern -> anchored regex source: ``*``
     matches any octet run, a trailing ``$`` anchors the end, everything

@@ -81,6 +81,20 @@ def test_allow_override_block_all():
     assert not robots_allowed("/", rules)
 
 
+def test_crawl_delay():
+    from htmpark.robots import crawl_delay
+
+    txt = ("User-agent: specialbot\nCrawl-delay: 10\n\n"
+           "User-agent: *\nCrawl-delay: 2.5\nDisallow: /x\n")
+    assert crawl_delay(txt, agent="specialbot") == 10.0
+    assert crawl_delay(txt, agent="htmpark") == 2.5
+    assert crawl_delay("", agent="htmpark") is None
+    assert crawl_delay("User-agent: *\nCrawl-delay: nonsense\n") is None
+    # a group's first declared delay wins within the group
+    txt2 = "User-agent: *\nCrawl-delay: 3\nCrawl-delay: 9\n"
+    assert crawl_delay(txt2) == 3.0
+
+
 def test_robots_parser_total_on_arbitrary_text():
     """Property: parse_robots/robots_allowed are TOTAL — arbitrary text
     (binary noise, pathological colons, huge lines) never raises, the

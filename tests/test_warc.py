@@ -151,6 +151,23 @@ def test_warc_header_injection_and_utf8(tmp_path):
     assert recs[1][0]["warc-target-uri"] == utf8
 
 
+def test_read_warc_multi_batch_flush(spark, tmp_path):
+    """A shard with more pages than the splitter's row threshold flushes
+    multiple bounded Arrow batches: every page arrives exactly once."""
+    from htmpark.warc import _BATCH_ROWS
+
+    n = _BATCH_ROWS + 700
+    pages = [(f"https://m.example.com/{i}", "2024-01-01T00:00:00Z",
+              f"<p>{i}</p>".encode()) for i in range(n)]
+    d = str(tmp_path)
+    write_warc(os.path.join(d, "big.warc.gz"), pages, gzip_members=True)
+    got = {r.url: bytes(r.html) for r in read_warc(spark, d).collect()}
+    assert len(got) == n
+    assert got["https://m.example.com/0"] == b"<p>0</p>"
+    assert got[f"https://m.example.com/{n - 1}"] == \
+        f"<p>{n - 1}</p>".encode()
+
+
 def test_read_warc_stream_incremental(spark, tmp_path):
     """The streaming twin picks up ONLY shards that arrived since the
     last micro-batch (file-source commit log): first availableNow run

@@ -4046,6 +4046,38 @@ FROM idx JOIN mt ON mt.fi = i % 10
 SQL_HTML_MAIN_CONTENT = _main_content_oracle_sql()
 
 
+def _resolved_outlinks(spark, sf_dir):
+    """Corpus pages -> vectorized parse -> posexplode(outlinks) ->
+    relative href resolution against the page url -> canonical+SURT
+    columns.  Shared by q_web_outlink_canonical (the edge surface) and
+    q_web_crawl_frontier (the politeness-filtered rollup)."""
+    from .corpus import synthesize_pages
+    from .job import extract_pages
+
+    n_docs = _table_num_rows(sf_dir, "documents")
+    if n_docs is None:
+        n_docs = t(spark, sf_dir, "documents").count()
+    pages = synthesize_pages(spark, _corpus_n_pages(n_docs))
+    out = extract_pages(pages, salt_buckets=0)
+    links = out.select("url", F.posexplode("outlinks").alias("seq", "href"))
+    page_scheme = F.substring_index(F.col("url"), "://", 1)
+    page_rest = F.substring_index(F.col("url"), "://", -1)
+    page_host = F.substring_index(page_rest, "/", 1)
+    page_dir = F.expr("regexp_replace(substr(_pr, "
+                      "length(split_part(_pr, '/', 1)) + 1), '[^/]*$', '')")
+    rpath = (F.when(F.col("href").startswith("/"), F.col("href"))
+             .otherwise(F.concat(page_dir, F.col("href"))))
+    abs_url = (F.when(F.col("href").contains("://"), F.col("href"))
+               .otherwise(F.concat(page_scheme, F.lit("://"), page_host,
+                                   rpath)))
+    resolved = (links.withColumn("_pr", page_rest)
+                .withColumn("page_url", F.col("url"))
+                .withColumn("path", rpath)
+                .withColumn("url", abs_url)
+                .drop("_pr"))
+    return _with_canon_url(resolved)
+
+
 def q_web_outlink_canonical(spark, sf_dir):
     """The crawl-dedup key on PARSER-EXTRACTED hrefs (r5 verdict item 8):
     corpus pages -> vectorized parse -> posexplode(outlinks) -> relative
@@ -4063,31 +4095,7 @@ def q_web_outlink_canonical(spark, sf_dir):
     Scale shape: stateless parse -> posexplode (no shuffle) -> row-local
     codegen; at 10^12 pages the output IS the web-graph edge table,
     ready for the groupBy(surt_key) exact dedup."""
-    from .corpus import synthesize_pages
-    from .job import extract_pages
-
-    n_docs = _table_num_rows(sf_dir, "documents")
-    if n_docs is None:
-        n_docs = t(spark, sf_dir, "documents").count()
-    pages = synthesize_pages(spark, _corpus_n_pages(n_docs))
-    out = extract_pages(pages, salt_buckets=0)
-    links = out.select("url", F.posexplode("outlinks").alias("seq", "href"))
-    page_scheme = F.substring_index(F.col("url"), "://", 1)
-    page_rest = F.substring_index(F.col("url"), "://", -1)
-    page_host = F.substring_index(page_rest, "/", 1)
-    page_dir = F.expr("regexp_replace(substr(_pr, "
-                      "length(split_part(_pr, '/', 1)) + 1), '[^/]*$', '')")
-    abs_url = (F.when(F.col("href").contains("://"), F.col("href"))
-               .when(F.col("href").startswith("/"),
-                     F.concat(page_scheme, F.lit("://"), page_host,
-                              F.col("href")))
-               .otherwise(F.concat(page_scheme, F.lit("://"), page_host,
-                                   page_dir, F.col("href"))))
-    resolved = (links.withColumn("_pr", page_rest)
-                .withColumn("page_url", F.col("url"))
-                .withColumn("url", abs_url)
-                .drop("_pr"))
-    return (_with_canon_url(resolved)
+    return (_resolved_outlinks(spark, sf_dir)
             .select("page_url", "seq", "href", "canon_url", "surt_key"))
 
 
@@ -4148,6 +4156,42 @@ _ROBOTS_TEXTS = [
 ]
 
 
+def _robots_rules_df(spark, n_keys: int):
+    """Parsed robots rules dimension: key ``host_num`` in [0, n_keys)
+    gets the rules of ``_ROBOTS_TEXTS[host_num % 4]``, parsed by the
+    REAL parser (group selection + merging) with each pattern
+    pre-translated to its RFC §2.2.3 anchored regex — group-selection
+    and regex-translation run once per HOST, never per url."""
+    import pandas as pd
+
+    hosts = spark.range(0, n_keys).select(
+        F.col("id").cast("int").alias("host_num"),
+        F.element_at(F.array(*[F.lit(s) for s in _ROBOTS_TEXTS]),
+                     (F.col("id") % 4 + 1).cast("int")).alias("robots_txt"))
+
+    def parse(batches):
+        from .robots import parse_robots, pattern_regex
+
+        for pdf in batches:
+            hn, typ, rx, pl = [], [], [], []
+            for h, txt in zip(pdf["host_num"], pdf["robots_txt"]):
+                for rule_type, pattern in parse_robots(txt):
+                    if pattern:  # empty Disallow: = allow-all no-op
+                        hn.append(h)
+                        typ.append(rule_type)
+                        rx.append(pattern_regex(pattern))
+                        pl.append(len(pattern))
+            yield pd.DataFrame({
+                "host_num": pd.Series(hn, dtype="int32"),
+                "rule_type": pd.Series(typ, dtype="object"),
+                "rx": pd.Series(rx, dtype="object"),
+                "plen": pd.Series(pl, dtype="int32"),
+            })
+
+    return hosts.mapInPandas(
+        parse, "host_num int, rule_type string, rx string, plen int")
+
+
 def q_web_robots_gate(spark, sf_dir):
     """robots.txt politeness gate (RFC 9309, htmpark/robots.py): the
     crawl-compliance decision a training-data pipeline must make before
@@ -4173,8 +4217,6 @@ def q_web_robots_gate(spark, sf_dir):
     at 10^12 urls this is one broadcast + one keyed agg, and the
     group-selection + regex-translation logic runs once per HOST, not
     per url."""
-    import pandas as pd
-
     d = t(spark, sf_dir, "documents").select("doc_id")
     urls = d.select(
         "doc_id",
@@ -4189,32 +4231,7 @@ def q_web_robots_gate(spark, sf_dir):
          .otherwise(F.concat(F.lit("/pub/"), F.col("doc_id")))
         .alias("path"))
 
-    hosts = spark.range(0, 7).select(
-        F.col("id").cast("int").alias("host_num"),
-        F.element_at(F.array(*[F.lit(s) for s in _ROBOTS_TEXTS]),
-                     (F.col("id") % 4 + 1).cast("int")).alias("robots_txt"))
-
-    def parse(batches):
-        from .robots import parse_robots, pattern_regex
-
-        for pdf in batches:
-            hn, typ, rx, pl = [], [], [], []
-            for h, txt in zip(pdf["host_num"], pdf["robots_txt"]):
-                for rule_type, pattern in parse_robots(txt):
-                    if pattern:  # empty Disallow: = allow-all no-op
-                        hn.append(h)
-                        typ.append(rule_type)
-                        rx.append(pattern_regex(pattern))
-                        pl.append(len(pattern))
-            yield pd.DataFrame({
-                "host_num": pd.Series(hn, dtype="int32"),
-                "rule_type": pd.Series(typ, dtype="object"),
-                "rx": pd.Series(rx, dtype="object"),
-                "plen": pd.Series(pl, dtype="int32"),
-            })
-
-    rules = hosts.mapInPandas(
-        parse, "host_num int, rule_type string, rx string, plen int")
+    rules = _robots_rules_df(spark, 7)
     score = F.when(
         F.col("rx").isNotNull() & F.expr("rlike(path, rx)"),
         F.col("plen") * 2 + (F.col("rule_type") == "allow").cast("int"))
@@ -4224,6 +4241,95 @@ def q_web_robots_gate(spark, sf_dir):
             .agg(F.when(F.max("score").isNull(), F.lit(1))
                  .otherwise(F.max("score") % 2).cast("int")
                  .alias("allowed")))
+
+
+def q_web_crawl_frontier(spark, sf_dir):
+    """Crawl-frontier capstone composing the round's web operators:
+    pages -> parsed outlinks -> relative resolution + canonical SURT
+    keys (_resolved_outlinks) -> SURT-key target dedup -> robots
+    politeness filter (the same parsed-rules broadcast + longest-match
+    max-score machinery as web_robots_gate, rules keyed by host % 4)
+    -> per-host frontier rollup: total edges, distinct targets, and
+    targets the crawler may actually fetch.  This IS the next crawl
+    wave's work list, derived end-to-end from parser output.
+
+    Oracle: per-fragment outlink constants (CORPUS_FRAGMENT_OUTLINKS)
+    + the analytic robots verdicts (only the hmod-1 rule set gates
+    these paths: 'Allow: /p/' outscores 'Disallow: /'; the hmod-0
+    /private//*.tmp$ and hmod-2 /files//pub/ rules match none of the
+    outlink paths).
+
+    Scale shape: stateless parse -> posexplode -> partial-agg target
+    dedup (one keyed exchange) -> broadcast rules join -> partial-agg
+    host rollup (second keyed exchange).  At 10^12 pages both
+    aggregates are map-side-combined on bounded keys."""
+    edges = _resolved_outlinks(spark, sf_dir).select(
+        F.substring(
+            F.substring_index(
+                F.substring_index(F.col("canon_url"), "://", -1),
+                "/", 1),
+            5, 3).cast("int").alias("host_num"),
+        "path", "surt_key")
+    ecnt = (edges.groupBy("host_num", "path", "surt_key")
+            .agg(F.count("*").alias("n_edges")))
+    rules = _robots_rules_df(spark, 4).withColumnRenamed("host_num",
+                                                         "hmod")
+    score = F.when(
+        F.col("rx").isNotNull() & F.expr("rlike(path, rx)"),
+        F.col("plen") * 2 + (F.col("rule_type") == "allow").cast("int"))
+    targets = (ecnt.join(F.broadcast(rules),
+                         (F.col("host_num") % 4) == F.col("hmod"),
+                         "left")
+               .withColumn("score", score)
+               .groupBy("host_num", "surt_key")
+               .agg(F.max("n_edges").alias("n_edges"),
+                    F.when(F.max("score").isNull(), F.lit(1))
+                    .otherwise(F.max("score") % 2).cast("int")
+                    .alias("allowed")))
+    return (targets.groupBy("host_num")
+            .agg(F.sum("n_edges").cast("bigint").alias("n_edges"),
+                 F.count("*").cast("bigint").alias("n_targets"),
+                 F.sum("allowed").cast("bigint")
+                 .alias("n_allowed_targets")))
+
+
+def _frontier_oracle_sql() -> str:
+    from .corpus_oracle import CORPUS_FRAGMENT_OUTLINKS
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    vals = ",\n    ".join(f"({f}, {lit(href)})"
+                          for f, _seq, href in CORPUS_FRAGMENT_OUTLINKS)
+    return f"""
+WITH n AS (SELECT GREATEST(500, COUNT(*) * 2 // 5) AS n FROM documents),
+lk(fi, href) AS (VALUES
+    {vals}),
+idx AS (SELECT unnest(range(n.n)) AS i FROM n),
+p AS (
+  SELECT i, CASE WHEN i % 5 = 0 THEN 0 ELSE (i % 97) + 1 END AS host_num,
+         i % 10 AS frag
+  FROM idx
+), e AS (
+  SELECT p.host_num,
+         CASE WHEN l.href LIKE '/%' THEN l.href
+              ELSE '/p/' || l.href END AS path
+  FROM p JOIN lk l ON l.fi = p.frag
+), tgt AS (
+  SELECT host_num, path, COUNT(*) AS n_edges,
+         CASE WHEN host_num % 4 = 1 AND path NOT LIKE '/p/%'
+              THEN 0 ELSE 1 END AS allowed
+  FROM e GROUP BY host_num, path
+)
+SELECT CAST(host_num AS INT) AS host_num,
+       CAST(SUM(n_edges) AS BIGINT) AS n_edges,
+       CAST(COUNT(*) AS BIGINT) AS n_targets,
+       CAST(SUM(allowed) AS BIGINT) AS n_allowed_targets
+FROM tgt GROUP BY host_num
+"""
+
+
+SQL_WEB_CRAWL_FRONTIER = _frontier_oracle_sql()
 
 
 # analytic expected verdicts, derived from _ROBOTS_TEXTS by hand:
@@ -4525,6 +4631,7 @@ REGISTRY = {
                               SQL_WEB_OUTLINK_CANONICAL),
     "stream_warc_ingest": (q_stream_warc_ingest, SQL_STREAM_WARC_INGEST),
     "web_robots_gate": (q_web_robots_gate, SQL_WEB_ROBOTS_GATE),
+    "web_crawl_frontier": (q_web_crawl_frontier, SQL_WEB_CRAWL_FRONTIER),
     # -- changed in r6: WARC streaming/sentinel rows, tz-free
     #    timestampdiff, scheme-conditional port strip -> window
     "warc_round_trip": (q_warc_round_trip, SQL_WARC_ROUND_TRIP),

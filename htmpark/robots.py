@@ -9,9 +9,13 @@ against the url stream (see queries.q_web_robots_gate).
 Not derived from the reference (zadean/htmerl parses HTML only); the
 grammar and precedence rules follow public RFC 9309:
 * groups = one or more ``User-agent`` lines followed by rules; a group
-  applies if any of its agent tokens is a case-insensitive substring of
-  the product token; rules of ALL matching named groups are COMBINED
-  (§2.2.1), with the union of ``*`` groups as the fallback;
+  applies if any of its agent tokens is a case-insensitive PREFIX of
+  the product token (token == agent or agent.startswith(token) — RFC
+  9309 §2.2.1 product-token matching; a bare substring match would let
+  an arbitrarily short token in untrusted robots.txt capture the agent
+  and suppress the ``*`` fallback); rules of ALL matching named groups
+  are COMBINED (§2.2.1), with the union of ``*`` groups as the
+  fallback;
 * ``Allow``/``Disallow`` patterns support the §2.2.3 special
   characters: ``*`` matches any run of octets and a trailing ``$``
   anchors the end; otherwise the pattern matches as a path prefix;
@@ -53,7 +57,7 @@ def parse_robots(text: str, agent: str = "htmpark") -> list:
 
     agent_l = agent.lower()
     named = [r for agents, rules in groups
-             if any(a != "*" and a in agent_l for a in agents)
+             if any(a != "*" and agent_l.startswith(a) for a in agents)
              for r in rules]
     if named:
         return named
@@ -93,7 +97,7 @@ def crawl_delay(text: str, agent: str = "htmpark"):
         groups.append((cur_agents, cur_delay))
     agent_l = agent.lower()
     for agents, delay in groups:
-        if delay is not None and any(a != "*" and a in agent_l
+        if delay is not None and any(a != "*" and agent_l.startswith(a)
                                      for a in agents):
             return delay
     for agents, delay in groups:
@@ -116,9 +120,19 @@ def pattern_regex(pattern: str) -> str:
 
 
 def robots_allowed(path: str, rules: list) -> bool:
-    """RFC 9309 §2.2.2 decision: longest matching pattern (octet
-    length) wins, a tie goes to Allow; no matching rule (or an
-    empty-value Disallow, the allow-all idiom) means allowed."""
+    """RFC 9309 §2.2.2 decision: longest matching pattern wins, a tie
+    goes to Allow; no matching rule (or an empty-value Disallow, the
+    allow-all idiom) means allowed.
+
+    PINNED tie semantics: "length" is ``len(pattern)`` of the RULE
+    PATTERN INCLUDING the §2.2.3 metacharacters ``*`` and ``$`` (so
+    ``/a$`` ties ``/a/``, both length 3, and the tie goes to whichever
+    is the Allow).  RFC 9309 ranks by "most octets" without saying
+    whether metacharacters count; this engine counts them, and the SAME
+    formula is used in the Spark rules dimension
+    (queries._robots_rules_df ``plen``), the gate score
+    ``2*plen + is_allow``, and the analytic oracles — change all four
+    together or not at all (tests/test_robots.py pins the tie cases)."""
     best_len = -1
     allowed = True
     for rule_type, pattern in rules:

@@ -1125,6 +1125,19 @@ def test_outlink_canonical_resolution(spark):
     assert x.href == "x"
     assert x.canon_url == "https://host010.example.com/p/x"
     assert x.surt_key == "com,example,host010)/p/x"
+    # RFC 3986 dirty forms (the _DIRTY_HREFS suffix, seq 3.. on frag 1):
+    # dot-segment removal, protocol-relative scheme join, absolute
+    # pass-through
+    assert by[("1", 3)].href == "../up"
+    assert by[("1", 3)].canon_url == "https://host002.example.com/up"
+    assert by[("1", 4)].canon_url == "https://host002.example.com/p/self"
+    assert by[("1", 5)].canon_url == "https://host002.example.com/p/a2"
+    assert by[("1", 6)].canon_url == "https://host002.example.com/root"
+    pp = by[("1", 7)]
+    assert pp.href == "//cdn.example.org/lib"
+    assert pp.canon_url == "https://cdn.example.org/lib"
+    assert pp.surt_key == "org,example,cdn)/lib"
+    assert by[("1", 8)].canon_url == "https://cdn.example.org/abs"
 
 
 def test_winnowing_guarantee(spark, tmp_path):

@@ -4270,12 +4270,12 @@ SQL_WEB_OUTLINK_CANONICAL = _outlinks_oracle_sql()
 # pairing occurs in the gate data
 _ROBOTS_TEXTS = [
     "User-agent: *\nDisallow: /private/\nAllow: /private/stats\n"
-    "Disallow: /*.tmp$\n",
+    "Disallow: /*.tmp$\nCrawl-delay: 5\n",
     "# block everything but articles\nUser-agent: *\nAllow: /p/\n"
-    "Disallow: /\n",
-    "User-agent: htmpark\nDisallow: /files/\n\n"
+    "Disallow: /\nCrawl-delay: 2\n",
+    "User-agent: htmpark\nDisallow: /files/\nCrawl-delay: 10\n\n"
     "User-agent: htm\nDisallow: /pub/\n\n"
-    "User-agent: specialbot\nDisallow: /\n",
+    "User-agent: specialbot\nDisallow: /\nCrawl-delay: 99\n",
     "",
 ]
 
@@ -4481,6 +4481,97 @@ FROM tgt GROUP BY host_num
 
 
 SQL_WEB_CRAWL_FRONTIER = _frontier_oracle_sql()
+
+
+def _robots_delay_df(spark, n_keys: int):
+    """Crawl-delay dimension: key ``hmod`` in [0, n_keys) gets the
+    delay (whole seconds, NULL when the host declares none) that the
+    REAL extension parser (robots.crawl_delay — named-group-over-*
+    precedence, first-declared-wins) reads out of
+    ``_ROBOTS_TEXTS[hmod % 4]``.  Like _robots_rules_df, the grammar
+    runs once per HOST inside a mapInPandas over the tiny dimension."""
+    import pandas as pd
+
+    hosts = spark.range(0, n_keys).select(
+        F.col("id").cast("int").alias("hmod"),
+        F.element_at(F.array(*[F.lit(s) for s in _ROBOTS_TEXTS]),
+                     (F.col("id") % 4 + 1).cast("int")).alias("robots_txt"))
+
+    def parse(batches):
+        from .robots import crawl_delay
+
+        for pdf in batches:
+            delays = [crawl_delay(txt) for txt in pdf["robots_txt"]]
+            yield pd.DataFrame({
+                "hmod": pdf["hmod"].astype("int32"),
+                "delay_s": pd.array(
+                    [None if d is None else int(d) for d in delays],
+                    dtype="Int32"),
+            })
+
+    return hosts.mapInPandas(parse, "hmod int, delay_s int")
+
+
+def q_web_politeness_budget(spark, sf_dir, window_s: int = 3600):
+    """Per-host politeness/fetch-budget scheduler — the consumer of the
+    Crawl-delay extension value (r6 verdict item 4: parsed but unused).
+    The crawl-frontier rollup (allowed targets per host) joins the
+    crawl-delay dimension, and a token-bucket budget over a
+    ``window_s``-second crawl window decides, all integer-exact:
+
+    * ``delay_s``       — the host's declared delay, default 1 s;
+    * ``n_fetch_now``   — targets fetchable THIS window =
+                          min(allowed, window_s div delay_s);
+    * ``n_deferred``    — allowed targets pushed to later windows;
+    * ``n_waves``       — windows to drain the host =
+                          ceil(allowed * delay_s / window_s).
+
+    Oracle: analytic — the frontier oracle composed with the
+    hand-derived per-hmod delays (5 / 2 / 10 via the named htmpark
+    group, NULL -> default) and the same integer budget formulas.
+
+    Scale shape: the frontier's two partial-agg exchanges + one more
+    broadcast of the 4-row delay dim; the budget math is row-local
+    codegen on the per-host rollup (bounded rows)."""
+    frontier = q_web_crawl_frontier(spark, sf_dir)
+    delays = _robots_delay_df(spark, 4)
+    joined = frontier.join(F.broadcast(delays),
+                           (F.col("host_num") % 4) == F.col("hmod"),
+                           "left")
+    delay_eff = F.coalesce(F.col("delay_s"), F.lit(1))
+    max_fetch = F.expr(f"CAST({window_s} DIV _delay_eff AS BIGINT)")
+    fetch_now = F.least(F.col("n_allowed_targets"), max_fetch)
+    return (joined.withColumn("_delay_eff", delay_eff)
+            .withColumn("n_fetch_now", fetch_now)
+            .select(
+                "host_num", "n_targets", "n_allowed_targets",
+                F.col("_delay_eff").cast("int").alias("delay_s"),
+                F.col("n_fetch_now").cast("bigint").alias("n_fetch_now"),
+                (F.col("n_allowed_targets") - F.col("n_fetch_now"))
+                .cast("bigint").alias("n_deferred"),
+                F.expr(f"CAST((n_allowed_targets * _delay_eff "
+                       f"+ {window_s} - 1) DIV {window_s} AS BIGINT)")
+                .alias("n_waves")))
+
+
+# analytic per-hmod delays, derived from _ROBOTS_TEXTS by hand: hmod 0
+# declares 5, hmod 1 declares 2, hmod 2 declares 10 in the named
+# htmpark group (specialbot's 99 must NOT apply), hmod 3 has no robots
+# -> NULL -> the 1 s default
+SQL_WEB_POLITENESS_BUDGET = f"""
+WITH f AS ({SQL_WEB_CRAWL_FRONTIER}),
+d(hmod, delay_s) AS (VALUES (0, 5), (1, 2), (2, 10), (3, NULL))
+SELECT f.host_num, f.n_targets, f.n_allowed_targets,
+       CAST(COALESCE(d.delay_s, 1) AS INT) AS delay_s,
+       CAST(LEAST(f.n_allowed_targets,
+                  3600 // COALESCE(d.delay_s, 1)) AS BIGINT) AS n_fetch_now,
+       CAST(f.n_allowed_targets
+            - LEAST(f.n_allowed_targets,
+                    3600 // COALESCE(d.delay_s, 1)) AS BIGINT) AS n_deferred,
+       CAST((f.n_allowed_targets * COALESCE(d.delay_s, 1) + 3599) // 3600
+            AS BIGINT) AS n_waves
+FROM f JOIN d ON f.host_num % 4 = d.hmod
+"""
 
 
 # analytic expected verdicts, derived from _ROBOTS_TEXTS by hand:
@@ -4776,6 +4867,9 @@ JOIN embeddings eb ON p.doc_b = eb.vec_id
 # from CORRECTNESS_r*.json + per-query source fingerprints) — run it
 # after any registry/query edit; re-derive + --update each round end.
 REGISTRY = {
+    # -- new in r7
+    "web_politeness_budget": (q_web_politeness_budget,
+                              SQL_WEB_POLITENESS_BUDGET),
     # -- changed in r7 (RFC 3986 href resolution, robots product-token
     #    matching, frontier surt rollup) -> window head
     "web_robots_gate": (q_web_robots_gate, SQL_WEB_ROBOTS_GATE),
@@ -4832,8 +4926,8 @@ REGISTRY = {
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     "html_corpus_pipeline": (q_html_corpus_pipeline, SQL_HTML_CORPUS_PIPELINE),
     "rel_events_minutely": (q_rel_events_minutely, SQL_REL_EVENTS_MINUTELY),
-    "rel_pricing_summary": (q_rel_pricing_summary, SQL_REL_PRICING_SUMMARY),
     # -- tail (>50): >=3x driver-green, green in r6, untouched this round
+    "rel_pricing_summary": (q_rel_pricing_summary, SQL_REL_PRICING_SUMMARY),
     "rel_top_revenue_nations": (q_rel_top_revenue_nations, SQL_REL_TOP_REVENUE_NATIONS),
     "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
     "dedup_substring": (q_dedup_substring, SQL_DEDUP_SUBSTRING),

@@ -174,6 +174,31 @@ def test_robots_gate_query(spark):
     assert verdicts == {0, 1}
 
 
+def test_politeness_budget(spark):
+    """The Crawl-delay consumer: every host's budget columns re-derive
+    from the REAL crawl_delay() over its robots text plus the integer
+    token-bucket formulas, the named htmpark group's 10 s (not
+    specialbot's 99 s) applies on hmod-2 hosts, and delay-less hosts
+    fall back to 1 s."""
+    from htmpark.robots import crawl_delay
+    from htmpark.queries import _ROBOTS_TEXTS, REGISTRY
+
+    fn, _ = REGISTRY["web_politeness_budget"]
+    rows = fn(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    W = 3600
+    seen_delays = set()
+    for r in rows:
+        d = crawl_delay(_ROBOTS_TEXTS[r.host_num % 4])
+        eff = 1 if d is None else int(d)
+        assert r.delay_s == eff, (r.host_num, d)
+        seen_delays.add(r.delay_s)
+        assert r.n_fetch_now == min(r.n_allowed_targets, W // eff)
+        assert r.n_deferred == r.n_allowed_targets - r.n_fetch_now
+        assert r.n_waves == (r.n_allowed_targets * eff + W - 1) // W
+    assert seen_delays == {5, 2, 10, 1}  # incl. the named-group 10
+
+
 def test_crawl_frontier_rollup(spark):
     """Frontier capstone: SURT dedup collapses the per-page dirty-href
     targets to one per host, off-site (CDN) targets are scoped out, and

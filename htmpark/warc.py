@@ -151,9 +151,15 @@ def iter_warc_records(buf: bytes):
                 pos += 2  # skip inter-record CRLFs
             if pos >= n:
                 break
-            end_hdr = data.find(_CRLF2, pos, pos + _MAX_HEADER)
+            # the _MAX_HEADER limit applies to the header BLOCK; the
+            # search bound leaves room for the CRLFCRLF terminator
+            # itself so a legal header of exactly _MAX_HEADER bytes
+            # still parses (find() needs the whole match inside the
+            # bound)
+            end_hdr = data.find(_CRLF2, pos,
+                                pos + _MAX_HEADER + len(_CRLF2))
             if end_hdr < 0:
-                if at_end or n - pos >= _MAX_HEADER:
+                if at_end or n - pos >= _MAX_HEADER + len(_CRLF2):
                     raise ValueError("malformed WARC header "
                                      "(no CRLFCRLF terminator)")
                 break  # need more data
@@ -257,7 +263,11 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     the rot precedes every page; ``extract_pages`` drops the sentinels
     (url AND html both NULL) before parsing, and other page consumers
     filter ``html IS NOT NULL``.  Errors are counted, never silently
-    dropped — the run_extraction manifest pattern."""
+    dropped — the run_extraction manifest pattern.
+
+    Round-trip caveat: urls written through :func:`write_warc_shards`
+    come back with CR/LF percent-encoded, never decoded (see
+    :func:`_hdr_value`) — sanitize before lineage-joining on url."""
     files = (spark.read.format("binaryFile")
              .option("pathGlobFilter", "*.warc*")
              .load(path)
@@ -351,7 +361,10 @@ def write_warc_shards(df: DataFrame, out_dir: str,
     audit-before-publish shape as run_extraction's manifest; the page
     data itself never touches the driver).  Shard size = partition size:
     callers control it with repartition, exactly how Common Crawl sizes
-    its ~1 GB shards."""
+    its ~1 GB shards.
+
+    Urls containing raw CR/LF are written percent-encoded and stay that
+    way on re-import (see :func:`_hdr_value` for the rationale)."""
     import os
 
     import pandas as pd
@@ -392,7 +405,17 @@ def write_warc_shards(df: DataFrame, out_dir: str,
 def _hdr_value(s) -> str:
     """Sanitize a WARC header value: CR/LF would inject lines into the
     record grammar the property tests pin, so they are percent-encoded
-    (RFC 3986 style — a URI may not contain raw CR/LF anyway)."""
+    (RFC 3986 style — a URI may not contain raw CR/LF anyway).
+
+    DELIBERATE write/read asymmetry (r6 ADVICE): the read path never
+    percent-DEcodes, so a url containing raw CR/LF does not round-trip
+    byte-identically through write_warc -> read_warc — it comes back
+    with the literal '%0D'/'%0A'.  This is the intended contract (the
+    injection tests pin it): such a "url" was never a legal URI, and
+    decoding on read would turn every legitimately-%0A-bearing url into
+    a header-injection vector.  Lineage joins on url must therefore
+    sanitize with this same function (or reject CR/LF urls upstream)
+    before comparing against re-imported records."""
     return str(s).replace("\r", "%0D").replace("\n", "%0A")
 
 

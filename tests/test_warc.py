@@ -40,6 +40,28 @@ def test_warc_round_trip(tmp_path, gz):
         assert http_payload(body) == html
 
 
+def test_warc_header_at_max_length_boundary():
+    """A legal header block of EXACTLY _MAX_HEADER bytes parses (r6
+    ADVICE: the terminator used to be searched only inside the block
+    bound, rejecting headers in (_MAX_HEADER-4, _MAX_HEADER]); one byte
+    over the limit is still rejected as malformed."""
+    from htmpark.warc import _MAX_HEADER
+
+    base = (b"WARC/1.0\r\n"
+            b"WARC-Type: response\r\n"
+            b"Content-Length: 1\r\n"
+            b"X-Pad: ")
+
+    def rec(block_len):
+        return base + b"p" * (block_len - len(base)) + b"\r\n\r\n" + b"X"
+
+    for ln in (_MAX_HEADER - 4, _MAX_HEADER - 1, _MAX_HEADER):
+        out = list(iter_warc_records(rec(ln)))
+        assert len(out) == 1 and out[0][1] == b"X", ln
+    with pytest.raises(ValueError, match="no CRLFCRLF"):
+        list(iter_warc_records(rec(_MAX_HEADER + 1)))
+
+
 def test_warc_writer_is_deterministic(tmp_path):
     a, b = str(tmp_path / "a.warc.gz"), str(tmp_path / "b.warc.gz")
     write_warc(a, PAGES, gzip_members=True)

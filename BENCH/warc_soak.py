@@ -9,7 +9,12 @@ extract_pages — and checksum the extracted text.  Two timed passes pin
 determinism (bit-identical checksums) and steady-state throughput.
 
 Run pinned, nothing else on the host (see the bench-method rules):
-    taskset -c 0-31 python BENCH/warc_soak.py [n_pages]
+    taskset -c 0-31 python BENCH/warc_soak.py [n_pages] [body_repeat]
+
+``body_repeat`` (default 12 -> ~2.6 KB/page, the bench corpus shape)
+tiles the body fragment; ~500 gives the ~50 KB/page Common-Crawl-record
+shape, where gunzip + record framing are a larger share of the ingest
+cost than at bench size (r6 verdict item 5).
 """
 import os
 import shutil
@@ -26,6 +31,7 @@ from htmpark.job import build_session, extract_pages  # noqa: E402
 from htmpark.warc import read_warc, write_warc_shards  # noqa: E402
 
 N_PAGES = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+BODY_REPEAT = int(sys.argv[2]) if len(sys.argv) > 2 else 12
 N_SHARDS = 64  # >= 2x cores: one binaryFile task per shard
 
 
@@ -50,7 +56,7 @@ def main():
     shard_dir = tempfile.mkdtemp(prefix="htmpark_warc_soak_")
     try:
         t0 = time.time()
-        pages = (synthesize_pages(spark, N_PAGES, body_repeat=12)
+        pages = (synthesize_pages(spark, N_PAGES, body_repeat=BODY_REPEAT)
                  .repartition(N_SHARDS))
         manifest = write_warc_shards(pages, shard_dir)
         t_export = time.time() - t0
@@ -60,8 +66,13 @@ def main():
               f"{gz_bytes / 1e6:.0f} MB gzip in {t_export:.1f}s "
               f"({n_rec / t_export:.0f} pages/s)")
 
-        # warm pass (JVM codegen, python workers, page cache), untimed
+        # warm pass (JVM codegen, python workers, page cache), untimed;
+        # page-size stat measured here so the timed pass stays the exact
+        # r6 shape (count/sum/bit_xor agg only)
         checksum_run(spark, shard_dir)
+        html_bytes = (read_warc(spark, shard_dir)
+                      .where(F.col("html").isNotNull())
+                      .agg(F.sum(F.octet_length("html"))).first()[0])
 
         results = []
         for i in range(2):
@@ -70,12 +81,15 @@ def main():
             dt = time.time() - t0
             results.append((n, n_ok, chk, dt))
             print(f"pass {i}: {n} pages, {n_ok} ok, checksum {chk} "
-                  f"in {dt:.1f}s ({n / dt:.0f} pages/s)")
+                  f"in {dt:.1f}s ({n / dt:.0f} pages/s, "
+                  f"{html_bytes / dt / 1e6:.1f} MB/s decompressed, "
+                  f"{html_bytes / n:.0f} B/page)")
 
         assert results[0][:3] == results[1][:3], "nondeterministic!"
         assert results[0][0] == N_PAGES and results[0][1] == N_PAGES
         best = max(r[0] / r[3] for r in results)
-        print(f"RESULT warc_ingest {N_PAGES} pages, "
+        print(f"RESULT warc_ingest {N_PAGES} pages x "
+              f"{html_bytes / n:.0f} B, "
               f"best {best:.0f} pages/s, checksums identical x2")
     finally:
         shutil.rmtree(shard_dir, ignore_errors=True)

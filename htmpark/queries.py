@@ -3867,7 +3867,10 @@ def _with_canon_url(df):
                    F.substring_index(nofrag, "?", -1)).otherwise(F.lit(""))
     sorted_q = F.array_join(F.array_sort(F.split(query, "&")), "&")
     scheme = F.lower(F.substring_index(base, "://", 1))
-    rest = F.substring_index(base, "://", -1)
+    # authority+path = everything after the FIRST '://' — a path that
+    # itself embeds a URL (/go/https://x, the redirect idiom) must not
+    # re-split on the later occurrence
+    rest = F.expr("substr(_canon_base, instr(_canon_base, '://') + 3)")
     hostport = F.lower(F.substring_index(rest, "/", 1))
     # strip only the scheme's own default port: :80 is non-default (a
     # distinct origin) under https, and vice versa
@@ -3880,7 +3883,8 @@ def _with_canon_url(df):
     path = F.expr("substr(_canon_rest, "
                   "length(split_part(_canon_rest, '/', 1)) + 1)")
     path = F.regexp_replace(path, "/$", "")
-    return (df.withColumn("_canon_rest", rest)
+    return (df.withColumn("_canon_base", base)
+            .withColumn("_canon_rest", rest)
             .withColumn("canon_url",
                         F.concat(scheme, F.lit("://"), host, path,
                                  F.when(sorted_q != "",
@@ -3890,7 +3894,7 @@ def _with_canon_url(df):
                         F.concat(F.array_join(
                             F.reverse(F.split(host, "\\.")), ","),
                             F.lit(")"), path))
-            .drop("_canon_rest"))
+            .drop("_canon_base", "_canon_rest"))
 
 
 def q_web_url_canonical(spark, sf_dir):
@@ -4061,6 +4065,19 @@ _DIRTY_HREFS = [
     "/p/../root",                   # rooted + pop: -> /root
     "//cdn.example.org/lib",        # protocol-relative: page scheme
     "https://cdn.example.org/abs",  # absolute pass-through
+    # '://' in the QUERY STRING: still a relative reference (RFC 3986
+    # §4.2 — only a leading scheme ':' makes a ref absolute); a
+    # substring '://' test would mis-root it on 'track.example'
+    "rel?u=https://track.example/p",
+    # scheme-ful NON-hierarchical refs: real pages are full of these;
+    # they are not fetchable web targets and both engines drop them
+    # (seq holes 10/11 in the gate output prove the drop)
+    "mailto:trap@example.org",
+    "javascript:void(0)",
+    # URL embedded in the PATH (the redirect idiom): host extraction
+    # must split on the FIRST '://', relative and absolute both
+    "go/https://deep.example/x",
+    "https://cdn.example.org/go/https://deep.example/x",
 ]
 
 # RFC 3986 §5.2.4 remove_dot_segments over a '/'-rooted path, as a
@@ -4107,16 +4124,29 @@ def _resolved_outlinks(spark, sf_dir):
                                   F.lit(suffix)), "UTF-8"))
     out = extract_pages(pages, salt_buckets=0)
     links = out.select("url", F.posexplode("outlinks").alias("seq", "href"))
+    # RFC 3986 §3.1 scheme detection: a ref is absolute only when it
+    # STARTS with scheme '://' — a bare substring '://' test would
+    # mis-root 'rel?u=https://x' (URL-in-query, ubiquitous on real
+    # pages) on the query's host.  Scheme-ful refs WITHOUT '//'
+    # (mailto:, javascript:, tel:) are non-hierarchical: they are not
+    # fetch targets, so the edge surface drops them (row-local filter;
+    # seq keeps the parser's positions, so the drop leaves seq holes).
+    is_abs = F.col("href").rlike("^[A-Za-z][A-Za-z0-9+.-]*://")
+    is_opaque = F.col("href").rlike("^[A-Za-z][A-Za-z0-9+.-]*:") & ~is_abs
+    links = links.where(~is_opaque)
     page_scheme = F.substring_index(F.col("url"), "://", 1)
     page_rest = F.substring_index(F.col("url"), "://", -1)
     page_host = F.substring_index(page_rest, "/", 1)
     page_dir = F.expr("regexp_replace(substr(_pr, "
                       "length(split_part(_pr, '/', 1)) + 1), '[^/]*$', '')")
-    is_abs = F.col("href").contains("://")
     is_pp = F.col("href").startswith("//") & ~is_abs
     # authority/path split of the href's own remainder (absolute and
     # protocol-relative forms carry their own host)
-    href_rest = (F.when(is_abs, F.substring_index(F.col("href"), "://", -1))
+    # first-occurrence split: an absolute href may embed another URL in
+    # its own path/query (/go/https://x) — substring_index(-1) would
+    # take the LAST '://'
+    href_rest = (F.when(is_abs,
+                        F.expr("substr(href, instr(href, '://') + 3)"))
                  .otherwise(F.expr("substr(href, 3)")))
     href_host = F.substring_index(href_rest, "/", 1)
     href_path = F.expr("substr(_hr, length(split_part(_hr, '/', 1)) + 1)")
@@ -4179,11 +4209,16 @@ def _ref_resolve_href(href: str, scheme: str = "https",
     §5.2.3 merge + §5.2.4 segment-stack fold, same trailing-slash
     deviation).  Returns ``(fixed_host, path)``: fixed_host is '' when
     the target stays on the page's own host (the oracle SQL then
-    substitutes the per-page host)."""
-    if "://" in href:
+    substitutes the per-page host), and ``(None, None)`` for scheme-ful
+    NON-hierarchical refs (mailto:, javascript: — RFC 3986 §3.1 scheme
+    with no '//'), which both engines drop from the edge surface."""
+    if re.match(r"[A-Za-z][A-Za-z0-9+.\-]*://", href):
         rest = href.split("://", 1)[1]
         fixed_host = rest.split("/", 1)[0]
         merged = rest[len(fixed_host):]
+    elif re.match(r"[A-Za-z][A-Za-z0-9+.\-]*:", href) \
+            and not href.startswith("//"):
+        return None, None
     elif href.startswith("//"):
         rest = href[2:]
         fixed_host = rest.split("/", 1)[0]
@@ -4231,12 +4266,24 @@ def _outlinks_oracle_sql() -> str:
         hrefs = frag_links.get(f, []) + _DIRTY_HREFS
         for seq, href in enumerate(hrefs):
             fixed_host, path = _ref_resolve_href(href)
+            if fixed_host is None:
+                # opaque scheme (mailto:/javascript:): both engines drop
+                # the row, leaving a seq hole the gate hash verifies
+                continue
+            # mirror _with_canon_url on the resolved path: fragment
+            # dropped, query params sorted, trailing slash trimmed for
+            # canon_url; surt_key carries the bare path only
+            core = re.split(r"[?#]", path, maxsplit=1)[0]
+            core = re.sub(r"/$", "", core)
+            m = re.search(r"\?([^#]*)", path)
+            cq = "&".join(sorted(m.group(1).split("&"))) if m else ""
+            cpath = core + (("?" + cq) if cq else "")
             rows.append(f"({f}, {seq}, {lit(href)}, {lit(fixed_host)}, "
-                        f"{lit(path)})")
+                        f"{lit(cpath)}, {lit(core)})")
     vals = ",\n    ".join(rows)
     return f"""
 WITH n AS (SELECT GREATEST(500, COUNT(*) * 2 // 5) AS n FROM documents),
-lk(fi, seq, href, fhost, path) AS (VALUES
+lk(fi, seq, href, fhost, cpath, spath) AS (VALUES
     {vals}),
 idx AS (SELECT unnest(range(n.n)) AS i FROM n),
 pages AS (
@@ -4246,15 +4293,15 @@ pages AS (
   FROM idx
 ),
 j AS (
-  SELECT p.i, p.host, l.seq, l.href, l.path,
+  SELECT p.i, p.host, l.seq, l.href, l.cpath, l.spath,
          CASE WHEN l.fhost = '' THEN p.host ELSE l.fhost END AS hh
   FROM pages p JOIN lk l ON l.fi = p.i % 10
 )
 SELECT 'https://' || host || '/p/' || CAST(i AS VARCHAR) AS page_url,
        CAST(seq AS INT) AS seq, href,
-       'https://' || hh || path AS canon_url,
+       'https://' || hh || cpath AS canon_url,
        array_to_string(list_reverse(string_split(hh, '.')), ',')
-         || ')' || path AS surt_key
+         || ')' || spath AS surt_key
 FROM j
 """
 
@@ -4387,8 +4434,12 @@ def q_web_crawl_frontier(spark, sf_dir):
     dedup (one keyed exchange) -> broadcast rules join -> partial-agg
     host rollup (second keyed exchange).  At 10^12 pages both
     aggregates are map-side-combined on bounded keys."""
-    target_host = F.substring_index(
-        F.substring_index(F.col("canon_url"), "://", -1), "/", 1)
+    # host = authority after the FIRST '://' (substring_index with -1
+    # would split on the LAST occurrence and garbage the host whenever
+    # a query or path itself carries a URL — the _DIRTY_HREFS
+    # URL-in-query anchor pins this)
+    target_host = F.regexp_extract(F.col("canon_url"),
+                                   "^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
     # frontier scope = THIS crawl's host space: host_num is parsed
     # positionally from the synthetic hostNNN.example.com shape, so the
     # rlike guard keeps off-site targets (e.g. the _DIRTY_HREFS CDN

@@ -1107,6 +1107,70 @@ def test_web_corpus_queries_have_no_exchange(spark):
         assert "Exchange" not in plan, name
 
 
+def test_href_resolution_differential_urljoin():
+    """_ref_resolve_href — the oracle twin the Spark-side resolution is
+    gate-locked to — differentially checked against the stdlib's RFC
+    3986 resolver (urllib.parse.urljoin) on refs WITHOUT their own
+    authority: that's the §5.2.3 merge + §5.2.4 dot-segment machinery,
+    which is where resolution bugs live.  Comparison is after
+    rstrip('/'): the documented trailing-'.'/'..' deviation (no
+    trailing slash) is immaterial because canon trims trailing slashes.
+
+    Out of differential scope, pinned directly below, where URLLIB is
+    the non-RFC side: authority-carrying refs (urljoin skips §5.2
+    remove_dot_segments on them) and empty path segments (urljoin
+    collapses 'x//y' to 'x/y'; RFC and browsers preserve '//')."""
+    import random
+    import re
+    from urllib.parse import urljoin
+
+    from htmpark.queries import _ref_resolve_href
+
+    base = "https://h.example.com/p/leaf"
+
+    def ours(href):
+        fh, path = _ref_resolve_href(href)
+        assert fh == "", href
+        return "https://h.example.com" + path
+
+    fixed = [
+        "x", "x/y", "./x", "../x", "../../x", "../../../x", "a/../b",
+        "a/./b", "a/b/../../c", "..", ".", "a/..", "a/.", "/r",
+        "/r/../s", "/./r", "/../r", "x?q=1", "x?b=2&a=1", "x#f",
+        "x?q=1#f", "rel?u=https://t.example/p", "trailing/", "a/b/",
+        "%7Euser/x", "café/ü", "a/../..", "./../x",
+    ]
+    rng = random.Random(3986)
+    segs = ["a", "b2", ".", "..", "c-c", "%20d"]
+    for _ in range(400):
+        path = "/".join(rng.choice(segs)
+                        for _ in range(rng.randint(1, 6)))
+        href = (rng.choice(["", "/"]) + path
+                + rng.choice(["", "?q=1", "#f", "?b=2&a=1#f"]))
+        fixed.append(href)
+    def trim(url):
+        # drop a path-final '/' (before end, '?' or '#') — the
+        # trailing-'.'/'..' deviation surface that canon trims anyway
+        return re.sub(r"/(?=[?#]|$)", "", url)
+
+    for href in fixed:
+        assert trim(ours(href)) == trim(urljoin(base, href)), href
+
+    # authority-carrying refs: WE apply remove_dot_segments (RFC
+    # §5.2.2 strict); urljoin leaves 'a/../b' untouched there
+    assert _ref_resolve_href("https://x.org/a/../b") == ("x.org", "/b")
+    assert _ref_resolve_href("//cdn.example.org/../x") == \
+        ("cdn.example.org", "/x")
+    assert _ref_resolve_href("//cdn.example.org") == ("cdn.example.org", "/")
+    # empty segments are PRESERVED (RFC remove_dot_segments never
+    # merges them; urljoin's collapse is the stdlib's own quirk)
+    assert _ref_resolve_href("x//y") == ("", "/p/x//y")
+    # opaque non-hierarchical schemes: dropped by contract
+    assert _ref_resolve_href("mailto:a@b") == (None, None)
+    assert _ref_resolve_href("javascript:void(0)") == (None, None)
+    assert _ref_resolve_href("tel:+15551212") == (None, None)
+
+
 def test_outlink_canonical_resolution(spark):
     """Relative hrefs resolve against the page url before
     canonicalization: '/'-rooted against the host, bare against the
@@ -1138,6 +1202,25 @@ def test_outlink_canonical_resolution(spark):
     assert pp.canon_url == "https://cdn.example.org/lib"
     assert pp.surt_key == "org,example,cdn)/lib"
     assert by[("1", 8)].canon_url == "https://cdn.example.org/abs"
+    # '://' inside the query string does NOT make the href absolute
+    # (RFC 3986 §4.2): it resolves on the PAGE host, query preserved in
+    # canon_url but stripped from the surt key
+    q = by[("1", 9)]
+    assert q.href == "rel?u=https://track.example/p"
+    assert q.canon_url == ("https://host002.example.com/p/rel"
+                           "?u=https://track.example/p")
+    assert q.surt_key == "com,example,host002)/p/rel"
+    # scheme-ful non-hierarchical refs are dropped from the edge
+    # surface, leaving seq holes where the parser saw them
+    assert ("1", 10) not in by and ("1", 11) not in by
+    # URL-in-path (redirect idiom): host splits on the FIRST '://'
+    r = by[("1", 12)]
+    assert r.canon_url == ("https://host002.example.com"
+                           "/p/go/https://deep.example/x")
+    assert r.surt_key == ("com,example,host002)"
+                          "/p/go/https://deep.example/x")
+    assert by[("1", 13)].canon_url == \
+        "https://cdn.example.org/go/https://deep.example/x"
 
 
 def test_winnowing_guarantee(spark, tmp_path):

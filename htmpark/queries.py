@@ -4078,6 +4078,12 @@ _DIRTY_HREFS = [
     # must split on the FIRST '://', relative and absolute both
     "go/https://deep.example/x",
     "https://cdn.example.org/go/https://deep.example/x",
+    # same-document references (RFC 3986 §5.3): empty, fragment-only
+    # and query-only hrefs target the PAGE's own path (self-links, the
+    # single most common href shape on real pages), not its directory
+    "",
+    "#top",
+    "?p=2",
 ]
 
 # RFC 3986 §5.2.4 remove_dot_segments over a '/'-rooted path, as a
@@ -4150,9 +4156,15 @@ def _resolved_outlinks(spark, sf_dir):
                  .otherwise(F.expr("substr(href, 3)")))
     href_host = F.substring_index(href_rest, "/", 1)
     href_path = F.expr("substr(_hr, length(split_part(_hr, '/', 1)) + 1)")
+    # same-document refs (''/'#frag'/'?query') join the page's full
+    # PATH (§5.2.2: empty path + no authority -> base path), not its
+    # directory; page urls are canonical-clean by contract (no ?/#)
+    page_path = F.expr("substr(_pr, length(split_part(_pr, '/', 1)) + 1)")
+    is_samedoc = (F.col("href") == "") | F.col("href").rlike("^[?#]")
     merged = (F.when(is_abs | is_pp,
                      F.when(href_path == "", F.lit("/"))
                      .otherwise(href_path))
+              .when(is_samedoc, F.concat(page_path, F.col("href")))
               .when(F.col("href").startswith("/"), F.col("href"))
               .otherwise(F.concat(page_dir, F.col("href"))))
     # remove_dot_segments applies to the PATH only: hold any ?query /
@@ -4219,6 +4231,11 @@ def _ref_resolve_href(href: str, scheme: str = "https",
     elif re.match(r"[A-Za-z][A-Za-z0-9+.\-]*:", href) \
             and not href.startswith("//"):
         return None, None
+    elif href == "" or href[0] in "?#":
+        # same-document ref: page path; pages are '/p/{i}' in the gate
+        # corpus, so the path carries an '{i}' placeholder the oracle
+        # SQL substitutes per page
+        fixed_host, merged = "", dirpath + "{i}" + href
     elif href.startswith("//"):
         rest = href[2:]
         fixed_host = rest.split("/", 1)[0]
@@ -4293,7 +4310,9 @@ pages AS (
   FROM idx
 ),
 j AS (
-  SELECT p.i, p.host, l.seq, l.href, l.cpath, l.spath,
+  SELECT p.i, p.host, l.seq, l.href,
+         replace(l.cpath, '{{i}}', CAST(p.i AS VARCHAR)) AS cpath,
+         replace(l.spath, '{{i}}', CAST(p.i AS VARCHAR)) AS spath,
          CASE WHEN l.fhost = '' THEN p.host ELSE l.fhost END AS hh
   FROM pages p JOIN lk l ON l.fi = p.i % 10
 )
@@ -4446,11 +4465,16 @@ def q_web_crawl_frontier(spark, sf_dir):
     # links) out rather than silently garbaging the parse (r6 verdict
     # item 8) — a real frontier is likewise scoped to its crawl's
     # authority list, with off-site links routed to discovery
+    # robots matching sees path + query but NEVER the fragment (the
+    # client-side part is not sent to the server, RFC 9309 §2.2.2 /
+    # RFC 3986 §3.5) — strip it before the verdict key
     edges = (_resolved_outlinks(spark, sf_dir)
              .where(target_host.rlike("^host[0-9]{3}\\.example\\.com$"))
              .select(F.substring(target_host, 5, 3).cast("int")
                      .alias("host_num"),
-                     "path", "surt_key"))
+                     F.regexp_replace(F.col("path"), "#.*$", "")
+                     .alias("path"),
+                     "surt_key"))
     ecnt = (edges.groupBy("host_num", "path", "surt_key")
             .agg(F.count("*").alias("n_edges")))
     rules = _robots_rules_df(spark, 4).withColumnRenamed("host_num",
@@ -4512,16 +4536,29 @@ p AS (
          i % 10 AS frag
   FROM idx
 ), e AS (
-  SELECT p.host_num, l.path
+  -- '{{i}}' = same-document self-links resolve per page; the robots
+  -- verdict key strips the #fragment (never sent to servers), the
+  -- surt level below strips ?query too
+  SELECT p.host_num,
+         regexp_replace(replace(l.path, '{{i}}', CAST(p.i AS VARCHAR)),
+                        '#.*$', '') AS path
   FROM p JOIN lk l ON l.fi = p.frag
   UNION ALL
-  SELECT p.host_num, d.path
+  SELECT p.host_num,
+         regexp_replace(replace(d.path, '{{i}}', CAST(p.i AS VARCHAR)),
+                        '#.*$', '') AS path
   FROM p CROSS JOIN dl d
-), tgt AS (
+), tgt0 AS (
   SELECT host_num, path, COUNT(*) AS n_edges,
          CASE WHEN host_num % 4 = 1 AND path NOT LIKE '/p/%'
               THEN 0 ELSE 1 END AS allowed
   FROM e GROUP BY host_num, path
+), tgt AS (
+  -- surt rollup: distinct paths that collapse to one crawl target
+  -- (query variants) sum their edges; fetchable if ANY variant is
+  SELECT host_num, regexp_replace(path, '[?#].*$', '') AS spath,
+         SUM(n_edges) AS n_edges, MAX(allowed) AS allowed
+  FROM tgt0 GROUP BY host_num, spath
 )
 SELECT CAST(host_num AS INT) AS host_num,
        CAST(SUM(n_edges) AS BIGINT) AS n_edges,

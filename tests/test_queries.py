@@ -1221,6 +1221,17 @@ def test_outlink_canonical_resolution(spark):
                           "/p/go/https://deep.example/x")
     assert by[("1", 13)].canon_url == \
         "https://cdn.example.org/go/https://deep.example/x"
+    # same-document refs resolve to the page's own PATH, not its
+    # directory: '' and '#top' canonicalize to the page itself
+    # (fragment dropped), '?p=2' keeps its query; all three share the
+    # page's own surt key
+    assert by[("1", 14)].href == ""
+    assert by[("1", 14)].canon_url == "https://host002.example.com/p/1"
+    assert by[("1", 15)].canon_url == "https://host002.example.com/p/1"
+    assert by[("1", 16)].canon_url == \
+        "https://host002.example.com/p/1?p=2"
+    assert {by[("1", s)].surt_key for s in (14, 15, 16)} == \
+        {"com,example,host002)/p/1"}
 
 
 def test_winnowing_guarantee(spark, tmp_path):

@@ -208,18 +208,22 @@ def test_crawl_frontier_rollup(spark):
     fn, _ = REGISTRY["web_crawl_frontier"]
     rows = {r.host_num: r for r in
             fn(spark, "/root/testdata/sf0.001").collect()}
-    # every page carries the 4 on-site dirty anchors (/up /p/self /p/a2
-    # /root); the 2 cdn.example.org anchors must NOT appear as targets
-    # (host-scope guard), which the edge count pins exactly:
-    # 50 frag-1 pages x 3 + 50 frag-9 x 1 + 500 pages x 4 on-site dirty
-    assert sum(r.n_edges for r in rows.values()) == 200 + 500 * 4
-    assert len(_DIRTY_HREFS) == 6  # 4 on-site + 2 off-site
+    # every page carries the 9 on-site dirty anchors (/up /p/self /p/a2
+    # /root /p/rel?u /p/go/https://... + the 3 same-doc self-links,
+    # whose ''/'#top' pair collapses to 2 edges nowhere — edges count
+    # href occurrences); the 3 cdn.example.org anchors must NOT appear
+    # (host-scope guard) and the 2 opaque-scheme anchors are dropped:
+    # 50 frag-1 pages x 3 + 50 frag-9 x 1 + 500 pages x 9 on-site dirty
+    assert sum(r.n_edges for r in rows.values()) == 200 + 500 * 9
+    assert len(_DIRTY_HREFS) == 14  # 9 on-site + 3 off-site + 2 opaque
     # host 2 carries frag-1 pages (i=1 -> host 2): hmod 2 allows all
     h2 = rows[2]
     assert h2.n_targets == h2.n_allowed_targets
-    # SURT dedup: the dirty targets collapse to 4 per host no matter
-    # how many pages the host carries (host 0 carries 100 pages)
-    assert rows[0].n_targets <= 4 + 100  # 4 dirty + per-page frag links
+    # SURT dedup: the shared dirty targets collapse to 6 per host no
+    # matter how many pages the host carries, while the same-doc
+    # self-links contribute one target PER PAGE (host 0 carries 100
+    # pages, frags 0/5 only -> no frag-link targets)
+    assert rows[0].n_targets == 6 + 100
     # every hmod-1 host loses /up and /root; those also carrying frag-1
     # pages additionally lose /a /b /c (but keep /p/self /p/a2 /p/x)
     gated = [r for r in rows.values() if r.host_num % 4 == 1]

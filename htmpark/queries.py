@@ -3857,8 +3857,10 @@ def _with_canon_url(df):
     pure row-local string/array expressions (split/substring_index/
     array_sort/reverse) inside whole-stage codegen, zero exchanges.
     Canonical rules: lowercase scheme/host, www. stripped, the scheme's
-    OWN default port stripped (:80 http, :443 https), fragment dropped,
-    query params sorted, trailing slash trimmed.  Shared by
+    OWN default port stripped (:80 http, :443 https), trailing FQDN
+    root-label dot stripped (example.com. == example.com), fragment
+    dropped, query params sorted, trailing slash trimmed, %XX hex case
+    uppercased in the path (RFC 3986 §6.2.2.1).  Shared by
     q_web_url_canonical (synthetic mess) and q_web_outlink_canonical
     (parser-extracted hrefs)."""
     nofrag = F.substring_index(F.col("url"), "#", 1)
@@ -3879,12 +3881,28 @@ def _with_canon_url(df):
                .when(scheme == "https",
                      F.regexp_replace(hostport, ":443$", ""))
                .otherwise(hostport))
-    host = F.regexp_replace(noport, "^www\\.", "")
-    path = F.expr("substr(_canon_rest, "
-                  "length(split_part(_canon_rest, '/', 1)) + 1)")
-    path = F.regexp_replace(path, "/$", "")
+    # a single trailing dot is the DNS root label (FQDN anchor form):
+    # example.com. IS example.com — strip before the www. strip
+    host = F.regexp_replace(F.regexp_replace(noport, "\\.$", ""),
+                            "^www\\.", "")
+    path_trim = F.regexp_replace(
+        F.expr("substr(_canon_rest, "
+               "length(split_part(_canon_rest, '/', 1)) + 1)"),
+        "/$", "")
+    # RFC 3986 §6.2.2.1: percent-encoding hex digits are
+    # case-insensitive — uppercase each valid %XX triplet in the PATH
+    # so %2f and %2F alias to one key (invalid escapes pass through;
+    # the query string is sorted on its raw bytes, documented scope)
+    path = F.expr(
+        "concat(element_at(_canon_psplit, 1), "
+        "aggregate(slice(_canon_psplit, 2, size(_canon_psplit) - 1), "
+        "'', (acc, s) -> concat(acc, '%', "
+        "CASE WHEN s rlike '^[0-9a-fA-F]{2}' "
+        "THEN concat(upper(substr(s, 1, 2)), substr(s, 3)) "
+        "ELSE s END)))")
     return (df.withColumn("_canon_base", base)
             .withColumn("_canon_rest", rest)
+            .withColumn("_canon_psplit", F.split(path_trim, "%"))
             .withColumn("canon_url",
                         F.concat(scheme, F.lit("://"), host, path,
                                  F.when(sorted_q != "",
@@ -3894,7 +3912,7 @@ def _with_canon_url(df):
                         F.concat(F.array_join(
                             F.reverse(F.split(host, "\\.")), ","),
                             F.lit(")"), path))
-            .drop("_canon_base", "_canon_rest"))
+            .drop("_canon_base", "_canon_rest", "_canon_psplit"))
 
 
 def q_web_url_canonical(spark, sf_dir):
@@ -3928,11 +3946,22 @@ def q_web_url_canonical(spark, sf_dir):
         # ports cover all four scheme pairings: doc_id%3==0 -> :80
         # (default for the even/http rows, non-default kept for odd/https)
         # and doc_id%3==1 & %5==1 -> :443 (vice versa)
+        # FQDN anchor form: a trailing root-label dot aliases the same
+        # host and must canonicalize away
+        F.when(F.col("doc_id") % 11 == 0, F.lit(".")).otherwise(F.lit("")),
         F.when(F.col("doc_id") % 3 == 0, F.lit(":80"))
          .when((F.col("doc_id") % 3 == 1) & (F.col("doc_id") % 5 == 1),
                F.lit(":443"))
          .otherwise(F.lit("")),
         F.lit("/A/b"),
+        # URL embedded in the path (redirect idiom): authority split
+        # must stay on the FIRST '://'
+        F.when(F.col("doc_id") % 9 == 0, F.lit("/go/HTTPS://t.example/z"))
+         .otherwise(F.lit("")),
+        # percent-escape hex case: valid %2f uppercases to %2F, the
+        # invalid escape %zq passes through untouched
+        F.when(F.col("doc_id") % 8 == 0, F.lit("/e%2f%zq"))
+         .otherwise(F.lit("")),
         F.when(F.col("doc_id") % 4 == 0, F.lit("/")).otherwise(F.lit("")),
         F.when(F.col("doc_id") % 2 == 0, F.lit("?b=2&a=1")).otherwise(F.lit("?a=1&b=2")),
         F.when(F.col("doc_id") % 6 == 0, F.lit("#frag")).otherwise(F.lit("")))
@@ -3947,10 +3976,14 @@ WITH u AS (
          (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END)
          || (CASE WHEN doc_id % 5 = 0 THEN 'WWW.' ELSE '' END)
          || 'Site' || (doc_id % 7) || '.Example.COM'
+         || (CASE WHEN doc_id % 11 = 0 THEN '.' ELSE '' END)
          || (CASE WHEN doc_id % 3 = 0 THEN ':80'
                   WHEN doc_id % 3 = 1 AND doc_id % 5 = 1 THEN ':443'
                   ELSE '' END)
          || '/A/b'
+         || (CASE WHEN doc_id % 9 = 0
+                  THEN '/go/HTTPS://t.example/z' ELSE '' END)
+         || (CASE WHEN doc_id % 8 = 0 THEN '/e%2f%zq' ELSE '' END)
          || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
          || (CASE WHEN doc_id % 2 = 0 THEN '?b=2&a=1' ELSE '?a=1&b=2' END)
          || (CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END) AS url
@@ -3962,26 +3995,41 @@ WITH u AS (
               THEN split_part(split_part(url, '#', 1), '?', 2)
               ELSE '' END AS query
   FROM u
-), comp AS (
-  SELECT doc_id, url,
+), comp0 AS (
+  -- authority+path = after the FIRST '://' (substr+strpos, not
+  -- split_part: a URL embedded in the path must not re-split)
+  SELECT doc_id, url, query,
          lower(split_part(base, '://', 1)) AS scheme,
-         split_part(base, '://', 2) AS rest,
-         regexp_replace(
-             CASE lower(split_part(base, '://', 1))
-               WHEN 'http' THEN regexp_replace(
-                 lower(split_part(split_part(base, '://', 2), '/', 1)),
-                 ':80$', '')
-               WHEN 'https' THEN regexp_replace(
-                 lower(split_part(split_part(base, '://', 2), '/', 1)),
-                 ':443$', '')
-               ELSE lower(split_part(split_part(base, '://', 2), '/', 1))
-             END, '^www\\.', '') AS host,
-         regexp_replace(
-             substr(split_part(base, '://', 2),
-                    length(split_part(split_part(base, '://', 2), '/', 1)) + 1),
-             '/$', '') AS path,
-         array_to_string(list_sort(string_split(query, '&')), '&') AS sq
+         substr(base, strpos(base, '://') + 3) AS rest
   FROM parts
+), comp1 AS (
+  SELECT doc_id, url, query, scheme, rest,
+         -- port strip (scheme's own default) -> FQDN root-label dot
+         -- strip -> www. strip, same order as the engine
+         regexp_replace(regexp_replace(
+             CASE scheme
+               WHEN 'http' THEN regexp_replace(
+                 lower(split_part(rest, '/', 1)), ':80$', '')
+               WHEN 'https' THEN regexp_replace(
+                 lower(split_part(rest, '/', 1)), ':443$', '')
+               ELSE lower(split_part(rest, '/', 1))
+             END, '\\.$', ''), '^www\\.', '') AS host,
+         regexp_replace(
+             substr(rest, length(split_part(rest, '/', 1)) + 1),
+             '/$', '') AS path0
+  FROM comp0
+), comp AS (
+  SELECT doc_id, url, scheme, host,
+         -- %XX hex-case uppercase (RFC 3986 §6.2.2.1); invalid
+         -- escapes pass through
+         str_split(path0, '%')[1] || COALESCE(array_to_string(
+             list_transform(str_split(path0, '%')[2:],
+                 x -> '%' || CASE
+                     WHEN regexp_matches(x, '^[0-9a-fA-F]{2}')
+                     THEN upper(substr(x, 1, 2)) || substr(x, 3)
+                     ELSE x END), ''), '') AS path,
+         array_to_string(list_sort(string_split(query, '&')), '&') AS sq
+  FROM comp1
 )
 SELECT doc_id, url,
        scheme || '://' || host || path
@@ -4084,6 +4132,11 @@ _DIRTY_HREFS = [
     "",
     "#top",
     "?p=2",
+    # canon surfaces through the outlink pipeline: %XX hex case
+    # uppercases (valid %2f -> %2F, invalid %zq untouched), and a
+    # trailing FQDN root-label dot strips off the host
+    "Pct%2f%zq",
+    "//cdn.example.org./lib2",
 ]
 
 # RFC 3986 §5.2.4 remove_dot_segments over a '/'-rooted path, as a
@@ -4261,6 +4314,29 @@ def _ref_resolve_href(href: str, scheme: str = "https",
     return fixed_host, "/".join(acc) + sfx
 
 
+def _canon_mirror(path: str):
+    """Mirror _with_canon_url's PATH rules for oracle literal building:
+    returns (cpath, spath) — cpath drops the #fragment and sorts query
+    params, spath drops both; both trim a trailing slash and uppercase
+    valid %XX escape hex (RFC 3986 §6.2.2.1, invalid escapes pass)."""
+    core = re.split(r"[?#]", path, maxsplit=1)[0]
+    core = re.sub(r"/$", "", core)
+    parts = core.split("%")
+    core = parts[0] + "".join(
+        "%" + (p[:2].upper() + p[2:]
+               if re.match(r"[0-9a-fA-F]{2}", p) else p)
+        for p in parts[1:])
+    m = re.search(r"\?([^#]*)", path)
+    cq = "&".join(sorted(m.group(1).split("&"))) if m else ""
+    return core + (("?" + cq) if cq else ""), core
+
+
+def _canon_mirror_host(host: str) -> str:
+    """Mirror _with_canon_url's HOST rules (lowercase, FQDN root-label
+    dot strip, www. strip; oracle hosts never carry ports)."""
+    return re.sub(r"^www\.", "", re.sub(r"\.$", "", host.lower()))
+
+
 def _outlinks_oracle_sql() -> str:
     from .corpus_oracle import CORPUS_FRAGMENT_OUTLINKS
 
@@ -4287,16 +4363,13 @@ def _outlinks_oracle_sql() -> str:
                 # opaque scheme (mailto:/javascript:): both engines drop
                 # the row, leaving a seq hole the gate hash verifies
                 continue
-            # mirror _with_canon_url on the resolved path: fragment
-            # dropped, query params sorted, trailing slash trimmed for
-            # canon_url; surt_key carries the bare path only
-            core = re.split(r"[?#]", path, maxsplit=1)[0]
-            core = re.sub(r"/$", "", core)
-            m = re.search(r"\?([^#]*)", path)
-            cq = "&".join(sorted(m.group(1).split("&"))) if m else ""
-            cpath = core + (("?" + cq) if cq else "")
-            rows.append(f"({f}, {seq}, {lit(href)}, {lit(fixed_host)}, "
-                        f"{lit(cpath)}, {lit(core)})")
+            # mirror _with_canon_url on the resolved path and host
+            # (_canon_mirror/_canon_mirror_host keep the literal
+            # builder locked to the engine's canon rules)
+            cpath, spath = _canon_mirror(path)
+            rows.append(f"({f}, {seq}, {lit(href)}, "
+                        f"{lit(_canon_mirror_host(fixed_host))}, "
+                        f"{lit(cpath)}, {lit(spath)})")
     vals = ",\n    ".join(rows)
     return f"""
 WITH n AS (SELECT GREATEST(500, COUNT(*) * 2 // 5) AS n FROM documents),

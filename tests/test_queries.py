@@ -1060,9 +1060,22 @@ def test_url_canonical_aliases_collapse(spark):
     shape (reversed host labels + ')' + path)."""
     fn, _ = REGISTRY["web_url_canonical"]
     rows = {r.doc_id: r for r in fn(spark, SF).collect()}
-    # doc 0: every mess at once -> fully cleaned
-    assert rows[0].canon_url == "http://site0.example.com/A/b?a=1&b=2"
-    assert rows[0].surt_key == "com,example,site0)/A/b"
+    # doc 0: every mess at once -> fully cleaned: case/port/www/dot/
+    # fragment/param-order/trailing-slash normalized, URL-in-path kept
+    # verbatim after the FIRST-'://' authority split, %2f uppercased,
+    # invalid %zq untouched
+    assert rows[0].canon_url == ("http://site0.example.com"
+                                 "/A/b/go/HTTPS://t.example/z/e%2F%zq"
+                                 "?a=1&b=2")
+    assert rows[0].surt_key == \
+        "com,example,site0)/A/b/go/HTTPS://t.example/z/e%2F%zq"
+    # doc 2: none of the path mess (2 % 8, % 9, % 11 all nonzero)
+    assert rows[2].canon_url == "http://site2.example.com/A/b?a=1&b=2"
+    assert rows[2].surt_key == "com,example,site2)/A/b"
+    # doc 11: FQDN trailing-dot host form aliases the plain host
+    assert ".example.com." not in rows[11].canon_url
+    assert rows[11].canon_url.split("://")[1].split("/")[0] == \
+        "site4.example.com"
     # messy raw urls collapse: far fewer canon urls than raw ones
     raw = {r.url for r in rows.values()}
     canon = {r.canon_url for r in rows.values()}
@@ -1232,6 +1245,14 @@ def test_outlink_canonical_resolution(spark):
         "https://host002.example.com/p/1?p=2"
     assert {by[("1", s)].surt_key for s in (14, 15, 16)} == \
         {"com,example,host002)/p/1"}
+    # canon through the outlink pipeline: %XX hex uppercases (invalid
+    # escape untouched), FQDN trailing dot strips off the host
+    assert by[("1", 17)].canon_url == \
+        "https://host002.example.com/p/Pct%2F%zq"
+    d = by[("1", 18)]
+    assert d.href == "//cdn.example.org./lib2"
+    assert d.canon_url == "https://cdn.example.org/lib2"
+    assert d.surt_key == "org,example,cdn)/lib2"
 
 
 def test_winnowing_guarantee(spark, tmp_path):

@@ -1120,6 +1120,46 @@ def test_web_corpus_queries_have_no_exchange(spark):
         assert "Exchange" not in plan, name
 
 
+def test_canon_mirror_matches_spark(spark):
+    """_canon_mirror/_canon_mirror_host — the Python twins the outlink
+    oracle builder uses for its literals — differentially locked to the
+    Spark-side _with_canon_url on a batch of messy (port-free) urls:
+    host case/www/FQDN-dot, %XX hex case, invalid escapes, URL-in-path,
+    fragments, unsorted params, trailing slashes."""
+    from htmpark.queries import (_canon_mirror, _canon_mirror_host,
+                                 _with_canon_url)
+
+    urls = [
+        "HTTP://WWW.Ex.COM./A%2f/",
+        "https://Site.ORG/x?b=2&a=1#f",
+        "https://h.io/go/https://t.example/u",
+        "http://a.b.c/%ff%GG%0a%zz",
+        "https://WWW.W.De./",
+        "http://x.y/p%2fq?z=%2f#%2f",
+        "https://dot.net./only",
+        "http://U.V/A/b/",
+        "https://q.r/?b=1&a=2",
+        "http://plain.example/path",
+    ]
+
+    def py_canon(url):
+        nofrag = url.split("#", 1)[0]
+        base, _, q = nofrag.partition("?")
+        scheme, _, rest = base.partition("://")
+        hostport = rest.split("/", 1)[0]
+        host = _canon_mirror_host(hostport)
+        path = rest[len(hostport):]
+        cpath, spath = _canon_mirror(path + (("?" + q) if q else ""))
+        return (scheme.lower() + "://" + host + cpath,
+                ",".join(reversed(host.split("."))) + ")" + spath)
+
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {r.url: (r.canon_url, r.surt_key)
+           for r in _with_canon_url(df).collect()}
+    for u in urls:
+        assert got[u] == py_canon(u), u
+
+
 def test_href_resolution_differential_urljoin():
     """_ref_resolve_href — the oracle twin the Spark-side resolution is
     gate-locked to — differentially checked against the stdlib's RFC

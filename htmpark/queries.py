@@ -2016,7 +2016,8 @@ def clear_candidate_pairs_cache() -> None:
     cached blocks) and reclaim the gate streams' parquet sink dirs."""
     import shutil
 
-    for cache in (_PAIRS_CACHE, _CLUSTERS_CACHE, _EDGES_CACHE):
+    for cache in (_PAIRS_CACHE, _CLUSTERS_CACHE, _EDGES_CACHE,
+                  _FRONTIER_CACHE):
         for df in cache.values():
             try:
                 df.unpersist()
@@ -4506,7 +4507,7 @@ def q_web_robots_gate(spark, sf_dir):
                  .alias("allowed")))
 
 
-def q_web_crawl_frontier(spark, sf_dir):
+def _build_crawl_frontier(spark, sf_dir):
     """Crawl-frontier capstone composing the round's web operators:
     pages -> parsed outlinks -> relative resolution + canonical SURT
     keys (_resolved_outlinks) -> SURT-key target dedup -> robots
@@ -4522,10 +4523,11 @@ def q_web_crawl_frontier(spark, sf_dir):
     /private//*.tmp$ and hmod-2 /files//pub/ rules match none of the
     outlink paths).
 
-    Scale shape: stateless parse -> posexplode -> partial-agg target
-    dedup (one keyed exchange) -> broadcast rules join -> partial-agg
-    host rollup (second keyed exchange).  At 10^12 pages both
-    aggregates are map-side-combined on bounded keys."""
+    Scale shape: stateless parse -> posexplode -> per-path edge count
+    (first keyed exchange) -> broadcast rules join + per-path verdict
+    -> surt rollup collapsing query variants (second keyed exchange)
+    -> host rollup (third keyed exchange).  At 10^12 pages all three
+    aggregates are map-side-combined on bounded keys (PLANS.md §12)."""
     # host = authority after the FIRST '://' (substring_index with -1
     # would split on the LAST occurrence and garbage the host whenever
     # a query or path itself carries a URL — the _DIRTY_HREFS
@@ -4579,6 +4581,36 @@ def q_web_crawl_frontier(spark, sf_dir):
                  F.count("*").cast("bigint").alias("n_targets"),
                  F.sum("allowed").cast("bigint")
                  .alias("n_allowed_targets")))
+
+
+# the frontier rollup fans out to the politeness/fetch-budget scheduler
+# (and any future wave consumer) — share ONE materialization per
+# (session, sf_dir), the in-session analogue of the production pattern
+# where each crawl wave's work list is WRITTEN once and every scheduler
+# reads it; same lifecycle as _PAIRS_CACHE (stale-session eviction +
+# clear_candidate_pairs_cache teardown)
+_FRONTIER_CACHE: dict = {}
+
+
+def frontier_rollup(spark, sf_dir) -> DataFrame:
+    """Memoized + persisted per-host crawl-frontier rollup (tiny: one
+    row per host with three counters), built by _build_crawl_frontier
+    on first use in a session."""
+    _evict_stale(_FRONTIER_CACHE)
+    key = (id(spark), sf_dir)
+    df = _FRONTIER_CACHE.get(key)
+    if df is None:
+        df = _build_crawl_frontier(spark, sf_dir).persist()
+        df.count()
+        _FRONTIER_CACHE[key] = df
+    return df
+
+
+def q_web_crawl_frontier(spark, sf_dir):
+    """Driver surface for the crawl-frontier capstone — returns the
+    session-memoized rollup (see _build_crawl_frontier for the full
+    pipeline + scale shape, frontier_rollup for the memo contract)."""
+    return frontier_rollup(spark, sf_dir)
 
 
 def _frontier_oracle_sql() -> str:

@@ -4138,6 +4138,11 @@ _DIRTY_HREFS = [
     # trailing FQDN root-label dot strips off the host
     "Pct%2f%zq",
     "//cdn.example.org./lib2",
+    # authority followed DIRECTLY by '?' / '#' (no '/'): the host ends
+    # at the first of '/?#' (RFC 3986 §3.2) — a '/'-only split would
+    # fuse the query into the host
+    "https://cdn.example.org?q=1",
+    "//cdn.example.org#frag",
 ]
 
 # RFC 3986 §5.2.4 remove_dot_segments over a '/'-rooted path, as a
@@ -4208,8 +4213,12 @@ def _resolved_outlinks(spark, sf_dir):
     href_rest = (F.when(is_abs,
                         F.expr("substr(href, instr(href, '://') + 3)"))
                  .otherwise(F.expr("substr(href, 3)")))
-    href_host = F.substring_index(href_rest, "/", 1)
-    href_path = F.expr("substr(_hr, length(split_part(_hr, '/', 1)) + 1)")
+    # authority ends at the first of '/', '?' or '#' (RFC 3986 §3.2):
+    # "https://x.org?a=1" carries an empty path + query, and a '/'-only
+    # split would fuse the query into the host
+    href_host = F.regexp_extract(F.col("_hr"), "^([^/?#]*)", 1)
+    href_path = F.expr(
+        "substr(_hr, length(regexp_extract(_hr, '^([^/?#]*)', 1)) + 1)")
     # same-document refs (''/'#frag'/'?query') join the page's full
     # PATH (§5.2.2: empty path + no authority -> base path), not its
     # directory; page urls are canonical-clean by contract (no ?/#)
@@ -4267,10 +4276,9 @@ def q_web_outlink_canonical(spark, sf_dir):
             .select("page_url", "seq", "href", "canon_url", "surt_key"))
 
 
-def _ref_resolve_href(href: str, scheme: str = "https",
-                      dirpath: str = "/p/"):
+def _ref_resolve_href(href: str, dirpath: str = "/p/"):
     """Pure-Python reference resolution of one corpus href against a
-    page on ``scheme`` with directory ``dirpath`` — the oracle-side
+    page with directory ``dirpath`` — the oracle-side
     twin of _resolved_outlinks' Catalyst expressions (same RFC 3986
     §5.2.3 merge + §5.2.4 segment-stack fold, same trailing-slash
     deviation).  Returns ``(fixed_host, path)``: fixed_host is '' when
@@ -4280,10 +4288,11 @@ def _ref_resolve_href(href: str, scheme: str = "https",
     with no '//'), which both engines drop from the edge surface."""
     if re.match(r"[A-Za-z][A-Za-z0-9+.\-]*://", href):
         rest = href.split("://", 1)[1]
-        fixed_host = rest.split("/", 1)[0]
+        fixed_host = re.match(r"[^/?#]*", rest).group(0)
         merged = rest[len(fixed_host):]
-    elif re.match(r"[A-Za-z][A-Za-z0-9+.\-]*:", href) \
-            and not href.startswith("//"):
+    elif re.match(r"[A-Za-z][A-Za-z0-9+.\-]*:", href):
+        # non-hierarchical scheme (mailto:, javascript:) — a leading
+        # '//' can never reach here (it fails the scheme regex)
         return None, None
     elif href == "" or href[0] in "?#":
         # same-document ref: page path; pages are '/p/{i}' in the gate
@@ -4292,7 +4301,7 @@ def _ref_resolve_href(href: str, scheme: str = "https",
         fixed_host, merged = "", dirpath + "{i}" + href
     elif href.startswith("//"):
         rest = href[2:]
-        fixed_host = rest.split("/", 1)[0]
+        fixed_host = re.match(r"[^/?#]*", rest).group(0)
         merged = rest[len(fixed_host):]
     elif href.startswith("/"):
         fixed_host, merged = "", href
@@ -4319,16 +4328,21 @@ def _canon_mirror(path: str):
     """Mirror _with_canon_url's PATH rules for oracle literal building:
     returns (cpath, spath) — cpath drops the #fragment and sorts query
     params, spath drops both; both trim a trailing slash and uppercase
-    valid %XX escape hex (RFC 3986 §6.2.2.1, invalid escapes pass)."""
-    core = re.split(r"[?#]", path, maxsplit=1)[0]
+    valid %XX escape hex (RFC 3986 §6.2.2.1, invalid escapes pass).
+    Query extraction replays the ENGINE's exact split order: fragment
+    cut first, then base = before the FIRST '?' and query = after the
+    LAST '?' (substring_index semantics — a degenerate '/a?x?y' keeps
+    only 'y', and a '?' inside the fragment is never a query)."""
+    nofrag = path.split("#", 1)[0]
+    core = nofrag.split("?", 1)[0]
+    query = nofrag.rsplit("?", 1)[1] if "?" in nofrag else ""
     core = re.sub(r"/$", "", core)
     parts = core.split("%")
     core = parts[0] + "".join(
         "%" + (p[:2].upper() + p[2:]
                if re.match(r"[0-9a-fA-F]{2}", p) else p)
         for p in parts[1:])
-    m = re.search(r"\?([^#]*)", path)
-    cq = "&".join(sorted(m.group(1).split("&"))) if m else ""
+    cq = "&".join(sorted(query.split("&"))) if query else ""
     return core + (("?" + cq) if cq else ""), core
 
 
@@ -4420,6 +4434,27 @@ _ROBOTS_TEXTS = [
 ]
 
 
+def _robots_hosts_df(spark, n_keys: int, key_name: str):
+    """Shared host dimension for the robots dims: key in [0, n_keys)
+    carries the robots.txt of ``_ROBOTS_TEXTS[key % 4]`` — ONE place
+    owns the text-to-host mapping so the rules dim and the crawl-delay
+    dim can never disagree about which host declares what."""
+    return spark.range(0, n_keys).select(
+        F.col("id").cast("int").alias(key_name),
+        F.element_at(F.array(*[F.lit(s) for s in _ROBOTS_TEXTS]),
+                     (F.col("id") % 4 + 1).cast("int")).alias("robots_txt"))
+
+
+def _delay_whole_seconds(d):
+    """Crawl-delay to the budget's integer domain: None passes through,
+    a fractional delay rounds UP to a whole second with a floor of 1 —
+    the conservative reading (never fetch faster than declared), and it
+    keeps the integer token-bucket division away from zero."""
+    import math
+
+    return None if d is None else max(1, math.ceil(d))
+
+
 def _robots_rules_df(spark, n_keys: int):
     """Parsed robots rules dimension: key ``host_num`` in [0, n_keys)
     gets the rules of ``_ROBOTS_TEXTS[host_num % 4]``, parsed by the
@@ -4428,10 +4463,7 @@ def _robots_rules_df(spark, n_keys: int):
     and regex-translation run once per HOST, never per url."""
     import pandas as pd
 
-    hosts = spark.range(0, n_keys).select(
-        F.col("id").cast("int").alias("host_num"),
-        F.element_at(F.array(*[F.lit(s) for s in _ROBOTS_TEXTS]),
-                     (F.col("id") % 4 + 1).cast("int")).alias("robots_txt"))
+    hosts = _robots_hosts_df(spark, n_keys, "host_num")
 
     def parse(batches):
         from .robots import parse_robots, pattern_regex
@@ -4682,13 +4714,13 @@ def _robots_delay_df(spark, n_keys: int):
     REAL extension parser (robots.crawl_delay — named-group-over-*
     precedence, first-declared-wins) reads out of
     ``_ROBOTS_TEXTS[hmod % 4]``.  Like _robots_rules_df, the grammar
-    runs once per HOST inside a mapInPandas over the tiny dimension."""
+    runs once per HOST inside a mapInPandas over the tiny dimension;
+    fractional declared delays round up via _delay_whole_seconds (int()
+    truncation would turn 'Crawl-delay: 0.5' into a zero-divisor in
+    the budget's integer token bucket)."""
     import pandas as pd
 
-    hosts = spark.range(0, n_keys).select(
-        F.col("id").cast("int").alias("hmod"),
-        F.element_at(F.array(*[F.lit(s) for s in _ROBOTS_TEXTS]),
-                     (F.col("id") % 4 + 1).cast("int")).alias("robots_txt"))
+    hosts = _robots_hosts_df(spark, n_keys, "hmod")
 
     def parse(batches):
         from .robots import crawl_delay
@@ -4698,7 +4730,7 @@ def _robots_delay_df(spark, n_keys: int):
             yield pd.DataFrame({
                 "hmod": pdf["hmod"].astype("int32"),
                 "delay_s": pd.array(
-                    [None if d is None else int(d) for d in delays],
+                    [_delay_whole_seconds(d) for d in delays],
                     dtype="Int32"),
             })
 

@@ -1140,16 +1140,22 @@ def test_canon_mirror_matches_spark(spark):
         "http://U.V/A/b/",
         "https://q.r/?b=1&a=2",
         "http://plain.example/path",
+        "https://h.io?a=1",
+        "http://h.io#f",
+        "https://q.r/a?x?y",
+        "http://x.y/p#f?z",
     ]
 
     def py_canon(url):
+        # replay the engine's split order exactly: fragment cut, base =
+        # before the FIRST '?', host to the first '/', then hand the
+        # RAW path+query+fragment suffix to _canon_mirror
         nofrag = url.split("#", 1)[0]
-        base, _, q = nofrag.partition("?")
+        base = nofrag.split("?", 1)[0]
         scheme, _, rest = base.partition("://")
         hostport = rest.split("/", 1)[0]
         host = _canon_mirror_host(hostport)
-        path = rest[len(hostport):]
-        cpath, spath = _canon_mirror(path + (("?" + q) if q else ""))
+        cpath, spath = _canon_mirror(rest[len(hostport):] + url[len(base):])
         return (scheme.lower() + "://" + host + cpath,
                 ",".join(reversed(host.split("."))) + ")" + spath)
 
@@ -1293,6 +1299,13 @@ def test_outlink_canonical_resolution(spark):
     assert d.href == "//cdn.example.org./lib2"
     assert d.canon_url == "https://cdn.example.org/lib2"
     assert d.surt_key == "org,example,cdn)/lib2"
+    # authority followed directly by '?' / '#': host ends at the first
+    # of '/?#', the query survives, the fragment drops
+    q19 = by[("1", 19)]
+    assert q19.href == "https://cdn.example.org?q=1"
+    assert q19.canon_url == "https://cdn.example.org?q=1"
+    assert q19.surt_key == "org,example,cdn)"
+    assert by[("1", 20)].canon_url == "https://cdn.example.org"
 
 
 def test_winnowing_guarantee(spark, tmp_path):

@@ -127,6 +127,16 @@ def test_crawl_delay():
     # a group's first declared delay wins within the group
     txt2 = "User-agent: *\nCrawl-delay: 3\nCrawl-delay: 9\n"
     assert crawl_delay(txt2) == 3.0
+    # the budget dim's whole-second mapping: fractional delays round UP
+    # with a floor of 1 — int() truncation of a real-world
+    # 'Crawl-delay: 0.5' would put a zero divisor in the token bucket
+    from htmpark.queries import _delay_whole_seconds
+
+    assert _delay_whole_seconds(None) is None
+    assert _delay_whole_seconds(0.5) == 1
+    assert _delay_whole_seconds(2.5) == 3
+    assert _delay_whole_seconds(10.0) == 10
+    assert _delay_whole_seconds(0.0) == 1
 
 
 def test_robots_parser_total_on_arbitrary_text():
@@ -215,7 +225,7 @@ def test_crawl_frontier_rollup(spark):
     # dropped:
     # 50 frag-1 pages x 3 + 50 frag-9 x 1 + 500 pages x 10 on-site
     assert sum(r.n_edges for r in rows.values()) == 200 + 500 * 10
-    assert len(_DIRTY_HREFS) == 16  # 10 on-site + 4 off-site + 2 opaque
+    assert len(_DIRTY_HREFS) == 18  # 10 on-site + 6 off-site + 2 opaque
     # host 2 carries frag-1 pages (i=1 -> host 2): hmod 2 allows all
     h2 = rows[2]
     assert h2.n_targets == h2.n_allowed_targets

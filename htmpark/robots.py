@@ -132,7 +132,14 @@ def robots_allowed(path: str, rules: list) -> bool:
     formula is used in the Spark rules dimension
     (queries._robots_rules_df ``plen``), the gate score
     ``2*plen + is_allow``, and the analytic oracles — change all four
-    together or not at all (tests/test_robots.py pins the tie cases)."""
+    together or not at all (tests/test_robots.py pins the tie cases).
+
+    Matching scope: patterns match the RAW path+query string as given
+    (fragments are stripped upstream by the frontier; RFC 9309's
+    percent-encoding normalization of pattern and path before
+    comparison is NOT applied — callers feeding percent-mixed paths
+    against percent-bearing patterns should normalize both sides
+    first, e.g. with the canon %XX hex-uppercase rule)."""
     best_len = -1
     allowed = True
     for rule_type, pattern in rules:

@@ -2404,28 +2404,43 @@ SELECT doc_id, CAST({bits} AS INT) AS simhash16 FROM v
 )
 
 
-def q_dedup_ngram_jaccard(spark, sf_dir):
+def q_dedup_ngram_jaccard(spark, sf_dir,
+                          broadcast_probes: bool | None = None):
     """n-gram Jaccard against a probe set (doc_id % 97 == 0): exploded
     shingle equi-join -> exact intersection/union counts (no floats).
-    Scale path: the probe side broadcasts; the big side never self-joins.
     The (doc_id, shingle) DISTINCT is canonicalized once: sizes become a
     plain count over it (no per-group distinct-aggregate rewrite), and the
     probe branch's doc_id filter pushes below the dedup into the scan —
-    the probe side only ever deduplicates 1/97th of the corpus."""
+    the probe side only ever deduplicates 1/97th of the corpus.
+
+    Scale: the probe side (shingles of every 97th doc) grows WITH the
+    corpus — a forced broadcast would eventually exceed any executor
+    (r7 verdict item 2).  ``broadcast_probes`` gates BOTH probe-derived
+    broadcasts (the shingle set and the probe-size dim) behind the same
+    footer-count crossover as q_text_decontamination: broadcast under
+    _MAX_BROADCAST_PROBE_DOCS probe docs, shuffled hash join on the
+    shingle / probe_id keys above it (both sides already distinct, so
+    the shuffle is the minimal one).  The n // 97 estimate assumes
+    DENSE doc_ids; pass the flag explicitly otherwise."""
+    if broadcast_probes is None:
+        n = _table_num_rows(sf_dir, "documents")
+        broadcast_probes = n is None or n // 97 <= _MAX_BROADCAST_PROBE_DOCS
     d = _shingles(t(spark, sf_dir, "documents")).distinct()
     sizes = d.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     probes = d.where(F.col("doc_id") % 97 == 0).select(
         F.col("doc_id").alias("probe_id"), "shingle")
+    pa = sizes.select(F.col("doc_id").alias("probe_id"), F.col("n_sh").alias("n_a"))
+    if broadcast_probes:
+        probes, pa = F.broadcast(probes), F.broadcast(pa)
     inter = (
-        d.join(F.broadcast(probes), "shingle")
+        d.join(probes, "shingle")
         .where(F.col("probe_id") != F.col("doc_id"))
         .groupBy("probe_id", "doc_id")
         .agg(F.count("*").alias("n_common"))
     )
-    pa = sizes.select(F.col("doc_id").alias("probe_id"), F.col("n_sh").alias("n_a"))
     pb = sizes.select(F.col("doc_id").alias("doc_id"), F.col("n_sh").alias("n_b"))
     return (
-        inter.join(F.broadcast(pa), "probe_id").join(pb, "doc_id")
+        inter.join(pa, "probe_id").join(pb, "doc_id")
         .where(F.col("n_common") >= 1)
         .select("probe_id", "doc_id", "n_common",
                 (F.col("n_a") + F.col("n_b") - F.col("n_common")).alias("n_union"))
@@ -3873,7 +3888,11 @@ def _with_canon_url(df):
     # authority+path = everything after the FIRST '://' — a path that
     # itself embeds a URL (/go/https://x, the redirect idiom) must not
     # re-split on the later occurrence
-    rest = F.expr("substr(_canon_base, instr(_canon_base, '://') + 3)")
+    # schemeless input passes through whole (instr()=0 would otherwise
+    # silently drop the first two characters — r7 ADVICE)
+    rest = F.expr("CASE WHEN instr(_canon_base, '://') > 0 THEN "
+                  "substr(_canon_base, instr(_canon_base, '://') + 3) "
+                  "ELSE _canon_base END")
     hostport = F.lower(F.substring_index(rest, "/", 1))
     # strip only the scheme's own default port: :80 is non-default (a
     # distinct origin) under https, and vice versa
@@ -4434,6 +4453,25 @@ _ROBOTS_TEXTS = [
 ]
 
 
+# per-host dims (robots rules, crawl delays) are broadcast-sized only
+# while the crawl's host space is: at web scale (10^8 hosts x patterns)
+# a forced F.broadcast hint breaks every executor (r7 verdict item 3).
+# The dims here are synthesized from an explicit n_keys, so the
+# crossover reads that count directly — the production analogue reads
+# the host-dim table's footer row count, exactly as
+# _MAX_BROADCAST_PROBE_DOCS does for the decontamination probes.
+_MAX_BROADCAST_HOSTS = 100_000
+
+
+def _host_dim_side(dim: DataFrame, n_hosts: int) -> DataFrame:
+    """Join side for a per-host dimension: broadcast while the host
+    space is bounded, plain equi-join (AQE / shuffled hash on the host
+    key) once it is not.  ONE helper serves all three web call sites
+    (robots gate, frontier verdicts, crawl-delay join) so the crossover
+    cannot drift between them."""
+    return F.broadcast(dim) if n_hosts <= _MAX_BROADCAST_HOSTS else dim
+
+
 def _robots_hosts_df(spark, n_keys: int, key_name: str):
     """Shared host dimension for the robots dims: key in [0, n_keys)
     carries the robots.txt of ``_ROBOTS_TEXTS[key % 4]`` — ONE place
@@ -4508,9 +4546,11 @@ def q_web_robots_gate(spark, sf_dir):
     pattern): any parsing, merging, wildcard-matching, or scoring
     defect that flips a verdict breaks the hash.
 
-    Scale shape: rules are a broadcast dim (a few rules per host), the
-    url stream joins map-side and aggregates by url with partial aggs;
-    at 10^12 urls this is one broadcast + one keyed agg, and the
+    Scale shape: rules are a per-host dim (a few rules per host) whose
+    join side goes through _host_dim_side — broadcast while the host
+    space is bounded, plain host-key equi-join past the crossover; the
+    url stream joins map-side and aggregates by url with partial aggs.
+    At 10^12 urls this is one dim join + one keyed agg, and the
     group-selection + regex-translation logic runs once per HOST, not
     per url."""
     d = t(spark, sf_dir, "documents").select("doc_id")
@@ -4531,7 +4571,7 @@ def q_web_robots_gate(spark, sf_dir):
     score = F.when(
         F.col("rx").isNotNull() & F.expr("rlike(path, rx)"),
         F.col("plen") * 2 + (F.col("rule_type") == "allow").cast("int"))
-    return (urls.join(F.broadcast(rules), "host_num", "left")
+    return (urls.join(_host_dim_side(rules, 7), "host_num", "left")
             .withColumn("score", score)
             .groupBy("doc_id", "path")
             .agg(F.when(F.max("score").isNull(), F.lit(1))
@@ -4543,7 +4583,7 @@ def _build_crawl_frontier(spark, sf_dir):
     """Crawl-frontier capstone composing the round's web operators:
     pages -> parsed outlinks -> relative resolution + canonical SURT
     keys (_resolved_outlinks) -> SURT-key target dedup -> robots
-    politeness filter (the same parsed-rules broadcast + longest-match
+    politeness filter (the same parsed-rules dim join + longest-match
     max-score machinery as web_robots_gate, rules keyed by host % 4)
     -> per-host frontier rollup: total edges, distinct targets, and
     targets the crawler may actually fetch.  This IS the next crawl
@@ -4556,7 +4596,9 @@ def _build_crawl_frontier(spark, sf_dir):
     outlink paths).
 
     Scale shape: stateless parse -> posexplode -> per-path edge count
-    (first keyed exchange) -> broadcast rules join + per-path verdict
+    (first keyed exchange) -> rules dim join (_host_dim_side:
+    broadcast while bounded, host-key shuffle past the crossover) +
+    per-path verdict
     -> surt rollup collapsing query variants (second keyed exchange)
     -> host rollup (third keyed exchange).  At 10^12 pages all three
     aggregates are map-side-combined on bounded keys (PLANS.md §12)."""
@@ -4590,13 +4632,13 @@ def _build_crawl_frontier(spark, sf_dir):
         F.col("rx").isNotNull() & F.expr("rlike(path, rx)"),
         F.col("plen") * 2 + (F.col("rule_type") == "allow").cast("int"))
     # robots verdict per (host, path) first — max(score) collapses the
-    # rule fan-out from the broadcast join (n_edges is constant within
+    # rule fan-out from the dim join (n_edges is constant within
     # the group, so max() recovers it exactly); the surt rollup then
     # SUMS edge counts across any distinct paths that collapse to one
     # surt_key and calls a target fetchable if ANY of its path variants
     # is allowed (r6 ADVICE: max(n_edges) under a path collapse silently
     # undercounted)
-    verdicts = (ecnt.join(F.broadcast(rules),
+    verdicts = (ecnt.join(_host_dim_side(rules, 4),
                           (F.col("host_num") % 4) == F.col("hmod"),
                           "left")
                 .withColumn("score", score)
@@ -4756,11 +4798,12 @@ def q_web_politeness_budget(spark, sf_dir, window_s: int = 3600):
     group, NULL -> default) and the same integer budget formulas.
 
     Scale shape: the frontier's two partial-agg exchanges + one more
-    broadcast of the 4-row delay dim; the budget math is row-local
+    dim join of the 4-row delay dim (_host_dim_side — broadcast while
+    the host space is bounded); the budget math is row-local
     codegen on the per-host rollup (bounded rows)."""
     frontier = q_web_crawl_frontier(spark, sf_dir)
     delays = _robots_delay_df(spark, 4)
-    joined = frontier.join(F.broadcast(delays),
+    joined = frontier.join(_host_dim_side(delays, 4),
                            (F.col("host_num") % 4) == F.col("hmod"),
                            "left")
     delay_eff = F.coalesce(F.col("delay_s"), F.lit(1))
@@ -5092,66 +5135,14 @@ JOIN embeddings eb ON p.doc_b = eb.vec_id
 # from CORRECTNESS_r*.json + per-query source fingerprints) — run it
 # after any registry/query edit; re-derive + --update each round end.
 REGISTRY = {
-    # -- new in r7
+    # -- changed in r8 (broadcast/shuffle crossover gating: ngram-jaccard
+    #    probe join + the three host-dim broadcasts) -> window head
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
+    "web_robots_gate": (q_web_robots_gate, SQL_WEB_ROBOTS_GATE),
+    "web_crawl_frontier": (q_web_crawl_frontier, SQL_WEB_CRAWL_FRONTIER),
     "web_politeness_budget": (q_web_politeness_budget,
                               SQL_WEB_POLITENESS_BUDGET),
-    # -- changed in r7 (RFC 3986 href resolution, robots product-token
-    #    matching, frontier surt rollup) -> window head
-    "web_robots_gate": (q_web_robots_gate, SQL_WEB_ROBOTS_GATE),
-    "web_outlink_canonical": (q_web_outlink_canonical,
-                              SQL_WEB_OUTLINK_CANONICAL),
-    "web_crawl_frontier": (q_web_crawl_frontier, SQL_WEB_CRAWL_FRONTIER),
-    # -- r6's tail (no r6 driver row): rotate forward for fresh rows
-    "text_hash_split": (q_text_hash_split, SQL_TEXT_HASH_SPLIT),
-    "text_stratified_sample": (q_text_stratified_sample, SQL_TEXT_STRATIFIED_SAMPLE),
-    "text_top_terms": (q_text_top_terms, SQL_TEXT_TOP_TERMS),
-    "sim_lsh_buckets": (q_sim_lsh_buckets, SQL_SIM_LSH_BUCKETS),
-    "rel_customers_without_orders": (q_rel_customers_without_orders, SQL_REL_CUSTOMERS_WITHOUT_ORDERS),
-    "rel_topk_expensive_parts": (q_rel_topk_expensive_parts, SQL_REL_TOPK_EXPENSIVE_PARTS),
-    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
-    "dedup_minhash_sig": (q_dedup_minhash_sig, SQL_DEDUP_MINHASH_SIG),
-    "dedup_minhash_pairs": (candidate_pairs, SQL_DEDUP_MINHASH_PAIRS),
-    "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
-    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
-    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
-    "text_quality_filter": (q_text_quality_filter, SQL_TEXT_QUALITY_FILTER),
-    "text_lang_id": (q_text_lang_id, SQL_TEXT_LANG_ID),
-    "text_token_count": (q_text_token_count, SQL_TEXT_TOKEN_COUNT),
-    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
-    "graph_pagerank": (q_graph_pagerank, SQL_GRAPH_PAGERANK),
-    "html_meta": (q_html_meta, SQL_HTML_META),
-    "html_outlinks": (q_html_outlinks, SQL_HTML_OUTLINKS),
-    "html_sax_events": (q_html_sax_events, SQL_HTML_SAX_EVENTS),
-    "mm_binary_meta": (q_mm_binary_meta, SQL_MM_BINARY_META),
-    "rel_event_sessions": (q_rel_event_sessions, SQL_REL_EVENT_SESSIONS),
-    # -- one prior driver-green round (new in r6)
-    "html_main_content": (q_html_main_content, SQL_HTML_MAIN_CONTENT),
-    "stream_warc_ingest": (q_stream_warc_ingest, SQL_STREAM_WARC_INGEST),
-    # -- two prior driver-green rounds
-    "warc_round_trip": (q_warc_round_trip, SQL_WARC_ROUND_TRIP),
-    "web_url_canonical": (q_web_url_canonical, SQL_WEB_URL_CANONICAL),
-    "rel_event_funnel": (q_rel_event_funnel, SQL_REL_EVENT_FUNNEL),
-    "text_inverted_index": (q_text_inverted_index, SQL_TEXT_INVERTED_INDEX),
-    "dedup_winnowing": (q_dedup_winnowing, SQL_DEDUP_WINNOWING),
-    "text_unigram_lm": (q_text_unigram_lm, SQL_TEXT_UNIGRAM_LM),
-    "dedup_label_noise": (q_dedup_label_noise, SQL_DEDUP_LABEL_NOISE),
-    # -- three prior driver-green rounds
-    "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
-    "text_decontamination": (q_text_decontamination, SQL_TEXT_DECONTAMINATION),
-    "text_pack_sequences": (q_text_pack_sequences, SQL_TEXT_PACK_SEQUENCES),
-    "text_mixture_stats": (q_text_mixture_stats, SQL_TEXT_MIXTURE_STATS),
-    "sim_quantized_topk": (q_sim_quantized_topk, SQL_SIM_QUANTIZED_TOPK),
-    # -- four prior driver-green rounds (window fillers)
-    "stream_click_attribution": (q_stream_click_attribution, SQL_STREAM_CLICK_ATTRIBUTION),
-    "rel_events_pivot": (q_rel_events_pivot, SQL_REL_EVENTS_PIVOT),
-    "rel_order_value_median": (q_rel_order_value_median, SQL_REL_ORDER_VALUE_MEDIAN),
-    "rel_revenue_rollup": (q_rel_revenue_rollup, SQL_REL_REVENUE_ROLLUP),
-    "sim_ivf_topk": (q_sim_ivf_topk, SQL_SIM_IVF_TOPK),
-    "sketch_distinct_kmv": (q_sketch_distinct_kmv, SQL_SKETCH_DISTINCT_KMV),
-    "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
-    "html_corpus_pipeline": (q_html_corpus_pipeline, SQL_HTML_CORPUS_PIPELINE),
-    "rel_events_minutely": (q_rel_events_minutely, SQL_REL_EVENTS_MINUTELY),
-    # -- tail (>50): >=3x driver-green, green in r6, untouched this round
+    # -- r7's tail (no r7 driver row): rotate forward for fresh rows
     "rel_pricing_summary": (q_rel_pricing_summary, SQL_REL_PRICING_SUMMARY),
     "rel_top_revenue_nations": (q_rel_top_revenue_nations, SQL_REL_TOP_REVENUE_NATIONS),
     "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
@@ -5176,5 +5167,56 @@ REGISTRY = {
     "html_parse_extract": (q_html_parse_extract, SQL_HTML_PARSE_EXTRACT),
     "rel_window_latest_orders": (q_rel_window_latest_orders, SQL_REL_WINDOW_LATEST_ORDERS),
     "sim_topk_bruteforce": (q_sim_topk_bruteforce, SQL_SIM_TOPK_BRUTEFORCE),
+    # -- two prior driver-green rounds
+    "html_main_content": (q_html_main_content, SQL_HTML_MAIN_CONTENT),
+    "stream_warc_ingest": (q_stream_warc_ingest, SQL_STREAM_WARC_INGEST),
+    "web_outlink_canonical": (q_web_outlink_canonical,
+                              SQL_WEB_OUTLINK_CANONICAL),
+    # -- three prior driver-green rounds
+    "warc_round_trip": (q_warc_round_trip, SQL_WARC_ROUND_TRIP),
+    "web_url_canonical": (q_web_url_canonical, SQL_WEB_URL_CANONICAL),
+    "rel_event_funnel": (q_rel_event_funnel, SQL_REL_EVENT_FUNNEL),
+    "text_inverted_index": (q_text_inverted_index, SQL_TEXT_INVERTED_INDEX),
+    "dedup_winnowing": (q_dedup_winnowing, SQL_DEDUP_WINNOWING),
+    "text_unigram_lm": (q_text_unigram_lm, SQL_TEXT_UNIGRAM_LM),
+    "dedup_label_noise": (q_dedup_label_noise, SQL_DEDUP_LABEL_NOISE),
+    # -- four prior driver-green rounds
+    "text_hash_split": (q_text_hash_split, SQL_TEXT_HASH_SPLIT),
+    "text_stratified_sample": (q_text_stratified_sample, SQL_TEXT_STRATIFIED_SAMPLE),
+    "text_top_terms": (q_text_top_terms, SQL_TEXT_TOP_TERMS),
+    "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
+    "text_decontamination": (q_text_decontamination, SQL_TEXT_DECONTAMINATION),
+    "text_pack_sequences": (q_text_pack_sequences, SQL_TEXT_PACK_SEQUENCES),
+    "text_mixture_stats": (q_text_mixture_stats, SQL_TEXT_MIXTURE_STATS),
+    "sim_quantized_topk": (q_sim_quantized_topk, SQL_SIM_QUANTIZED_TOPK),
+    # -- five prior driver-green rounds (window fillers)
+    "text_token_count": (q_text_token_count, SQL_TEXT_TOKEN_COUNT),
+    "mm_binary_meta": (q_mm_binary_meta, SQL_MM_BINARY_META),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    # -- tail (>50): >=3x driver-green, green in r7, untouched this round
+    "sim_lsh_buckets": (q_sim_lsh_buckets, SQL_SIM_LSH_BUCKETS),
+    "rel_customers_without_orders": (q_rel_customers_without_orders, SQL_REL_CUSTOMERS_WITHOUT_ORDERS),
+    "rel_topk_expensive_parts": (q_rel_topk_expensive_parts, SQL_REL_TOPK_EXPENSIVE_PARTS),
+    "dedup_minhash_sig": (q_dedup_minhash_sig, SQL_DEDUP_MINHASH_SIG),
+    "dedup_minhash_pairs": (candidate_pairs, SQL_DEDUP_MINHASH_PAIRS),
+    "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "text_quality_filter": (q_text_quality_filter, SQL_TEXT_QUALITY_FILTER),
+    "text_lang_id": (q_text_lang_id, SQL_TEXT_LANG_ID),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "graph_pagerank": (q_graph_pagerank, SQL_GRAPH_PAGERANK),
+    "html_meta": (q_html_meta, SQL_HTML_META),
+    "html_outlinks": (q_html_outlinks, SQL_HTML_OUTLINKS),
+    "html_sax_events": (q_html_sax_events, SQL_HTML_SAX_EVENTS),
+    "rel_event_sessions": (q_rel_event_sessions, SQL_REL_EVENT_SESSIONS),
+    "stream_click_attribution": (q_stream_click_attribution, SQL_STREAM_CLICK_ATTRIBUTION),
+    "rel_events_pivot": (q_rel_events_pivot, SQL_REL_EVENTS_PIVOT),
+    "rel_order_value_median": (q_rel_order_value_median, SQL_REL_ORDER_VALUE_MEDIAN),
+    "rel_revenue_rollup": (q_rel_revenue_rollup, SQL_REL_REVENUE_ROLLUP),
+    "sim_ivf_topk": (q_sim_ivf_topk, SQL_SIM_IVF_TOPK),
+    "sketch_distinct_kmv": (q_sketch_distinct_kmv, SQL_SKETCH_DISTINCT_KMV),
+    "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
+    "html_corpus_pipeline": (q_html_corpus_pipeline, SQL_HTML_CORPUS_PIPELINE),
+    "rel_events_minutely": (q_rel_events_minutely, SQL_REL_EVENTS_MINUTELY),
 }
 

@@ -10,12 +10,20 @@ Not derived from the reference (zadean/htmerl parses HTML only); the
 grammar and precedence rules follow public RFC 9309:
 * groups = one or more ``User-agent`` lines followed by rules; a group
   applies if any of its agent tokens is a case-insensitive PREFIX of
-  the product token (token == agent or agent.startswith(token) — RFC
-  9309 §2.2.1 product-token matching; a bare substring match would let
-  an arbitrarily short token in untrusted robots.txt capture the agent
-  and suppress the ``*`` fallback); rules of ALL matching named groups
-  are COMBINED (§2.2.1), with the union of ``*`` groups as the
-  fallback;
+  the product token (token == agent or agent.startswith(token)).
+  NOTE: this prefix rule is a DELIBERATE leniency, not RFC semantics —
+  RFC 9309 §2.2.1 specifies case-insensitive EXACT product-token
+  equality; the prefix form is the common crawler behavior (e.g.
+  Google's published parser matches ``googlebot`` groups for
+  ``Googlebot-Image``) and lets site owners address a bot family with
+  one token.  Trade-off: a short named token in untrusted robots.txt
+  (``User-agent: htm``) captures the agent and suppresses the ``*``
+  fallback, possibly selecting a MORE permissive group than RFC-exact
+  matching would — acceptable here because the gate still honors
+  whatever group it selects, and pinned by
+  test_product_token_prefix_not_substring.  Rules of ALL matching
+  named groups are COMBINED (§2.2.1), with the union of ``*`` groups
+  as the fallback;
 * ``Allow``/``Disallow`` patterns support the §2.2.3 special
   characters: ``*`` matches any run of octets and a trailing ``$``
   anchors the end; otherwise the pattern matches as a path prefix;

@@ -694,6 +694,63 @@ def test_decontamination_unbroadcast_regime(spark):
     assert a == b and a
 
 
+def _hinted(df) -> bool:
+    return "ResolvedHint (strategy=broadcast)" in \
+        df._jdf.queryExecution().analyzed().toString()
+
+
+def test_ngram_jaccard_unbroadcast_regime(spark):
+    """Past the probe crossover, BOTH probe-derived broadcasts (the
+    shingle set and the probe-size dim) must drop their forced hint —
+    plain hash-partitioned equi-joins; AQE may still adaptively
+    broadcast a genuinely small runtime side, which is fine — and the
+    results must be identical (r7 verdict item 2)."""
+    from htmpark.queries import q_dedup_ngram_jaccard
+
+    dflt = q_dedup_ngram_jaccard(spark, SF)
+    assert _hinted(dflt)  # gate scale: probe set broadcasts
+    plan = dflt._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+    big = q_dedup_ngram_jaccard(spark, SF, broadcast_probes=False)
+    assert not _hinted(big)
+    a = {tuple(r) for r in dflt.collect()}
+    b = {tuple(r) for r in big.collect()}
+    assert a == b and a
+
+
+def test_host_dim_broadcast_crossover(spark, monkeypatch):
+    """The three web host-dim joins (robots rules x2, crawl delays) are
+    broadcast only while the host space is under _MAX_BROADCAST_HOSTS;
+    above it the forced hint must disappear from every analyzed plan
+    (host-key equi-join, AQE free to adapt) with identical results
+    (r7 verdict item 3)."""
+    import htmpark.queries as Q
+
+    Q.clear_candidate_pairs_cache()
+    gate_d = Q.q_web_robots_gate(spark, SF)
+    frontier_d = Q.q_web_crawl_frontier(spark, SF)
+    budget_d = Q.q_web_politeness_budget(spark, SF)
+    assert _hinted(gate_d) and _hinted(budget_d)
+    ref = {name: {tuple(r) for r in df.collect()}
+           for name, df in [("gate", gate_d), ("frontier", frontier_d),
+                            ("budget", budget_d)]}
+
+    monkeypatch.setattr(Q, "_MAX_BROADCAST_HOSTS", 0)
+    Q.clear_candidate_pairs_cache()  # frontier memo must rebuild gated
+    try:
+        gate_u = Q.q_web_robots_gate(spark, SF)
+        frontier_u = Q.q_web_crawl_frontier(spark, SF)
+        budget_u = Q.q_web_politeness_budget(spark, SF)
+        for df in (gate_u, frontier_u, budget_u):
+            assert not _hinted(df)
+        for name, df in [("gate", gate_u), ("frontier", frontier_u),
+                         ("budget", budget_u)]:
+            assert {tuple(r) for r in df.collect()} == ref[name], name
+    finally:
+        Q.clear_candidate_pairs_cache()  # drop the gated memo for peers
+
+
 def test_lsh_bits_derivation():
     """Sign-LSH bit width is DERIVED from the footer row count: the floor
     (= the static oracle's width) at every gate scale, the log2 rule above

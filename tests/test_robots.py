@@ -191,7 +191,8 @@ def test_politeness_budget(spark):
     specialbot's 99 s) applies on hmod-2 hosts, and delay-less hosts
     fall back to 1 s."""
     from htmpark.robots import crawl_delay
-    from htmpark.queries import _ROBOTS_TEXTS, REGISTRY
+    from htmpark.queries import (_ROBOTS_TEXTS, _delay_whole_seconds,
+                                 REGISTRY)
 
     fn, _ = REGISTRY["web_politeness_budget"]
     rows = fn(spark, "/root/testdata/sf0.001").collect()
@@ -200,7 +201,10 @@ def test_politeness_budget(spark):
     seen_delays = set()
     for r in rows:
         d = crawl_delay(_ROBOTS_TEXTS[r.host_num % 4])
-        eff = 1 if d is None else int(d)
+        # mirror the engine's documented round-up (ceil, floor 1), not
+        # int() truncation — keeps the expectation honest if a
+        # fractional Crawl-delay ever lands in _ROBOTS_TEXTS (r7 ADVICE)
+        eff = _delay_whole_seconds(d) or 1
         assert r.delay_s == eff, (r.host_num, d)
         seen_delays.add(r.delay_s)
         assert r.n_fetch_now == min(r.n_allowed_targets, W // eff)

@@ -130,7 +130,47 @@ def main():
         else:
             print(f"OK    {name:32s} rows={len(srows)}")
     spark.stop()
+    if not args.queries and not failures:
+        _record_replica_manifest(args.sf, names)
     sys.exit(1 if failures else 0)
+
+
+def _record_replica_manifest(sf, names):
+    """Record a full-registry green replica run for the order checker.
+
+    tools/check_registry_order.py requires every tail (>WINDOW) entry to be
+    green in the LATEST driver CORRECTNESS file; right after the driver
+    drops a new file, the rotated-out tail is structurally stale and the
+    checker goes red until the next rotation (this exact red opened rounds
+    7 and 8).  The manifest closes that window: a full replica run on this
+    tree is equally fresh evidence, so the checker accepts "green in latest
+    driver file OR green in a replica manifest that (a) post-dates the
+    latest driver file and (b) fingerprint-matches the current source".
+    """
+    import glob
+    import json
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from check_registry_order import fingerprint  # noqa: E402 (same dir)
+
+    from htmpark.queries import REGISTRY
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest = max(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")),
+                 default=None)
+    manifest = {
+        "sf": args_sf_base(sf),
+        "latest_driver": os.path.basename(latest) if latest else None,
+        "queries": {name: fingerprint(*REGISTRY[name]) for name in names},
+    }
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "replica_manifest.json")
+    json.dump(manifest, open(path, "w"), indent=1, sort_keys=True)
+    print(f"replica manifest recorded ({len(names)} green) -> {path}")
+
+
+def args_sf_base(sf):
+    return os.path.basename(os.path.normpath(sf))
 
 
 if __name__ == "__main__":

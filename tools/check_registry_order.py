@@ -57,6 +57,29 @@ def fingerprint(fn, sql) -> str:
     return h.hexdigest()
 
 
+REPLICA_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "replica_manifest.json")
+
+
+def load_replica():
+    return (json.load(open(REPLICA_PATH))
+            if os.path.exists(REPLICA_PATH) else None)
+
+
+def replica_fresh(replica, latest, name, current_fp):
+    """True when a full-registry replica run vouches for this entry.
+
+    Fresh evidence means: the manifest was recorded by a 100%-green
+    tools/check_oracle.py full run (a) while the current latest driver
+    CORRECTNESS file was already on disk (so the replica is at least as
+    recent as the driver signal) and (b) on exactly this query source
+    (fingerprint equality, same hash the --update path records).
+    """
+    return (replica is not None
+            and replica.get("latest_driver") == latest
+            and replica.get("queries", {}).get(name) == current_fp)
+
+
 def green_history(repo_root):
     """{name: [(round_file, green_bool), ...]} from CORRECTNESS_r*.json."""
     hist = {}
@@ -92,6 +115,7 @@ def main():
     latest = os.path.basename(latest) if latest else None
     stored = (json.load(open(FPRINT_PATH))
               if os.path.exists(FPRINT_PATH) else {})
+    replica = load_replica()
 
     problems = []
     for pos, name in enumerate(REGISTRY, start=1):
@@ -104,9 +128,11 @@ def main():
                 f"pos {pos} {name}: only {greens} driver-green rounds "
                 f"(tail needs >= {MIN_TAIL_GREENS})")
         fresh = [ok for f, ok in rounds if f == latest]
-        if latest and not (fresh and fresh[0]):
+        if latest and not (fresh and fresh[0]) and not replica_fresh(
+                replica, latest, name, current[name]):
             problems.append(
-                f"pos {pos} {name}: not green in {latest} — a tail entry "
+                f"pos {pos} {name}: not green in {latest} (and no "
+                f"fingerprint-matched replica-manifest row) — a tail entry "
                 f"gets no driver row next round, so its last signal must "
                 f"be fresh")
         if name not in stored:

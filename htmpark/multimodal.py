@@ -3,21 +3,30 @@
 Design for 100 TB multimodal tables: media lives as an opaque ``binary``
 column next to typed metadata (mime, width/height, duration), processed by
 Arrow-batched ``mapInPandas`` stages.  The Spark-side plumbing here (schema,
-batch iteration, partition sizing) is real and tested; the *codec* step is
-STUBBED because no image/audio libraries exist in this container:
+batch iteration, partition sizing) is real and tested.  Codec coverage:
 
-* decode_image / decode_audio raise NotImplementedError unless
-  ``fake=True``, which substitutes a deterministic fake decoder so the
-  downstream plumbing (resize, frame-sample) is exercisable in tests.
+* ONE real container per modality, stdlib-only: uncompressed 24-bpp BMP
+  (``struct`` — encode_bmp/decode_image) and 16-bit PCM WAV (the stdlib
+  ``wave`` module — encode_wav/decode_audio).  These run end-to-end on
+  real pixels/samples, so resize_stage/feature_stage exercise genuine
+  decoded data.
+* every other container (PNG/JPEG/GIF, compressed audio) still raises
+  NotImplementedError unless ``fake=True`` substitutes the deterministic
+  pseudo-decoder — those codecs need libraries this container lacks.
 """
 
 from __future__ import annotations
+
+import io
+import struct
+import wave
 
 from pyspark.sql import DataFrame, functions as F
 
 IMAGE_MAGIC = {
     b"\x89PNG": "image/png",
     b"\xff\xd8\xff": "image/jpeg",
+    b"BM": "image/bmp",
     b"RIFF": "audio/wav",
     b"GIF8": "image/gif",
 }
@@ -30,17 +39,70 @@ def sniff_mime(payload: bytes) -> str:
     return "application/octet-stream"
 
 
-def decode_image(payload: bytes, fake: bool = False):
-    """Decode an image payload to (height, width, channels) + pixel summary.
+def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
+    """Serialize a top-down BGR pixel matrix (``height*width*3`` bytes) as
+    an uncompressed 24-bpp BI_RGB BMP (BITMAPFILEHEADER + 40-byte
+    BITMAPINFOHEADER, rows stored bottom-up and padded to 4 bytes — the
+    classic Windows 3.x layout every decoder accepts).  Deterministic:
+    byte-identical output for identical input."""
+    if len(pixels) != height * width * 3:
+        raise ValueError("pixels must be height*width*3 bytes of BGR")
+    row_len = width * 3
+    pad = (-row_len) % 4
+    body = bytearray()
+    for r in range(height - 1, -1, -1):  # bottom-up row order
+        body += pixels[r * row_len:(r + 1) * row_len]
+        body += b"\x00" * pad
+    off = 14 + 40
+    size = off + len(body)
+    hdr = struct.pack("<2sIHHI", b"BM", size, 0, 0, off)
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                      len(body), 2835, 2835, 0, 0)
+    return hdr + dib + bytes(body)
 
-    STUB: real decoding needs an imaging library not present in this
-    container.  ``fake=True`` returns a deterministic pseudo-decode derived
-    from the bytes so batch plumbing is testable.
-    """
+
+def decode_image(payload: bytes, fake: bool = False):
+    """Decode an image payload to (height, width, channels) + pixels.
+
+    REAL path: uncompressed 24-bpp BI_RGB BMP via ``struct`` — returns
+    ``pixels`` as the top-down BGR byte stream (padding stripped, bottom-up
+    storage unflipped) and ``pix_checksum`` = sum of those pixel bytes mod
+    65536.  Top-down BMPs (negative height) are handled; other bit depths /
+    compressions raise ValueError (a corrupt or unsupported BMP must fail
+    loudly, never emit garbage pixels).
+
+    Non-BMP containers (PNG/JPEG/GIF) need an imaging library this
+    container lacks: NotImplementedError, or the deterministic pseudo-decode
+    when ``fake=True`` (no ``pixels`` key — plumbing tests only)."""
+    if payload[:2] == b"BM" and not fake:
+        if len(payload) < 54:
+            raise ValueError("truncated BMP header")
+        off = struct.unpack_from("<I", payload, 10)[0]
+        dib_size, width, height = struct.unpack_from("<Iii", payload, 14)
+        planes, bpp = struct.unpack_from("<HH", payload, 26)
+        compression = struct.unpack_from("<I", payload, 30)[0]
+        if dib_size < 40 or bpp != 24 or compression != 0:
+            raise ValueError(
+                f"unsupported BMP (dib={dib_size}, bpp={bpp}, "
+                f"compression={compression}): only uncompressed 24-bpp "
+                f"BI_RGB is implemented")
+        top_down = height < 0
+        height = abs(height)
+        row_len = width * 3
+        stride = row_len + ((-row_len) % 4)
+        if off + stride * height > len(payload):
+            raise ValueError("truncated BMP pixel data")
+        rows = [payload[off + r * stride: off + r * stride + row_len]
+                for r in range(height)]
+        if not top_down:
+            rows.reverse()  # stored bottom-up -> emit top-down
+        pixels = b"".join(rows)
+        return {"height": height, "width": width, "channels": 3,
+                "pixels": pixels, "pix_checksum": sum(pixels) % 65536}
     if not fake:
         raise NotImplementedError(
-            "image decoding requires an imaging library (not in container); "
-            "pass fake=True for the deterministic test decoder"
+            "non-BMP image decoding requires an imaging library (not in "
+            "container); pass fake=True for the deterministic test decoder"
         )
     n = len(payload)
     h = (n % 480) + 1
@@ -49,12 +111,44 @@ def decode_image(payload: bytes, fake: bool = False):
     return {"height": h, "width": w, "channels": 3, "pix_checksum": checksum}
 
 
+def encode_wav(samples, sample_rate: int) -> bytes:
+    """Serialize 16-bit signed PCM mono samples (ints in [-32768, 32767])
+    as a RIFF/WAVE container via the stdlib ``wave`` module."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
 def decode_audio(payload: bytes, fake: bool = False):
-    """STUB audio decode -> (n_samples, sample_rate)."""
+    """Decode an audio payload to (n_samples, sample_rate) + samples.
+
+    REAL path: RIFF/WAVE PCM via the stdlib ``wave`` module — returns
+    ``samples`` (signed ints, channel-interleaved) and ``sample_checksum``
+    = sum of the samples' unsigned 16-bit representations mod 65536.
+    Only 16-bit PCM is decoded to samples (8/24/32-bit raise ValueError).
+
+    Non-WAV containers raise NotImplementedError, or return the
+    deterministic pseudo-decode when ``fake=True``."""
+    if payload[:4] == b"RIFF" and not fake:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            nch, width, rate, nframes = (w.getnchannels(), w.getsampwidth(),
+                                         w.getframerate(), w.getnframes())
+            if width != 2:
+                raise ValueError(f"only 16-bit PCM implemented, got "
+                                 f"{8 * width}-bit")
+            raw = w.readframes(nframes)
+        samples = list(struct.unpack(f"<{nframes * nch}h", raw))
+        return {"n_samples": nframes * nch, "sample_rate": rate,
+                "n_channels": nch, "samples": samples,
+                "sample_checksum": sum(s & 0xFFFF for s in samples) % 65536}
     if not fake:
         raise NotImplementedError(
-            "audio decoding requires an audio library (not in container); "
-            "pass fake=True for the deterministic test decoder"
+            "non-WAV audio decoding requires an audio library (not in "
+            "container); pass fake=True for the deterministic test decoder"
         )
     return {"n_samples": len(payload) // 2, "sample_rate": 16000}
 
@@ -97,16 +191,31 @@ def image_meta_stage(df: DataFrame, payload_col: str = "payload",
     return df.mapInPandas(run, schema)
 
 
+def resize_nn(pixels: bytes, h: int, w: int,
+              target_h: int, target_w: int) -> bytes:
+    """Nearest-neighbor resample of a top-down BGR matrix — vectorized
+    numpy fancy-indexing (the only loop is C-side), deterministic integer
+    index math (src = dst * src_dim // dst_dim, the standard NN grid)."""
+    import numpy as np
+
+    a = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, 3)
+    ri = (np.arange(target_h) * h) // target_h
+    ci = (np.arange(target_w) * w) // target_w
+    return a[ri][:, ci].tobytes()
+
+
 def resize_stage(df: DataFrame, target_h: int = 224, target_w: int = 224,
                  payload_col: str = "payload", fake: bool = True) -> DataFrame:
     """mapInPandas stage: decode -> resize to (target_h, target_w).
 
     Real plumbing (Arrow batches, fixed output schema, stateless map — at
-    100 TB this fuses with the scan and never shuffles); the pixel work is
-    the deterministic fake (resized checksum = stride-sampled byte sum),
-    since no imaging library exists in this container.  The aspect-ratio
-    metadata (scale numerator/denominator as exact ints) is the part a
-    real resizer would also emit."""
+    100 TB this fuses with the scan and never shuffles).  BMP payloads
+    take the REAL path end-to-end: decode_image yields actual pixels,
+    resize_nn resamples them, and resized_checksum sums the RESIZED pixel
+    bytes.  Containers without an in-container codec keep the
+    deterministic fake (stride-sampled payload byte sum) under
+    ``fake=True``.  The aspect-ratio metadata (scale numerator/denominator
+    as exact ints) is emitted on both paths."""
     import pandas as pd
 
     other = [c for c in df.columns if c != payload_col]
@@ -114,17 +223,24 @@ def resize_stage(df: DataFrame, target_h: int = 224, target_w: int = 224,
     def run(batches):
         for pdf in batches:
             pays = [bytes(p) for p in pdf[payload_col]]
-            metas = [decode_image(p, fake=fake) for p in pays]
-            stride = [max(1, m["height"] * m["width"] // (target_h * target_w))
-                      for m in metas]
+            metas = [decode_image(p, fake=fake and p[:2] != b"BM")
+                     for p in pays]
+            sums = []
+            for p, m in zip(pays, metas):
+                if "pixels" in m:  # real decode -> real resample
+                    sums.append(sum(resize_nn(
+                        m["pixels"], m["height"], m["width"],
+                        target_h, target_w)) % 65536)
+                else:
+                    s = max(1, m["height"] * m["width"]
+                            // (target_h * target_w))
+                    sums.append(sum(p[::s]) % 65536)
             out = {c: pdf[c] for c in other}
             out["rh"] = pd.array([target_h] * len(pays), dtype="int32")
             out["rw"] = pd.array([target_w] * len(pays), dtype="int32")
             out["scale_num"] = pd.array([m["height"] for m in metas], dtype="int32")
             out["scale_den"] = pd.array([target_h] * len(pays), dtype="int32")
-            out["resized_checksum"] = pd.array(
-                [sum(p[::s]) % 65536 for p, s in zip(pays, stride)],
-                dtype="int32")
+            out["resized_checksum"] = pd.array(sums, dtype="int32")
             yield pd.DataFrame(out)
 
     schema = ", ".join(
@@ -134,20 +250,36 @@ def resize_stage(df: DataFrame, target_h: int = 224, target_w: int = 224,
     return df.mapInPandas(run, schema)
 
 
+def content_bytes(payload: bytes) -> bytes:
+    """The DECODED content byte stream of a payload with an in-container
+    codec: BMP -> top-down BGR pixel bytes, WAV -> little-endian 16-bit
+    sample bytes.  Raises NotImplementedError for containers without one
+    (the caller decides whether a fake is acceptable)."""
+    if payload[:2] == b"BM":
+        return decode_image(payload)["pixels"]
+    if payload[:4] == b"RIFF":
+        samples = decode_audio(payload)["samples"]
+        return struct.pack(f"<{len(samples)}h", *samples)
+    raise NotImplementedError(
+        "no in-container codec for this payload; feature extraction over "
+        "raw container bytes would hash headers, not content")
+
+
 def feature_stage(df: DataFrame, n_buckets: int = 8,
                   payload_col: str = "payload", fake: bool = True) -> DataFrame:
     """mapInPandas stage: payload -> fixed-dim feature vector
-    (``array<int>`` byte-histogram buckets as the deterministic fake of an
-    embedding model).  The schema/batch shape is exactly what a real
-    encoder stage emits (fixed-width vector per row, stateless map); swap
-    the fake for a model call and nothing else changes.  Integer features
-    keep any downstream comparison engine-exact."""
+    (``array<int>`` histogram buckets — the deterministic stand-in for an
+    embedding model).  With ``fake=False`` the histogram runs over REAL
+    decoded content (BMP pixels / WAV sample bytes via content_bytes);
+    containers without an in-container codec then fail loudly.  With
+    ``fake=True`` it buckets the raw payload bytes (plumbing tests).  The
+    schema/batch shape is exactly what a real encoder stage emits
+    (fixed-width vector per row, stateless map); swap the histogram for a
+    model call and nothing else changes.  Integer features keep any
+    downstream comparison engine-exact."""
+    import numpy as np
     import pandas as pd
 
-    if not fake:
-        raise NotImplementedError(
-            "feature extraction requires a vision/audio model (not in "
-            "container); pass fake=True for the deterministic histogram")
     other = [c for c in df.columns if c != payload_col]
 
     def run(batches):
@@ -155,10 +287,12 @@ def feature_stage(df: DataFrame, n_buckets: int = 8,
             feats = []
             for p in pdf[payload_col]:
                 p = bytes(p)
-                h = [0] * n_buckets
-                for b in p:
-                    h[b * n_buckets // 256] += 1
-                feats.append(h)
+                data = p if fake else content_bytes(p)
+                # widen before the multiply: uint8 * n_buckets wraps at 255
+                a = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+                feats.append(np.bincount(a * n_buckets // 256,
+                                         minlength=n_buckets)
+                             .astype("int64").tolist())
             out = {c: pdf[c] for c in other}
             out["features"] = feats
             yield pd.DataFrame(out)

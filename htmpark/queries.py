@@ -3306,6 +3306,77 @@ FROM documents
 """
 
 
+def q_text_bpe_tokens(spark, sf_dir):
+    """REAL merge-table BPE token counting (htmpark/bpe.py — the public
+    GPT-2-style byte-level algorithm over the generated bpe_vocab.py
+    merge table), replacing nothing: q_text_token_count keeps the cheap
+    regex proxy, this query supplies the exact counts that mixture /
+    packing decisions actually need.  Per doc: n_tokens and the exact
+    token-id sum (id_sum pins token IDENTITY — a wrong merge that
+    happens to preserve counts still breaks it).
+
+    Scale shape: a stateless Arrow-batched mapInPandas fused with the
+    scan — the standard embarrassingly-parallel tokenize pass; the
+    per-worker lru_cache collapses per-word cost to a dict hit because
+    corpus VOCABULARIES are tiny relative to corpus size.  No shuffle,
+    no driver involvement, no per-row UDF.
+
+    Oracle: a distinct-word (n_tokens, id_sum) lookup computed at
+    oracle-resolve time by the INDEPENDENT reference encoder
+    (bpe.ref_encode_word, rank-order formulation vs the engine's
+    lowest-rank-first) over the table's own distinct words, joined back
+    per word in SQL.  Gate-scale only by construction (the VALUES list
+    is the distinct vocabulary); the engine path has no such bound."""
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def run(batches):
+        from .bpe import encode_text
+
+        for pdf in batches:
+            pairs = [encode_text(txt) for txt in pdf["text"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_tokens": pd.array([p[0] for p in pairs], dtype="int64"),
+                "id_sum": pd.array([p[1] for p in pairs], dtype="int64"),
+            })
+
+    return d.mapInPandas(run, "doc_id long, n_tokens bigint, id_sum bigint")
+
+
+def _bpe_oracle_sql(sf_dir: str) -> str:
+    """Distinct-word BPE lookup oracle (resolve_sql callable): reads the
+    table's distinct words via DuckDB, encodes each with the REFERENCE
+    encoder, and emits the per-doc aggregation over a VALUES join."""
+    import duckdb
+
+    from .bpe import ref_encode_word
+
+    words = [r[0] for r in duckdb.sql(
+        "SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM "
+        f"'{sf_dir}/documents.parquet' ORDER BY w").fetchall()]
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    rows = []
+    for w in words:
+        ids = ref_encode_word(w.encode("utf-8"))
+        rows.append(f"({lit(w)}, {len(ids)}, {sum(ids)})")
+    vals = ",\n    ".join(rows)
+    return f"""
+WITH lk(w, n_tok, t_sum) AS (VALUES
+    {vals}),
+e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+SELECT e.doc_id,
+       CAST(SUM(lk.n_tok) AS BIGINT) AS n_tokens,
+       CAST(SUM(lk.t_sum) AS BIGINT) AS id_sum
+FROM e JOIN lk USING (w)
+GROUP BY e.doc_id
+"""
+
+
 # pretraining sequence-packing parameters; the oracle SQL is generated from
 # the same constants (the _SUBSTR_W pattern) so non-default calls can never
 # silently diverge from a stale hand-written literal
@@ -3780,6 +3851,118 @@ SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
        CAST(frame_idx * 100 AS INT) AS frame_off,
        substr(ph, frame_idx * 200 + 1, 4) AS frame_hex
 FROM s
+"""
+
+
+def _mm_synth_payload(did: int) -> bytes:
+    """Deterministic media payload for doc ``did``: even ids get an
+    uncompressed 24-bpp BMP whose top-down BGR pixel byte i is
+    ``(did*31 + i*7) % 256`` (dims ``3 + did%7`` x ``4 + did%13``), odd
+    ids a 16-bit PCM mono WAV whose sample i is the SIGNED reading of
+    ``(did*13 + i*5) % 65536`` (``50 + did%100`` samples at
+    ``8000 + did%4*2000`` Hz).  Pure doc_id -> bytes, so the analytic
+    oracle can re-derive every decoded field without touching bytes."""
+    from .multimodal import encode_bmp, encode_wav
+
+    if did % 2 == 0:
+        h, w = 3 + did % 7, 4 + did % 13
+        pixels = bytes((did * 31 + i * 7) % 256 for i in range(h * w * 3))
+        return encode_bmp(w, h, pixels)
+    n, rate = 50 + did % 100, 8000 + did % 4 * 2000
+    samples = [x - 65536 if x >= 32768 else x
+               for x in ((did * 13 + i * 5) % 65536 for i in range(n))]
+    return encode_wav(samples, rate)
+
+
+def q_mm_decode(spark, sf_dir):
+    """REAL multimodal decode end-to-end (no fakes, no stubs): synthesize
+    a deterministic BMP (even doc_id) or WAV (odd) payload per document
+    (_mm_synth_payload), then run the actual stdlib codecs —
+    multimodal.decode_image (struct-parsed 24-bpp BI_RGB, bottom-up rows
+    unflipped, padding stripped) and decode_audio (stdlib ``wave``) —
+    inside one Arrow-batched mapInPandas stage.  Emits the decoded
+    metadata plus an exact content checksum (pixel-byte / unsigned-sample
+    sum mod 65536).
+
+    Oracle: ANALYTIC — every decoded field re-derives from the doc_id
+    formulas alone, so any defect across encode, container layout, or
+    decode that alters dims, rates, or one content byte breaks the hash.
+    (Byte-level container correctness is additionally pinned by golden
+    fixtures in tests/test_queries.py: a hand-assembled BMP literal and a
+    wave-module round-trip.)
+
+    Scale shape: stateless map fused with the scan — the exact plumbing
+    of a real 100 TB media-decode pass (decode cost dominates; no
+    shuffle, no driver involvement); swap _mm_synth_payload for a real
+    payload column and nothing else changes."""
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches):
+        from .multimodal import decode_audio, decode_image, sniff_mime
+
+        for pdf in batches:
+            out = {"doc_id": [], "kind": [], "mime": [], "height": [],
+                   "width": [], "n_samples": [], "sample_rate": [],
+                   "checksum": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                p = _mm_synth_payload(did)
+                out["doc_id"].append(did)
+                out["mime"].append(sniff_mime(p))
+                if did % 2 == 0:
+                    m = decode_image(p)
+                    out["kind"].append("bmp")
+                    out["height"].append(m["height"])
+                    out["width"].append(m["width"])
+                    out["n_samples"].append(None)
+                    out["sample_rate"].append(None)
+                    out["checksum"].append(m["pix_checksum"])
+                else:
+                    m = decode_audio(p)
+                    out["kind"].append("wav")
+                    out["height"].append(None)
+                    out["width"].append(None)
+                    out["n_samples"].append(m["n_samples"])
+                    out["sample_rate"].append(m["sample_rate"])
+                    out["checksum"].append(m["sample_checksum"])
+            for c in ("height", "width", "n_samples", "sample_rate",
+                      "checksum"):
+                out[c] = pd.array(out[c], dtype="Int32")
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        run, "doc_id long, kind string, mime string, height int, "
+             "width int, n_samples int, sample_rate int, checksum int")
+
+
+SQL_MM_DECODE = """
+WITH d AS (SELECT doc_id FROM documents),
+bmp AS (SELECT doc_id, 3 + doc_id % 7 AS h, 4 + doc_id % 13 AS w
+        FROM d WHERE doc_id % 2 = 0),
+bpx AS (SELECT doc_id, h, w, unnest(range(h * w * 3)) AS i FROM bmp),
+bsum AS (SELECT doc_id, MIN(h) AS h, MIN(w) AS w,
+                SUM((doc_id * 31 + i * 7) % 256) % 65536 AS cks
+         FROM bpx GROUP BY doc_id),
+wav AS (SELECT doc_id, 50 + doc_id % 100 AS n,
+               8000 + doc_id % 4 * 2000 AS rate
+        FROM d WHERE doc_id % 2 = 1),
+wpx AS (SELECT doc_id, n, rate, unnest(range(n)) AS i FROM wav),
+wsum AS (SELECT doc_id, MIN(n) AS n, MIN(rate) AS rate,
+                SUM((doc_id * 13 + i * 5) % 65536) % 65536 AS cks
+         FROM wpx GROUP BY doc_id)
+SELECT doc_id, 'bmp' AS kind, 'image/bmp' AS mime,
+       CAST(h AS INT) AS height, CAST(w AS INT) AS width,
+       CAST(NULL AS INT) AS n_samples, CAST(NULL AS INT) AS sample_rate,
+       CAST(cks AS INT) AS checksum
+FROM bsum
+UNION ALL
+SELECT doc_id, 'wav' AS kind, 'audio/wav' AS mime,
+       CAST(NULL AS INT) AS height, CAST(NULL AS INT) AS width,
+       CAST(n AS INT) AS n_samples, CAST(rate AS INT) AS sample_rate,
+       CAST(cks AS INT) AS checksum
+FROM wsum
 """
 
 
@@ -5135,6 +5318,9 @@ JOIN embeddings eb ON p.doc_b = eb.vec_id
 # from CORRECTNESS_r*.json + per-query source fingerprints) — run it
 # after any registry/query edit; re-derive + --update each round end.
 REGISTRY = {
+    # -- new in r8
+    "mm_decode": (q_mm_decode, SQL_MM_DECODE),
+    "text_bpe_tokens": (q_text_bpe_tokens, _bpe_oracle_sql),
     # -- changed in r8 (broadcast/shuffle crossover gating: ngram-jaccard
     #    probe join + the three host-dim broadcasts) -> window head
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),

@@ -662,8 +662,126 @@ def test_multimodal_resize_and_feature_stages(spark):
         assert len(feats) == 8
         assert sum(feats) == len(f"payload-bytes-{i}".encode())
 
+    # no in-container codec for raw text payloads: the real path must
+    # fail loudly instead of hashing container headers as "content"
     with pytest.raises(NotImplementedError):
-        mm.feature_stage(df, fake=False)
+        mm.content_bytes(b"payload-bytes-0")
+
+
+def test_bmp_codec_golden_and_roundtrip():
+    """Pin the BMP byte layout against a hand-checked golden literal
+    (header fields, bottom-up row order, 4-byte padding), then the
+    decode inverse: decode(encode(px)) == px for awkward widths (pad 1-3
+    bytes) and the top-down (negative height) variant."""
+    import struct
+
+    from htmpark import multimodal as mm
+
+    px = bytes([1, 2, 3, 4, 5, 6, 0x11, 0x12, 0x13, 0x14, 0x15, 0x16])
+    golden = (b"BMF\x00\x00\x00\x00\x00\x00\x006\x00\x00\x00(\x00\x00\x00"
+              b"\x02\x00\x00\x00\x02\x00\x00\x00\x01\x00\x18\x00"
+              b"\x00\x00\x00\x00\x10\x00\x00\x00\x13\x0b\x00\x00\x13\x0b"
+              b"\x00\x00\x00\x00\x00\x00\x00\x00\x00\x00"
+              b"\x11\x12\x13\x14\x15\x16\x00\x00"  # bottom row first
+              b"\x01\x02\x03\x04\x05\x06\x00\x00")
+    assert mm.encode_bmp(2, 2, px) == golden
+    m = mm.decode_image(golden)
+    assert (m["height"], m["width"], m["channels"]) == (2, 2, 3)
+    assert m["pixels"] == px and m["pix_checksum"] == sum(px) % 65536
+    assert mm.sniff_mime(golden) == "image/bmp"
+
+    for w, h in [(1, 1), (2, 3), (3, 2), (5, 4), (4, 5)]:
+        p = bytes((7 * i + 3) % 256 for i in range(w * h * 3))
+        assert mm.decode_image(mm.encode_bmp(w, h, p))["pixels"] == p
+
+    # top-down storage (negative height) decodes to the same pixels
+    td = bytearray(golden)
+    td[22:26] = struct.pack("<i", -2)
+    td[54:62], td[62:70] = golden[62:70], golden[54:62]
+    assert mm.decode_image(bytes(td))["pixels"] == px
+
+    with pytest.raises(ValueError):
+        mm.decode_image(golden[:30])  # truncated header
+    bad = bytearray(golden)
+    bad[28] = 8  # 8-bpp: unsupported depth must fail loudly
+    with pytest.raises(ValueError):
+        mm.decode_image(bytes(bad))
+
+
+def test_wav_codec_roundtrip():
+    """WAV via the stdlib wave module: sample-exact round-trip including
+    both 16-bit extremes, unsigned checksum, and the loud failure on
+    non-16-bit PCM."""
+    import io
+    import wave as wavemod
+
+    from htmpark import multimodal as mm
+
+    samples = [0, 1, -1, 32767, -32768]
+    payload = mm.encode_wav(samples, 12000)
+    m = mm.decode_audio(payload)
+    assert m["samples"] == samples and m["sample_rate"] == 12000
+    assert m["n_samples"] == 5 and m["n_channels"] == 1
+    assert m["sample_checksum"] == (0 + 1 + 65535 + 32767 + 32768) % 65536
+    assert mm.sniff_mime(payload) == "audio/wav"
+    assert mm.content_bytes(payload) == \
+        b"\x00\x00\x01\x00\xff\xff\xff\x7f\x00\x80"
+
+    buf = io.BytesIO()
+    with wavemod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)  # 8-bit PCM: decode must refuse
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x01")
+    with pytest.raises(ValueError):
+        mm.decode_audio(buf.getvalue())
+
+
+def test_resize_nn_known_grid():
+    """Nearest-neighbor index math pinned on a hand-computed case: 2x2 ->
+    4x4 replicates each source pixel into a 2x2 block; downscale 4x4 ->
+    2x2 picks rows/cols 0 and 2 (src = dst*src_dim//dst_dim)."""
+    from htmpark import multimodal as mm
+
+    px = bytes([1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12])  # 2x2 BGR
+    up = mm.resize_nn(px, 2, 2, 4, 4)
+    rows = [up[i * 12:(i + 1) * 12] for i in range(4)]
+    assert rows[0] == rows[1] == bytes([1, 2, 3, 1, 2, 3, 4, 5, 6, 4, 5, 6])
+    assert rows[2] == rows[3] == bytes([7, 8, 9, 7, 8, 9, 10, 11, 12, 10, 11, 12])
+    down = mm.resize_nn(up, 4, 4, 2, 2)
+    assert down == px  # picks (0,0),(0,2),(2,0),(2,2) == the originals
+
+
+def test_real_media_stages_end_to_end(spark):
+    """resize_stage + feature_stage over REAL decoded BMP pixels and the
+    mm_decode query's WAV branch: no fakes anywhere, partition-invariant,
+    and the feature histogram counts PIXEL bytes (not container bytes)."""
+    from htmpark import multimodal as mm
+    from htmpark.queries import _mm_synth_payload
+
+    import pandas as pd
+
+    pays = [(did, _mm_synth_payload(did)) for did in range(0, 40, 2)]
+    df = spark.createDataFrame(pays, "id long, payload binary")
+
+    r1 = {r.id: (r.scale_num, r.resized_checksum)
+          for r in mm.resize_stage(df, 8, 8, fake=False).collect()}
+    r2 = {r.id: (r.scale_num, r.resized_checksum)
+          for r in mm.resize_stage(df.repartition(5), 8, 8,
+                                   fake=False).collect()}
+    assert r1 == r2 and len(r1) == 20
+    for did, p in pays:
+        m = mm.decode_image(p)
+        want = sum(mm.resize_nn(m["pixels"], m["height"], m["width"],
+                                8, 8)) % 65536
+        assert r1[did] == (m["height"], want)
+
+    feats = {r.id: tuple(r.features)
+             for r in mm.feature_stage(df, fake=False).collect()}
+    for did, p in pays:
+        m = mm.decode_image(p)
+        assert sum(feats[did]) == len(m["pixels"])  # pixels, not payload
+        assert len(m["pixels"]) != len(p)
 
 
 def test_quantiles_caller_column_collision(spark):

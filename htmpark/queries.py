@@ -4051,6 +4051,18 @@ GROUP BY doc_id, n_grams
 """
 
 
+# UPPERCASE hex pairs whose octet is in RFC 3986 §2.3's unreserved set
+# (ALPHA 41-5A/61-7A, DIGIT 30-39, '-' 2D, '.' 2E, '_' 5F, '~' 7E) —
+# the only escapes §6.2.2.2 permits decoding.  Every alternative is
+# exactly two characters and the inputs are exactly two characters, so
+# the same '^...$'-anchored pattern means "whole-pair match" under
+# Spark rlike, DuckDB regexp_matches, and Python re.match alike.
+# Exhaustively verified against all 256 octets in
+# test_unres_hex_re_is_exactly_the_unreserved_set; kept free of {}
+# quantifiers so it can splice into Spark SQL f-strings verbatim.
+_UNRES_HEX_RE = "^(2[DE]|3[0-9]|4[1-9A-F]|5[0-9A]|5F|6[1-9A-F]|7[0-9A]|7E)$"
+
+
 def _with_canon_url(df):
     """Add ``canon_url`` + ``surt_key`` columns derived from ``url`` —
     pure row-local string/array expressions (split/substring_index/
@@ -4058,10 +4070,11 @@ def _with_canon_url(df):
     Canonical rules: lowercase scheme/host, www. stripped, the scheme's
     OWN default port stripped (:80 http, :443 https), trailing FQDN
     root-label dot stripped (example.com. == example.com), fragment
-    dropped, query params sorted, trailing slash trimmed, %XX hex case
-    uppercased in the path (RFC 3986 §6.2.2.1).  Shared by
-    q_web_url_canonical (synthetic mess) and q_web_outlink_canonical
-    (parser-extracted hrefs)."""
+    dropped, query params sorted, trailing slash trimmed, %XX
+    percent-encoding normalized in the path (RFC 3986 §6.2.2:
+    unreserved octets decode, everything else uppercases its hex).
+    Shared by q_web_url_canonical (synthetic mess) and
+    q_web_outlink_canonical (parser-extracted hrefs)."""
     nofrag = F.substring_index(F.col("url"), "#", 1)
     base = F.substring_index(nofrag, "?", 1)
     query = F.when(nofrag.contains("?"),
@@ -4092,17 +4105,28 @@ def _with_canon_url(df):
         F.expr("substr(_canon_rest, "
                "length(split_part(_canon_rest, '/', 1)) + 1)"),
         "/$", "")
-    # RFC 3986 §6.2.2.1: percent-encoding hex digits are
-    # case-insensitive — uppercase each valid %XX triplet in the PATH
-    # so %2f and %2F alias to one key (invalid escapes pass through;
-    # the query string is sorted on its raw bytes, documented scope)
+    # RFC 3986 §6.2.2 percent-encoding normalization in the PATH, one
+    # fold over the '%'-split:
+    #  * §6.2.2.2: a %XX whose octet is UNRESERVED (ALPHA/DIGIT/-._~)
+    #    decodes to the character itself (%7E == ~, %41 == A) — the
+    #    escaped and bare spellings alias one key;
+    #  * §6.2.2.1: every other valid %XX keeps the escape with its hex
+    #    UPPERCASED (%2f -> %2F; reserved octets must NOT decode — /
+    #    vs %2F are different path structures);
+    #  * invalid escapes pass through; the query string is sorted on
+    #    its raw bytes, documented scope.
+    # _UNRES_HEX_RE is exhaustively verified against the unreserved set
+    # in tests; char(conv(hex,16,10)) is ASCII-safe by that same gate.
     path = F.expr(
         "concat(element_at(_canon_psplit, 1), "
         "aggregate(slice(_canon_psplit, 2, size(_canon_psplit) - 1), "
-        "'', (acc, s) -> concat(acc, '%', "
-        "CASE WHEN s rlike '^[0-9a-fA-F]{2}' "
-        "THEN concat(upper(substr(s, 1, 2)), substr(s, 3)) "
-        "ELSE s END)))")
+        "'', (acc, s) -> concat(acc, "
+        "CASE WHEN s rlike '^[0-9a-fA-F]{2}' THEN "
+        f"  CASE WHEN upper(substr(s, 1, 2)) rlike '{_UNRES_HEX_RE}' "
+        "   THEN concat(char(conv(substr(s, 1, 2), 16, 10)), "
+        "               substr(s, 3)) "
+        "   ELSE concat('%', upper(substr(s, 1, 2)), substr(s, 3)) END "
+        "ELSE concat('%', s) END)))")
     return (df.withColumn("_canon_base", base)
             .withColumn("_canon_rest", rest)
             .withColumn("_canon_psplit", F.split(path_trim, "%"))
@@ -4161,9 +4185,10 @@ def q_web_url_canonical(spark, sf_dir):
         # must stay on the FIRST '://'
         F.when(F.col("doc_id") % 9 == 0, F.lit("/go/HTTPS://t.example/z"))
          .otherwise(F.lit("")),
-        # percent-escape hex case: valid %2f uppercases to %2F, the
+        # percent-escape normalization: reserved %2f uppercases to %2F,
+        # unreserved %7e/%41 decode to ~/A (RFC 3986 §6.2.2.2), the
         # invalid escape %zq passes through untouched
-        F.when(F.col("doc_id") % 8 == 0, F.lit("/e%2f%zq"))
+        F.when(F.col("doc_id") % 8 == 0, F.lit("/e%2f%7e%41%zq"))
          .otherwise(F.lit("")),
         F.when(F.col("doc_id") % 4 == 0, F.lit("/")).otherwise(F.lit("")),
         F.when(F.col("doc_id") % 2 == 0, F.lit("?b=2&a=1")).otherwise(F.lit("?a=1&b=2")),
@@ -4186,7 +4211,7 @@ WITH u AS (
          || '/A/b'
          || (CASE WHEN doc_id % 9 = 0
                   THEN '/go/HTTPS://t.example/z' ELSE '' END)
-         || (CASE WHEN doc_id % 8 = 0 THEN '/e%2f%zq' ELSE '' END)
+         || (CASE WHEN doc_id % 8 = 0 THEN '/e%2f%7e%41%zq' ELSE '' END)
          || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
          || (CASE WHEN doc_id % 2 = 0 THEN '?b=2&a=1' ELSE '?a=1&b=2' END)
          || (CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END) AS url
@@ -4223,14 +4248,21 @@ WITH u AS (
   FROM comp0
 ), comp AS (
   SELECT doc_id, url, scheme, host,
-         -- %XX hex-case uppercase (RFC 3986 §6.2.2.1); invalid
-         -- escapes pass through
+         -- RFC 3986 §6.2.2: unreserved %XX decodes to its character
+         -- (§6.2.2.2), other valid escapes uppercase their hex
+         -- (§6.2.2.1), invalid escapes pass through — same fold as
+         -- the engine's _canon_psplit aggregate
          str_split(path0, '%')[1] || COALESCE(array_to_string(
              list_transform(str_split(path0, '%')[2:],
-                 x -> '%' || CASE
+                 x -> CASE
                      WHEN regexp_matches(x, '^[0-9a-fA-F]{2}')
-                     THEN upper(substr(x, 1, 2)) || substr(x, 3)
-                     ELSE x END), ''), '') AS path,
+                     THEN CASE WHEN regexp_matches(
+                              upper(substr(x, 1, 2)), '{unres_re}')
+                          THEN chr(CAST(('0x' || substr(x, 1, 2))
+                                        AS INT)) || substr(x, 3)
+                          ELSE '%' || upper(substr(x, 1, 2))
+                               || substr(x, 3) END
+                     ELSE '%' || x END), ''), '') AS path,
          array_to_string(list_sort(string_split(query, '&')), '&') AS sq
   FROM comp1
 )
@@ -4241,6 +4273,11 @@ SELECT doc_id, url,
          || ')' || path AS surt_key
 FROM comp
 """
+
+# splice the shared unreserved-pair regex (a plain .replace — the SQL
+# body carries regex {2} quantifiers that an f-string would mangle)
+SQL_WEB_URL_CANONICAL = SQL_WEB_URL_CANONICAL.replace(
+    "{unres_re}", _UNRES_HEX_RE)
 
 
 def q_html_main_content(spark, sf_dir):
@@ -4345,6 +4382,11 @@ _DIRTY_HREFS = [
     # fuse the query into the host
     "https://cdn.example.org?q=1",
     "//cdn.example.org#frag",
+    # RFC 3986 §6.2.2.2 through the outlink pipeline: unreserved %7e/
+    # %41 decode to ~/A while reserved %2f only uppercases and the
+    # invalid %gg passes — one anchor exercises all three regimes in
+    # the resolved-path canon (and its _canon_mirror oracle twin)
+    "%7edir/%41%2f%gg",
 ]
 
 # RFC 3986 §5.2.4 remove_dot_segments over a '/'-rooted path, as a
@@ -4529,21 +4571,29 @@ def _ref_resolve_href(href: str, dirpath: str = "/p/"):
 def _canon_mirror(path: str):
     """Mirror _with_canon_url's PATH rules for oracle literal building:
     returns (cpath, spath) — cpath drops the #fragment and sorts query
-    params, spath drops both; both trim a trailing slash and uppercase
-    valid %XX escape hex (RFC 3986 §6.2.2.1, invalid escapes pass).
-    Query extraction replays the ENGINE's exact split order: fragment
-    cut first, then base = before the FIRST '?' and query = after the
-    LAST '?' (substring_index semantics — a degenerate '/a?x?y' keeps
-    only 'y', and a '?' inside the fragment is never a query)."""
+    params, spath drops both; both trim a trailing slash and normalize
+    %XX escapes per RFC 3986 §6.2.2 (unreserved octets decode to the
+    bare character, other valid escapes uppercase their hex, invalid
+    escapes pass).  Query extraction replays the ENGINE's exact split
+    order: fragment cut first, then base = before the FIRST '?' and
+    query = after the LAST '?' (substring_index semantics — a
+    degenerate '/a?x?y' keeps only 'y', and a '?' inside the fragment
+    is never a query)."""
     nofrag = path.split("#", 1)[0]
     core = nofrag.split("?", 1)[0]
     query = nofrag.rsplit("?", 1)[1] if "?" in nofrag else ""
     core = re.sub(r"/$", "", core)
+
+    def norm_escape(p: str) -> str:
+        if not re.match(r"[0-9a-fA-F]{2}", p):
+            return "%" + p
+        hx = p[:2].upper()
+        if re.match(_UNRES_HEX_RE, hx):
+            return chr(int(hx, 16)) + p[2:]
+        return "%" + hx + p[2:]
+
     parts = core.split("%")
-    core = parts[0] + "".join(
-        "%" + (p[:2].upper() + p[2:]
-               if re.match(r"[0-9a-fA-F]{2}", p) else p)
-        for p in parts[1:])
+    core = parts[0] + "".join(norm_escape(p) for p in parts[1:])
     cq = "&".join(sorted(query.split("&"))) if query else ""
     return core + (("?" + cq) if cq else ""), core
 

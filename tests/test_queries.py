@@ -1237,13 +1237,14 @@ def test_url_canonical_aliases_collapse(spark):
     rows = {r.doc_id: r for r in fn(spark, SF).collect()}
     # doc 0: every mess at once -> fully cleaned: case/port/www/dot/
     # fragment/param-order/trailing-slash normalized, URL-in-path kept
-    # verbatim after the FIRST-'://' authority split, %2f uppercased,
-    # invalid %zq untouched
+    # verbatim after the FIRST-'://' authority split, reserved %2f
+    # uppercased, unreserved %7e/%41 DECODED to ~/A (RFC 3986
+    # §6.2.2.2), invalid %zq untouched
     assert rows[0].canon_url == ("http://site0.example.com"
-                                 "/A/b/go/HTTPS://t.example/z/e%2F%zq"
+                                 "/A/b/go/HTTPS://t.example/z/e%2F~A%zq"
                                  "?a=1&b=2")
     assert rows[0].surt_key == \
-        "com,example,site0)/A/b/go/HTTPS://t.example/z/e%2F%zq"
+        "com,example,site0)/A/b/go/HTTPS://t.example/z/e%2F~A%zq"
     # doc 2: none of the path mess (2 % 8, % 9, % 11 all nonzero)
     assert rows[2].canon_url == "http://site2.example.com/A/b?a=1&b=2"
     assert rows[2].surt_key == "com,example,site2)/A/b"
@@ -1319,6 +1320,12 @@ def test_canon_mirror_matches_spark(spark):
         "http://h.io#f",
         "https://q.r/a?x?y",
         "http://x.y/p#f?z",
+        # §6.2.2.2 unreserved decode vs §6.2.2.1 hex uppercase vs
+        # invalid passthrough, mixed in one path; %25 ('%') must NOT
+        # decode (it is reserved-adjacent: decoding would re-open the
+        # escape) and the query keeps its raw escapes
+        "http://pe.example/%7euser/%41%2d%2e%5f~/%2f%25%00?k=%7e",
+        "https://pe.example/%7E%4a/%zz%7",
     ]
 
     def py_canon(url):
@@ -1339,6 +1346,28 @@ def test_canon_mirror_matches_spark(spark):
            for r in _with_canon_url(df).collect()}
     for u in urls:
         assert got[u] == py_canon(u), u
+
+
+def test_unres_hex_re_is_exactly_the_unreserved_set():
+    """_UNRES_HEX_RE — the decode gate all three canon implementations
+    (Spark rlike, DuckDB regexp_matches, Python re.match) share — must
+    match EXACTLY the 66 RFC 3986 §2.3 unreserved octets over all 256
+    uppercase hex pairs: decoding anything else (reserved, controls,
+    non-ASCII) would merge distinct URLs; missing any unreserved octet
+    would leave aliased spellings split.  ASCII-safety of the engine's
+    char(conv(...)) rides on the same bound (every match is < 0x80)."""
+    import re as _re
+
+    from htmpark.queries import _UNRES_HEX_RE
+
+    unreserved = {ord(c) for c in
+                  "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+                  "abcdefghijklmnopqrstuvwxyz"
+                  "0123456789-._~"}
+    matched = {o for o in range(256)
+               if _re.match(_UNRES_HEX_RE, "%02X" % o)}
+    assert matched == unreserved
+    assert len(matched) == 66 and max(matched) == 0x7E
 
 
 def test_href_resolution_differential_urljoin():
@@ -1481,6 +1510,12 @@ def test_outlink_canonical_resolution(spark):
     assert q19.canon_url == "https://cdn.example.org?q=1"
     assert q19.surt_key == "org,example,cdn)"
     assert by[("1", 20)].canon_url == "https://cdn.example.org"
+    # RFC 3986 §6.2.2.2 in the resolved path: unreserved %7e/%41
+    # decode to ~/A, reserved %2f uppercases, invalid %gg passes
+    u21 = by[("1", 21)]
+    assert u21.href == "%7edir/%41%2f%gg"
+    assert u21.canon_url == "https://host002.example.com/p/~dir/A%2F%gg"
+    assert u21.surt_key == "com,example,host002)/p/~dir/A%2F%gg"
 
 
 def test_winnowing_guarantee(spark, tmp_path):

@@ -5102,6 +5102,93 @@ FROM documents
 """
 
 
+# host-graph modulus for the BFS gate: 96 = NOT prime on purpose —
+# every edge (2s + 2b) mod 96 lands on an EVEN host, so the odd half of
+# the host space is unreachable from seed 0 and the query's output
+# proves the visited-set anti-join never leaks an untouched vertex
+_BFS_HOSTS = 96
+
+
+def q_web_crawl_bfs(spark, sf_dir, max_waves: int = _BFS_HOSTS):
+    """Crawl-wave scheduling: multi-wave BFS from a seed host over the
+    host-level link graph — per reached host, the WAVE (hop distance)
+    on which a breadth-first crawler first fetches it.  This is the
+    iterative companion to the single-wave crawl frontier
+    (q_web_crawl_frontier): the frontier scores ONE wave's targets;
+    BFS assigns every host its discovery depth, the order a real
+    crawl's wave scheduler drains the web in.
+
+    Graph: synthesized deterministically from doc_id over
+    ``_BFS_HOSTS`` hosts — src = doc_id mod 96, dst = (2*src + 2*b)
+    mod 96 with branch b = (doc_id div 96) mod 3, distinct edges (out-
+    degree <=3 per host; >=288 docs cover every edge, so the graph is
+    identical at every sf).  Seed = host 0, wave 0.  Doubling-map
+    structure gives a multi-wave expansion; odd hosts stay dark (see
+    _BFS_HOSTS note) and are absent from the output.
+
+    Scale shape per wave (the Pregel/connected-components loop family,
+    same discipline as q_graph_pagerank / cc_star_labels): one equi-
+    join of the frontier against the STATIC edge table (pre-partitioned
+    on src and persisted once — only the frontier moves per wave) +
+    one left-anti join against the visited set (one row per reached
+    vertex, the crawl's dedup ledger) — both shuffles key on vertex
+    ids.  Each wave's frontier is eagerly localCheckpoint-ed so the
+    plan stays one wave deep, and AQE is off in the loop (plan
+    re-derivation per iteration dominated wall-clock at sandbox scale).
+    Wave count is bounded by graph diameter, max_waves is the
+    safety stop.  At 10^8 hosts the visited set and frontier are both
+    one-row-per-host tables partitioned on the join key — nothing in
+    the loop is proportional to pages, only to hosts and edges."""
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    edges = (d.selectExpr(
+        f"CAST(doc_id % {_BFS_HOSTS} AS INT) AS src",
+        f"CAST(((doc_id % {_BFS_HOSTS}) * 2"
+        f" + 2 * ((doc_id div {_BFS_HOSTS}) % 3))"
+        f" % {_BFS_HOSTS} AS INT) AS dst")
+        .distinct()
+        .repartition(F.col("src")).persist())
+    edges.count()  # materialize WITH AQE, before the _no_aqe loop
+    dist = spark.createDataFrame([(0, 0)], "host int, wave int")
+    frontier = dist.select("host")
+    wave = 0
+    with _no_aqe(spark):
+        while wave < max_waves:
+            wave += 1
+            nxt = (frontier.join(edges, frontier["host"] == edges["src"])
+                   .select(F.col("dst").alias("host")).distinct()
+                   .join(dist.select("host"), "host", "left_anti")
+                   .localCheckpoint(eager=True))
+            if nxt.count() == 0:
+                break
+            dist = dist.union(
+                nxt.select("host", F.lit(wave).cast("int").alias("wave")))
+            frontier = nxt
+    edges.unpersist()
+    return dist.select(F.col("host").cast("int").alias("host"),
+                       F.col("wave").cast("int").alias("wave"))
+
+
+# oracle: the standard bounded recursive-CTE BFS — UNION dedups
+# (host, wave) tuples so each is expanded once, the wave bound stops
+# cycle walks, and MIN(wave) per host recovers the BFS distance
+SQL_WEB_CRAWL_BFS = f"""
+WITH RECURSIVE e AS (
+  SELECT DISTINCT (doc_id % {_BFS_HOSTS}) AS src,
+         ((doc_id % {_BFS_HOSTS}) * 2
+          + 2 * ((doc_id // {_BFS_HOSTS}) % 3)) % {_BFS_HOSTS} AS dst
+  FROM documents
+), walk(host, wave) AS (
+  SELECT 0, 0
+  UNION
+  SELECT e.dst, w.wave + 1
+  FROM walk w JOIN e ON e.src = w.host
+  WHERE w.wave < {_BFS_HOSTS}
+)
+SELECT CAST(host AS INT) AS host, CAST(MIN(wave) AS INT) AS wave
+FROM walk GROUP BY host
+"""
+
+
 def _warc_gate_pages(spark, sf_dir):
     """Documents wrapped as WARC-exportable pages — shared by the batch
     (q_warc_round_trip) and streaming (q_stream_warc_ingest) gate
@@ -5371,6 +5458,7 @@ REGISTRY = {
     # -- new in r8
     "mm_decode": (q_mm_decode, SQL_MM_DECODE),
     "text_bpe_tokens": (q_text_bpe_tokens, _bpe_oracle_sql),
+    "web_crawl_bfs": (q_web_crawl_bfs, SQL_WEB_CRAWL_BFS),
     # -- changed in r8 (broadcast/shuffle crossover gating: ngram-jaccard
     #    probe join + the three host-dim broadcasts) -> window head
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),

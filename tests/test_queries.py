@@ -1348,6 +1348,40 @@ def test_canon_mirror_matches_spark(spark):
         assert got[u] == py_canon(u), u
 
 
+def test_crawl_bfs_matches_python_bfs(spark):
+    """web_crawl_bfs — the iterative wave scheduler — against an
+    independent pure-Python BFS over the same synthesized host graph:
+    every reached host carries its exact hop distance, the odd half of
+    the host space stays dark (the visited-set anti-join never leaks an
+    unreached vertex), and the seed is wave 0."""
+    from collections import deque
+
+    import pyarrow.parquet as pq
+
+    from htmpark.queries import _BFS_HOSTS, REGISTRY
+
+    fn, _ = REGISTRY["web_crawl_bfs"]
+    got = {r.host: r.wave for r in fn(spark, SF).collect()}
+
+    ids = pq.read_table(f"{SF}/documents.parquet",
+                        columns=["doc_id"]).column(0).to_pylist()
+    adj: dict = {}
+    for d in ids:
+        s = d % _BFS_HOSTS
+        adj.setdefault(s, set()).add(
+            (s * 2 + 2 * ((d // _BFS_HOSTS) % 3)) % _BFS_HOSTS)
+    want, q = {0: 0}, deque([0])
+    while q:
+        h = q.popleft()
+        for n in sorted(adj.get(h, ())):
+            if n not in want:
+                want[n] = want[h] + 1
+                q.append(n)
+    assert got == want
+    assert all(h % 2 == 0 for h in got)           # odd hosts stay dark
+    assert got[0] == 0 and max(got.values()) >= 3  # genuinely multi-wave
+
+
 def test_unres_hex_re_is_exactly_the_unreserved_set():
     """_UNRES_HEX_RE — the decode gate all three canon implementations
     (Spark rlike, DuckDB regexp_matches, Python re.match) share — must

@@ -4676,9 +4676,12 @@ SQL_WEB_OUTLINK_CANONICAL = _outlinks_oracle_sql()
 # pairing occurs in the gate data
 _ROBOTS_TEXTS = [
     "User-agent: *\nDisallow: /private/\nAllow: /private/stats\n"
-    "Disallow: /*.tmp$\nCrawl-delay: 5\n",
+    "Disallow: /*.tmp$\nCrawl-delay: 5\n"
+    "Sitemap: https://{host}/sitemap.xml\n",
     "# block everything but articles\nUser-agent: *\nAllow: /p/\n"
-    "Disallow: /\nCrawl-delay: 2\n",
+    "Disallow: /\nCrawl-delay: 2\n"
+    "Sitemap: https://{host}/sitemap-a.xml\n"
+    "Sitemap: https://cdn.example.com/sitemap-b.xml\n",
     "User-agent: htmpark\nDisallow: /files/\nCrawl-delay: 10\n\n"
     "User-agent: htm\nDisallow: /pub/\n\n"
     "User-agent: specialbot\nDisallow: /\nCrawl-delay: 99\n",
@@ -4708,12 +4711,20 @@ def _host_dim_side(dim: DataFrame, n_hosts: int) -> DataFrame:
 def _robots_hosts_df(spark, n_keys: int, key_name: str):
     """Shared host dimension for the robots dims: key in [0, n_keys)
     carries the robots.txt of ``_ROBOTS_TEXTS[key % 4]`` — ONE place
-    owns the text-to-host mapping so the rules dim and the crawl-delay
-    dim can never disagree about which host declares what."""
+    owns the text-to-host mapping so the rules dim, the crawl-delay
+    dim, and the sitemap dim can never disagree about which host
+    declares what.  The ``{host}`` placeholder in the shared texts
+    instantiates to the key's own crawl-space hostname (a real host
+    serves robots.txt with ITS OWN absolute sitemap URL); rule and
+    delay lines carry no placeholder, so their parses are unaffected."""
     return spark.range(0, n_keys).select(
         F.col("id").cast("int").alias(key_name),
-        F.element_at(F.array(*[F.lit(s) for s in _ROBOTS_TEXTS]),
-                     (F.col("id") % 4 + 1).cast("int")).alias("robots_txt"))
+        F.replace(
+            F.element_at(F.array(*[F.lit(s) for s in _ROBOTS_TEXTS]),
+                         (F.col("id") % 4 + 1).cast("int")),
+            F.lit("{host}"),
+            F.format_string("host%03d.example.com", F.col("id"))
+        ).alias("robots_txt"))
 
 
 def _delay_whole_seconds(d):
@@ -4812,15 +4823,17 @@ def q_web_robots_gate(spark, sf_dir):
                  .alias("allowed")))
 
 
-def _build_crawl_frontier(spark, sf_dir):
-    """Crawl-frontier capstone composing the round's web operators:
+def _frontier_targets(spark, sf_dir):
+    """The crawl frontier at TARGET granularity — one row per
+    (host_num, surt_key) with its inlink edge count and robots verdict:
     pages -> parsed outlinks -> relative resolution + canonical SURT
     keys (_resolved_outlinks) -> SURT-key target dedup -> robots
     politeness filter (the same parsed-rules dim join + longest-match
-    max-score machinery as web_robots_gate, rules keyed by host % 4)
-    -> per-host frontier rollup: total edges, distinct targets, and
-    targets the crawler may actually fetch.  This IS the next crawl
-    wave's work list, derived end-to-end from parser output.
+    max-score machinery as web_robots_gate, rules keyed by host % 4).
+    _build_crawl_frontier rolls this up per host; the sitemap-coverage
+    join (q_web_sitemap_coverage) consumes it at path level.  In a
+    production wave this table is written ONCE (job.py's
+    write-audit-publish sink) and every scheduler reads it.
 
     Oracle: per-fragment outlink constants (CORPUS_FRAGMENT_OUTLINKS)
     + the analytic robots verdicts (only the hmod-1 rule set gates
@@ -4880,10 +4893,17 @@ def _build_crawl_frontier(spark, sf_dir):
                      F.when(F.max("score").isNull(), F.lit(1))
                      .otherwise(F.max("score") % 2).cast("int")
                      .alias("allowed")))
-    targets = (verdicts.groupBy("host_num", "surt_key")
-               .agg(F.sum("n_edges").alias("n_edges"),
-                    F.max("allowed").alias("allowed")))
-    return (targets.groupBy("host_num")
+    return (verdicts.groupBy("host_num", "surt_key")
+            .agg(F.sum("n_edges").alias("n_edges"),
+                 F.max("allowed").alias("allowed")))
+
+
+def _build_crawl_frontier(spark, sf_dir):
+    """Per-host frontier rollup over _frontier_targets: total edges,
+    distinct targets, and targets the crawler may actually fetch.
+    This IS the next crawl wave's work list, derived end-to-end from
+    parser output."""
+    return (_frontier_targets(spark, sf_dir).groupBy("host_num")
             .agg(F.sum("n_edges").cast("bigint").alias("n_edges"),
                  F.count("*").cast("bigint").alias("n_targets"),
                  F.sum("allowed").cast("bigint")
@@ -4920,7 +4940,13 @@ def q_web_crawl_frontier(spark, sf_dir):
     return frontier_rollup(spark, sf_dir)
 
 
-def _frontier_oracle_sql() -> str:
+def _frontier_tgt_ctes() -> str:
+    """Shared DuckDB CTE chain deriving the frontier's per-(host_num,
+    spath) target table ``tgt`` (edge counts + robots verdict) — the
+    oracle mirror of _frontier_targets.  Composed by the frontier
+    rollup oracle (_frontier_oracle_sql) and the sitemap-coverage
+    oracle (SQL_WEB_SITEMAP_COVERAGE), so the two can never disagree
+    about what the crawl discovered."""
     from .corpus_oracle import CORPUS_FRAGMENT_OUTLINKS
 
     def lit(s: str) -> str:
@@ -4936,8 +4962,7 @@ def _frontier_oracle_sql() -> str:
     dirty_paths = [_ref_resolve_href(h)[1] for h in _DIRTY_HREFS
                    if _ref_resolve_href(h)[0] == ""]
     dirty_vals = ",\n    ".join(f"({lit(p)})" for p in dirty_paths)
-    return f"""
-WITH n AS (SELECT GREATEST(500, COUNT(*) * 2 // 5) AS n FROM documents),
+    return f"""n AS (SELECT GREATEST(500, COUNT(*) * 2 // 5) AS n FROM documents),
 lk(fi, path) AS (VALUES
     {frag_vals}),
 dl(path) AS (VALUES
@@ -4971,7 +4996,12 @@ p AS (
   SELECT host_num, regexp_replace(path, '[?#].*$', '') AS spath,
          SUM(n_edges) AS n_edges, MAX(allowed) AS allowed
   FROM tgt0 GROUP BY host_num, spath
-)
+)"""
+
+
+def _frontier_oracle_sql() -> str:
+    return f"""
+WITH {_frontier_tgt_ctes()}
 SELECT CAST(host_num AS INT) AS host_num,
        CAST(SUM(n_edges) AS BIGINT) AS n_edges,
        CAST(COUNT(*) AS BIGINT) AS n_targets,
@@ -4981,6 +5011,219 @@ FROM tgt GROUP BY host_num
 
 
 SQL_WEB_CRAWL_FRONTIER = _frontier_oracle_sql()
+
+
+# the frontier's host space: host_num 0 plus (i % 97) + 1 -> 98 hosts
+_FRONTIER_HOSTS = 98
+
+
+def _synth_sitemap_xml(sitemap_url: str) -> bytes:
+    """Deterministic stand-in for the sitemap FETCH (no network in the
+    gate): the XML the server at ``sitemap_url`` would return.  A
+    crawl-space host's sitemap lists six /p/ article pages, the /a hub
+    page, the robots-allowed /private/stats report and the
+    robots-disallowed /private/x page on its OWN host, plus one
+    out-of-scope loc on cdn.example.com that the sitemaps.org
+    location rule must drop; the cdn-hosted sitemap (cross-host
+    submission, declared by the hmod-1 robots.txt) lists its own asset
+    pages — in scope for cdn but outside the crawl's host space — plus
+    one out-of-scope host000 loc (the same rule, other direction: a
+    foreign sitemap cannot inject crawl-space URLs).  Real deployments
+    swap this for the politeness-budgeted fetcher; everything
+    downstream (parse, scope verdict, canon, joins) is production
+    code."""
+    from .sitemap import _split_url
+
+    _scheme, host, _path = _split_url(sitemap_url)
+    if host == "cdn.example.com":
+        locs = [f"https://cdn.example.com/asset/{k}" for k in range(3)]
+        locs.append("https://host000.example.com/p/0")
+    else:
+        locs = [f"https://{host}/p/{k}" for k in range(6)]
+        locs += [f"https://{host}/a", f"https://{host}/private/stats",
+                 f"https://{host}/private/x",
+                 "https://cdn.example.com/asset/0"]
+    body = "".join(
+        f"  <url><loc>{u}</loc><lastmod>2026-08-17</lastmod></url>\n"
+        for u in locs)
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+        f"{body}</urlset>\n").encode()
+
+
+def _sitemap_loc_df(spark, n_keys: int):
+    """Declared-URL dimension: robots ``Sitemap:`` directives
+    (robots.sitemaps) -> fetch (_synth_sitemap_xml) -> REAL-parser
+    ``<loc>`` extraction (sitemap.sitemap_locs) -> sitemaps.org
+    location-scope verdict (sitemap.loc_in_scope), one mapInPandas
+    over the bounded host dim — the _robots_rules_df shape: protocol
+    logic runs once per HOST/sitemap, never per url.  Columns:
+    host_num, loc, in_scope (0 = dropped by the location rule — the
+    declared-spam counter the coverage rollup surfaces)."""
+    import pandas as pd
+
+    hosts = _robots_hosts_df(spark, n_keys, "host_num")
+
+    def gen(batches):
+        from .robots import sitemaps
+        from .sitemap import loc_in_scope, sitemap_locs
+
+        for pdf in batches:
+            hn, lo, sc = [], [], []
+            for h, txt in zip(pdf["host_num"], pdf["robots_txt"]):
+                seen = set()
+                for su in sitemaps(txt):
+                    if su in seen:  # consumer dedups by fetch URL
+                        continue
+                    seen.add(su)
+                    for loc in sitemap_locs(_synth_sitemap_xml(su)):
+                        hn.append(h)
+                        lo.append(loc)
+                        sc.append(int(loc_in_scope(loc, su)))
+            yield pd.DataFrame({
+                "host_num": pd.Series(hn, dtype="int32"),
+                "loc": pd.Series(lo, dtype="object"),
+                "in_scope": pd.Series(sc, dtype="int32"),
+            })
+
+    return hosts.mapInPandas(gen, "host_num int, loc string, in_scope int")
+
+
+def q_web_sitemap_coverage(spark, sf_dir):
+    """Sitemap coverage — the consumer of the robots ``Sitemap:``
+    directive: per crawl-space host, how the publisher-declared URL set
+    (robots.txt -> sitemap fetch -> <loc> extraction by the real
+    parser -> location-scope rule) lines up against the
+    link-discovered frontier (_frontier_targets):
+
+    * ``n_declared``    — distinct in-scope declared paths on the host
+                          (canonicalized by the SHARED _with_canon_url,
+                          so declared and discovered keys agree);
+    * ``n_both``        — declared AND link-discovered;
+    * ``n_new_seeds``   — declared, NOT discovered, and robots-ALLOWED:
+                          the next wave's publisher-sourced work list
+                          (seeds pass the same parsed-rules gate as
+                          frontier targets — a sitemap must not smuggle
+                          a URL past robots.txt);
+    * ``n_loc_dropped`` — locs rejected by the sitemaps.org location
+                          rule (cross-host injection attempts).
+
+    Valid cdn-sitemap locs (in scope for cdn, outside the crawl's host
+    space) vanish like the frontier's off-site links — routed to
+    discovery, not counted against any crawl-space host.
+
+    Scale shape: the sitemap dim is per-host bounded (mapInPandas over
+    the host dim, like the rules dim); declared paths join the rules
+    dim (_host_dim_side crossover) and then the frontier targets on
+    (host, path) — keyed equi-joins all the way, per-host partial-agg
+    rollup; nothing is proportional to pages except the frontier
+    pipeline itself."""
+    locs = _sitemap_loc_df(spark, _FRONTIER_HOSTS)
+    dropped = (locs.groupBy("host_num")
+               .agg(F.sum(1 - F.col("in_scope")).alias("n_loc_dropped")))
+    target_host = F.regexp_extract(F.col("canon_url"),
+                                   "^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
+    declared = (_with_canon_url(
+                    locs.where(F.col("in_scope") == 1)
+                        .withColumnRenamed("loc", "url"))
+                .where(target_host
+                       .rlike("^host[0-9]{3}\\.example\\.com$"))
+                .select("host_num",
+                        F.expr("substr(surt_key, instr(surt_key, ')')"
+                               " + 1)").alias("path"))
+                .distinct())
+    # seeds pass the same robots gate as discovered targets: parsed
+    # rules dim + longest-match max-score, verdict in the low bit
+    rules = _robots_rules_df(spark, 4).withColumnRenamed("host_num",
+                                                         "hmod")
+    score = F.when(
+        F.col("rx").isNotNull() & F.expr("rlike(path, rx)"),
+        F.col("plen") * 2 + (F.col("rule_type") == "allow").cast("int"))
+    dverd = (declared.join(_host_dim_side(rules, 4),
+                           (F.col("host_num") % 4) == F.col("hmod"),
+                           "left")
+             .withColumn("score", score)
+             .groupBy("host_num", "path")
+             .agg(F.when(F.max("score").isNull(), F.lit(1))
+                  .otherwise(F.max("score") % 2).cast("int")
+                  .alias("allowed")))
+    disc = (_frontier_targets(spark, sf_dir)
+            .select("host_num",
+                    F.expr("substr(surt_key, instr(surt_key, ')') + 1)")
+                    .alias("path"),
+                    F.lit(1).alias("hit")))
+    cov = (dverd.join(disc, ["host_num", "path"], "left")
+           .groupBy("host_num")
+           .agg(F.count("*").alias("n_declared"),
+                F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                .alias("n_both"),
+                F.sum(F.when(F.col("hit").isNull()
+                             & (F.col("allowed") == 1), 1)
+                      .otherwise(0)).alias("n_new_seeds")))
+    hosts = spark.range(0, _FRONTIER_HOSTS).select(
+        F.col("id").cast("int").alias("host_num"))
+    return (hosts.join(cov, "host_num", "left")
+            .join(dropped, "host_num", "left")
+            .select("host_num",
+                    F.coalesce("n_declared", F.lit(0)).cast("bigint")
+                    .alias("n_declared"),
+                    F.coalesce("n_both", F.lit(0)).cast("bigint")
+                    .alias("n_both"),
+                    F.coalesce("n_new_seeds", F.lit(0)).cast("bigint")
+                    .alias("n_new_seeds"),
+                    F.coalesce("n_loc_dropped", F.lit(0)).cast("bigint")
+                    .alias("n_loc_dropped")))
+
+
+def _sitemap_oracle_sql() -> str:
+    """Analytic mirror: declared paths per hmod-0/1 host are the nine
+    on-host sitemap entries (_synth_sitemap_xml); the robots verdict
+    per declared path is hand-derived from _ROBOTS_TEXTS (hmod 0:
+    /private/ disallowed EXCEPT the longer Allow /private/stats; hmod
+    1: only /p/ allowed; hmod 2/3: nothing declared matters / no
+    robots); discovery comes from the SHARED frontier tgt CTE chain;
+    drop counts: one cdn loc per on-host sitemap (hmod 0 and 1) plus
+    the host000 loc in the cdn-hosted sitemap (hmod 1)."""
+    return f"""
+WITH {_frontier_tgt_ctes()},
+hosts AS (SELECT unnest(range({_FRONTIER_HOSTS})) AS h),
+dp(path) AS (VALUES
+    ('/p/0'), ('/p/1'), ('/p/2'), ('/p/3'), ('/p/4'), ('/p/5'),
+    ('/a'), ('/private/stats'), ('/private/x')),
+verd AS (
+  SELECT h AS host_num, dp.path,
+         CASE
+           WHEN h % 4 = 0 THEN
+             CASE WHEN dp.path LIKE '/private/%'
+                   AND dp.path NOT LIKE '/private/stats%'
+                  THEN 0 ELSE 1 END
+           WHEN h % 4 = 1 THEN
+             CASE WHEN dp.path LIKE '/p/%' THEN 1 ELSE 0 END
+           ELSE 1 END AS allowed
+  FROM hosts CROSS JOIN dp WHERE h % 4 IN (0, 1)
+),
+cov AS (
+  SELECT v.host_num,
+         COUNT(*) AS n_declared,
+         SUM(CASE WHEN t.spath IS NOT NULL THEN 1 ELSE 0 END) AS n_both,
+         SUM(CASE WHEN t.spath IS NULL AND v.allowed = 1
+                  THEN 1 ELSE 0 END) AS n_new_seeds
+  FROM verd v LEFT JOIN tgt t
+    ON t.host_num = v.host_num AND t.spath = v.path
+  GROUP BY v.host_num
+)
+SELECT CAST(h.h AS INT) AS host_num,
+       CAST(COALESCE(c.n_declared, 0) AS BIGINT) AS n_declared,
+       CAST(COALESCE(c.n_both, 0) AS BIGINT) AS n_both,
+       CAST(COALESCE(c.n_new_seeds, 0) AS BIGINT) AS n_new_seeds,
+       CAST(CASE h.h % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 0 END
+            AS BIGINT) AS n_loc_dropped
+FROM hosts h LEFT JOIN cov c ON c.host_num = h.h
+"""
+
+
+SQL_WEB_SITEMAP_COVERAGE = _sitemap_oracle_sql()
 
 
 def _robots_delay_df(spark, n_keys: int):
@@ -5459,6 +5702,8 @@ REGISTRY = {
     "mm_decode": (q_mm_decode, SQL_MM_DECODE),
     "text_bpe_tokens": (q_text_bpe_tokens, _bpe_oracle_sql),
     "web_crawl_bfs": (q_web_crawl_bfs, SQL_WEB_CRAWL_BFS),
+    "web_sitemap_coverage": (q_web_sitemap_coverage,
+                             SQL_WEB_SITEMAP_COVERAGE),
     # -- changed in r8 (broadcast/shuffle crossover gating: ngram-jaccard
     #    probe join + the three host-dim broadcasts) -> window head
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),

@@ -29,8 +29,10 @@ grammar and precedence rules follow public RFC 9309:
   anchors the end; otherwise the pattern matches as a path prefix;
 * the LONGEST matching pattern (octet length) wins and a tie goes to
   ``Allow`` (§2.2.2); an empty ``Disallow:`` value is a no-op;
-* comments (``#``), unknown directives, and ``Crawl-delay`` are
-  tolerated and ignored for the allow decision.
+* comments (``#``), unknown directives, ``Crawl-delay``, and
+  ``Sitemap`` are tolerated and ignored for the allow decision
+  (``crawl_delay`` and ``sitemaps`` read the latter two out
+  separately).
 """
 from __future__ import annotations
 
@@ -112,6 +114,28 @@ def crawl_delay(text: str, agent: str = "htmpark"):
         if delay is not None and "*" in agents:
             return delay
     return None
+
+
+def sitemaps(text: str) -> list:
+    """``Sitemap:`` directive values in file order (sitemaps.org
+    robots.txt discovery; RFC 9309 §2.3 files these under tolerated
+    "other records").  The directive is group-INDEPENDENT — it applies
+    regardless of any surrounding ``User-agent`` grouping — so the
+    parse collects every declaration in the file, duplicates preserved
+    (a consumer dedups by fetch URL).  Values are absolute sitemap
+    URLs per the protocol and are returned verbatim: the location-scope
+    check on the URLs INSIDE each sitemap is the consumer's job
+    (htmpark.sitemap.loc_in_scope); a sitemap may itself live on
+    another host (cross-host submission is allowed at this level)."""
+    out = []
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, val = line.split(":", 1)
+        if key.strip().lower() == "sitemap" and val.strip():
+            out.append(val.strip())
+    return out
 
 
 def pattern_regex(pattern: str) -> str:

@@ -4063,6 +4063,36 @@ GROUP BY doc_id, n_grams
 _UNRES_HEX_RE = "^(2[DE]|3[0-9]|4[1-9A-F]|5[0-9A]|5F|6[1-9A-F]|7[0-9A]|7E)$"
 
 
+def _pct_norm_expr(split_col: str):
+    """RFC 3986 §6.2.2 percent-encoding normalization as a row-local
+    fold over a '%'-split array column (one fold, whole-stage
+    codegen):
+
+    * §6.2.2.2: a %XX whose octet is UNRESERVED (ALPHA/DIGIT/-._~)
+      decodes to the character itself (%7E == ~, %41 == A) — the
+      escaped and bare spellings alias one key;
+    * §6.2.2.1: every other valid %XX keeps the escape with its hex
+      UPPERCASED (%2f -> %2F; reserved octets must NOT decode — /
+      vs %2F are different path structures);
+    * invalid escapes pass through.
+
+    _UNRES_HEX_RE is exhaustively verified against the unreserved set
+    in tests; char(conv(hex,16,10)) is ASCII-safe by that same gate.
+    ONE builder serves the path and the query folds so the two scopes
+    cannot drift; the DuckDB oracle twin is _duck_pct_fold and the
+    Python mirror is _py_pct_norm."""
+    return F.expr(
+        f"concat(element_at({split_col}, 1), "
+        f"aggregate(slice({split_col}, 2, size({split_col}) - 1), "
+        "'', (acc, s) -> concat(acc, "
+        "CASE WHEN s rlike '^[0-9a-fA-F]{2}' THEN "
+        f"  CASE WHEN upper(substr(s, 1, 2)) rlike '{_UNRES_HEX_RE}' "
+        "   THEN concat(char(conv(substr(s, 1, 2), 16, 10)), "
+        "               substr(s, 3)) "
+        "   ELSE concat('%', upper(substr(s, 1, 2)), substr(s, 3)) END "
+        "ELSE concat('%', s) END)))")
+
+
 def _with_canon_url(df):
     """Add ``canon_url`` + ``surt_key`` columns derived from ``url`` —
     pure row-local string/array expressions (split/substring_index/
@@ -4070,16 +4100,21 @@ def _with_canon_url(df):
     Canonical rules: lowercase scheme/host, www. stripped, the scheme's
     OWN default port stripped (:80 http, :443 https), trailing FQDN
     root-label dot stripped (example.com. == example.com), fragment
-    dropped, query params sorted, trailing slash trimmed, %XX
-    percent-encoding normalized in the path (RFC 3986 §6.2.2:
-    unreserved octets decode, everything else uppercases its hex).
+    dropped, %XX percent-encoding normalized in BOTH the path and the
+    query (RFC 3986 §6.2.2 via _pct_norm_expr: unreserved octets
+    decode, everything else uppercases its hex — the normalization
+    applies to the whole URI, so '?%61=2' and '?a=2' alias one key),
+    query params sorted AFTER normalization (aliased spellings sort
+    identically; '?Z=1&%61=2' canonicalizes to 'Z=1&a=2', not the
+    raw-byte order '%61=2&Z=1'), trailing slash trimmed.
     Shared by q_web_url_canonical (synthetic mess) and
     q_web_outlink_canonical (parser-extracted hrefs)."""
     nofrag = F.substring_index(F.col("url"), "#", 1)
     base = F.substring_index(nofrag, "?", 1)
     query = F.when(nofrag.contains("?"),
                    F.substring_index(nofrag, "?", -1)).otherwise(F.lit(""))
-    sorted_q = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    sorted_q = F.array_join(
+        F.array_sort(F.split(_pct_norm_expr("_canon_qsplit"), "&")), "&")
     scheme = F.lower(F.substring_index(base, "://", 1))
     # authority+path = everything after the FIRST '://' — a path that
     # itself embeds a URL (/go/https://x, the redirect idiom) must not
@@ -4105,31 +4140,11 @@ def _with_canon_url(df):
         F.expr("substr(_canon_rest, "
                "length(split_part(_canon_rest, '/', 1)) + 1)"),
         "/$", "")
-    # RFC 3986 §6.2.2 percent-encoding normalization in the PATH, one
-    # fold over the '%'-split:
-    #  * §6.2.2.2: a %XX whose octet is UNRESERVED (ALPHA/DIGIT/-._~)
-    #    decodes to the character itself (%7E == ~, %41 == A) — the
-    #    escaped and bare spellings alias one key;
-    #  * §6.2.2.1: every other valid %XX keeps the escape with its hex
-    #    UPPERCASED (%2f -> %2F; reserved octets must NOT decode — /
-    #    vs %2F are different path structures);
-    #  * invalid escapes pass through; the query string is sorted on
-    #    its raw bytes, documented scope.
-    # _UNRES_HEX_RE is exhaustively verified against the unreserved set
-    # in tests; char(conv(hex,16,10)) is ASCII-safe by that same gate.
-    path = F.expr(
-        "concat(element_at(_canon_psplit, 1), "
-        "aggregate(slice(_canon_psplit, 2, size(_canon_psplit) - 1), "
-        "'', (acc, s) -> concat(acc, "
-        "CASE WHEN s rlike '^[0-9a-fA-F]{2}' THEN "
-        f"  CASE WHEN upper(substr(s, 1, 2)) rlike '{_UNRES_HEX_RE}' "
-        "   THEN concat(char(conv(substr(s, 1, 2), 16, 10)), "
-        "               substr(s, 3)) "
-        "   ELSE concat('%', upper(substr(s, 1, 2)), substr(s, 3)) END "
-        "ELSE concat('%', s) END)))")
+    path = _pct_norm_expr("_canon_psplit")
     return (df.withColumn("_canon_base", base)
             .withColumn("_canon_rest", rest)
             .withColumn("_canon_psplit", F.split(path_trim, "%"))
+            .withColumn("_canon_qsplit", F.split(query, "%"))
             .withColumn("canon_url",
                         F.concat(scheme, F.lit("://"), host, path,
                                  F.when(sorted_q != "",
@@ -4139,7 +4154,8 @@ def _with_canon_url(df):
                         F.concat(F.array_join(
                             F.reverse(F.split(host, "\\.")), ","),
                             F.lit(")"), path))
-            .drop("_canon_base", "_canon_rest", "_canon_psplit"))
+            .drop("_canon_base", "_canon_rest", "_canon_psplit",
+                  "_canon_qsplit"))
 
 
 def q_web_url_canonical(spark, sf_dir):
@@ -4191,11 +4207,33 @@ def q_web_url_canonical(spark, sf_dir):
         F.when(F.col("doc_id") % 8 == 0, F.lit("/e%2f%7e%41%zq"))
          .otherwise(F.lit("")),
         F.when(F.col("doc_id") % 4 == 0, F.lit("/")).otherwise(F.lit("")),
-        F.when(F.col("doc_id") % 2 == 0, F.lit("?b=2&a=1")).otherwise(F.lit("?a=1&b=2")),
+        # query-side §6.2.2: %61 decodes to 'a' and must sort AFTER
+        # 'Z=1' (raw-byte order would put '%61=2' first); %41/%2f/%zq
+        # exercise decode/uppercase/invalid inside a param value
+        F.when(F.col("doc_id") % 10 == 7, F.lit("?Z=1&%61=2&b=%41%2f%zq"))
+         .when(F.col("doc_id") % 2 == 0, F.lit("?b=2&a=1"))
+         .otherwise(F.lit("?a=1&b=2")),
         F.when(F.col("doc_id") % 6 == 0, F.lit("#frag")).otherwise(F.lit("")))
     u = d.select("doc_id", url.alias("url"))
     return (_with_canon_url(u)
             .select("doc_id", "url", "canon_url", "surt_key"))
+
+
+def _duck_pct_fold(col: str) -> str:
+    """DuckDB twin of _pct_norm_expr: the RFC 3986 §6.2.2 percent fold
+    over ``col`` as a str_split + list_transform expression (COALESCE
+    guards array_to_string([], '') being NULL).  Shares _UNRES_HEX_RE
+    verbatim with the engine and the Python mirror."""
+    return (
+        "str_split(" + col + ", '%')[1] || COALESCE(array_to_string("
+        "list_transform(str_split(" + col + ", '%')[2:], "
+        "x -> CASE "
+        "WHEN regexp_matches(x, '^[0-9a-fA-F]{2}') "
+        "THEN CASE WHEN regexp_matches(upper(substr(x, 1, 2)), '"
+        + _UNRES_HEX_RE + "') "
+        "THEN chr(CAST(('0x' || substr(x, 1, 2)) AS INT)) || substr(x, 3) "
+        "ELSE '%' || upper(substr(x, 1, 2)) || substr(x, 3) END "
+        "ELSE '%' || x END), ''), '')")
 
 
 SQL_WEB_URL_CANONICAL = """
@@ -4213,7 +4251,9 @@ WITH u AS (
                   THEN '/go/HTTPS://t.example/z' ELSE '' END)
          || (CASE WHEN doc_id % 8 = 0 THEN '/e%2f%7e%41%zq' ELSE '' END)
          || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
-         || (CASE WHEN doc_id % 2 = 0 THEN '?b=2&a=1' ELSE '?a=1&b=2' END)
+         || (CASE WHEN doc_id % 10 = 7 THEN '?Z=1&%61=2&b=%41%2f%zq'
+                  WHEN doc_id % 2 = 0 THEN '?b=2&a=1'
+                  ELSE '?a=1&b=2' END)
          || (CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END) AS url
   FROM documents
 ), parts AS (
@@ -4248,22 +4288,12 @@ WITH u AS (
   FROM comp0
 ), comp AS (
   SELECT doc_id, url, scheme, host,
-         -- RFC 3986 §6.2.2: unreserved %XX decodes to its character
-         -- (§6.2.2.2), other valid escapes uppercase their hex
-         -- (§6.2.2.1), invalid escapes pass through — same fold as
-         -- the engine's _canon_psplit aggregate
-         str_split(path0, '%')[1] || COALESCE(array_to_string(
-             list_transform(str_split(path0, '%')[2:],
-                 x -> CASE
-                     WHEN regexp_matches(x, '^[0-9a-fA-F]{2}')
-                     THEN CASE WHEN regexp_matches(
-                              upper(substr(x, 1, 2)), '{unres_re}')
-                          THEN chr(CAST(('0x' || substr(x, 1, 2))
-                                        AS INT)) || substr(x, 3)
-                          ELSE '%' || upper(substr(x, 1, 2))
-                               || substr(x, 3) END
-                     ELSE '%' || x END), ''), '') AS path,
-         array_to_string(list_sort(string_split(query, '&')), '&') AS sq
+         -- RFC 3986 §6.2.2 fold (_duck_pct_fold, the engine's
+         -- _pct_norm_expr twin) over the path AND the query; query
+         -- params sort AFTER normalization, same as the engine
+         {path_fold} AS path,
+         array_to_string(list_sort(string_split({q_fold}, '&')), '&')
+           AS sq
   FROM comp1
 )
 SELECT doc_id, url,
@@ -4274,10 +4304,11 @@ SELECT doc_id, url,
 FROM comp
 """
 
-# splice the shared unreserved-pair regex (a plain .replace — the SQL
-# body carries regex {2} quantifiers that an f-string would mangle)
-SQL_WEB_URL_CANONICAL = SQL_WEB_URL_CANONICAL.replace(
-    "{unres_re}", _UNRES_HEX_RE)
+# splice the shared percent folds (a plain .replace — the SQL body
+# carries regex {2} quantifiers that an f-string would mangle)
+SQL_WEB_URL_CANONICAL = (SQL_WEB_URL_CANONICAL
+                         .replace("{path_fold}", _duck_pct_fold("path0"))
+                         .replace("{q_fold}", _duck_pct_fold("query")))
 
 
 def q_html_main_content(spark, sf_dir):
@@ -4387,6 +4418,10 @@ _DIRTY_HREFS = [
     # invalid %gg passes — one anchor exercises all three regimes in
     # the resolved-path canon (and its _canon_mirror oracle twin)
     "%7edir/%41%2f%gg",
+    # §6.2.2 in the QUERY: '%61' decodes to 'a' and the param sort
+    # happens AFTER normalization ('Z=1&a=2', not the raw-byte order
+    # '%61=2&Z=1') — r8 canon extension, pinned end-to-end
+    "qn?Z=1&%61=2",
 ]
 
 # RFC 3986 §5.2.4 remove_dot_segments over a '/'-rooted path, as a
@@ -4427,7 +4462,12 @@ def _resolved_outlinks(spark, sf_dir):
     if n_docs is None:
         n_docs = t(spark, sf_dir, "documents").count()
     pages = synthesize_pages(spark, _corpus_n_pages(n_docs))
-    suffix = "".join(f'<a href="{h}">.</a>' for h in _DIRTY_HREFS)
+    # '&' in an attribute value must be authored as '&amp;' (a bare
+    # '&' starts a character reference and trips the reference's
+    # stale-temp-buffer quirk Q5); the parsed href round-trips to the
+    # raw _DIRTY_HREFS string both engines resolve
+    suffix = "".join(f'<a href="{h.replace("&", "&amp;")}">.</a>'
+                     for h in _DIRTY_HREFS)
     pages = pages.withColumn(
         "html", F.encode(F.concat(F.decode("html", "UTF-8"),
                                   F.lit(suffix)), "UTF-8"))
@@ -4568,22 +4608,10 @@ def _ref_resolve_href(href: str, dirpath: str = "/p/"):
     return fixed_host, "/".join(acc) + sfx
 
 
-def _canon_mirror(path: str):
-    """Mirror _with_canon_url's PATH rules for oracle literal building:
-    returns (cpath, spath) — cpath drops the #fragment and sorts query
-    params, spath drops both; both trim a trailing slash and normalize
-    %XX escapes per RFC 3986 §6.2.2 (unreserved octets decode to the
-    bare character, other valid escapes uppercase their hex, invalid
-    escapes pass).  Query extraction replays the ENGINE's exact split
-    order: fragment cut first, then base = before the FIRST '?' and
-    query = after the LAST '?' (substring_index semantics — a
-    degenerate '/a?x?y' keeps only 'y', and a '?' inside the fragment
-    is never a query)."""
-    nofrag = path.split("#", 1)[0]
-    core = nofrag.split("?", 1)[0]
-    query = nofrag.rsplit("?", 1)[1] if "?" in nofrag else ""
-    core = re.sub(r"/$", "", core)
-
+def _py_pct_norm(s: str) -> str:
+    """Python mirror of _pct_norm_expr / _duck_pct_fold — the RFC 3986
+    §6.2.2 percent fold (unreserved decode, hex uppercase, invalid
+    pass-through) for oracle literal building."""
     def norm_escape(p: str) -> str:
         if not re.match(r"[0-9a-fA-F]{2}", p):
             return "%" + p
@@ -4592,9 +4620,27 @@ def _canon_mirror(path: str):
             return chr(int(hx, 16)) + p[2:]
         return "%" + hx + p[2:]
 
-    parts = core.split("%")
-    core = parts[0] + "".join(norm_escape(p) for p in parts[1:])
-    cq = "&".join(sorted(query.split("&"))) if query else ""
+    parts = s.split("%")
+    return parts[0] + "".join(norm_escape(p) for p in parts[1:])
+
+
+def _canon_mirror(path: str):
+    """Mirror _with_canon_url's PATH+QUERY rules for oracle literal
+    building: returns (cpath, spath) — cpath drops the #fragment and
+    carries the normalized-then-sorted query, spath drops both; both
+    trim a trailing slash; path AND query normalize %XX escapes per
+    RFC 3986 §6.2.2 (_py_pct_norm), with query params sorted AFTER
+    normalization, same as the engine.  Query extraction replays the
+    ENGINE's exact split order: fragment cut first, then base = before
+    the FIRST '?' and query = after the LAST '?' (substring_index
+    semantics — a degenerate '/a?x?y' keeps only 'y', and a '?' inside
+    the fragment is never a query)."""
+    nofrag = path.split("#", 1)[0]
+    core = nofrag.split("?", 1)[0]
+    query = nofrag.rsplit("?", 1)[1] if "?" in nofrag else ""
+    core = _py_pct_norm(re.sub(r"/$", "", core))
+    nq = _py_pct_norm(query)
+    cq = "&".join(sorted(nq.split("&"))) if nq else ""
     return core + (("?" + cq) if cq else ""), core
 
 

@@ -222,22 +222,23 @@ def test_crawl_frontier_rollup(spark):
     fn, _ = REGISTRY["web_crawl_frontier"]
     rows = {r.host_num: r for r in
             fn(spark, "/root/testdata/sf0.001").collect()}
-    # every page carries the 11 on-site dirty anchors (/up /p/self
+    # every page carries the 12 on-site dirty anchors (/up /p/self
     # /p/a2 /root /p/rel?u /p/go/https://... /p/Pct%2f%zq
-    # /p/%7edir/%41%2f%gg + the 3 same-doc self-links); the 4
-    # cdn.example.org anchors must NOT appear (host-scope guard) and
-    # the 2 opaque-scheme anchors are dropped:
-    # 50 frag-1 pages x 3 + 50 frag-9 x 1 + 500 pages x 11 on-site
-    assert sum(r.n_edges for r in rows.values()) == 200 + 500 * 11
-    assert len(_DIRTY_HREFS) == 19  # 11 on-site + 6 off-site + 2 opaque
+    # /p/%7edir/%41%2f%gg /p/qn?Z=1&%61=2 + the 3 same-doc
+    # self-links); the 4 cdn.example.org anchors must NOT appear
+    # (host-scope guard) and the 2 opaque-scheme anchors are dropped:
+    # 50 frag-1 pages x 3 + 50 frag-9 x 1 + 500 pages x 12 on-site
+    assert sum(r.n_edges for r in rows.values()) == 200 + 500 * 12
+    assert len(_DIRTY_HREFS) == 20  # 12 on-site + 6 off-site + 2 opaque
     # host 2 carries frag-1 pages (i=1 -> host 2): hmod 2 allows all
     h2 = rows[2]
     assert h2.n_targets == h2.n_allowed_targets
-    # SURT dedup: the shared dirty targets collapse to 8 per host no
-    # matter how many pages the host carries, while the same-doc
-    # self-links contribute one target PER PAGE (host 0 carries 100
-    # pages, frags 0/5 only -> no frag-link targets)
-    assert rows[0].n_targets == 8 + 100
+    # SURT dedup: the shared dirty targets collapse to 9 per host no
+    # matter how many pages the host carries (the r8 query anchor adds
+    # /p/qn — surt strips its ?query), while the same-doc self-links
+    # contribute one target PER PAGE (host 0 carries 100 pages, frags
+    # 0/5 only -> no frag-link targets)
+    assert rows[0].n_targets == 9 + 100
     # every hmod-1 host loses /up and /root; those also carrying frag-1
     # pages additionally lose /a /b /c (but keep /p/self /p/a2 /p/x)
     gated = [r for r in rows.values() if r.host_num % 4 == 1]

@@ -27,12 +27,17 @@ IMAGE_MAGIC = {
     b"\x89PNG": "image/png",
     b"\xff\xd8\xff": "image/jpeg",
     b"BM": "image/bmp",
-    b"RIFF": "audio/wav",
     b"GIF8": "image/gif",
 }
 
 
 def sniff_mime(payload: bytes) -> str:
+    # RIFF is a container family: only RIFF....WAVE is audio/wav (WebP
+    # is RIFF....WEBP, AVI is RIFF....AVI ) — sniffing on the outer
+    # magic alone would route images into the audio decoder
+    if payload[:4] == b"RIFF":
+        return ("audio/wav" if payload[8:12] == b"WAVE"
+                else "application/octet-stream")
     for magic, mime in IMAGE_MAGIC.items():
         if payload[: len(magic)] == magic:
             return mime
@@ -86,6 +91,11 @@ def decode_image(payload: bytes, fake: bool = False):
                 f"unsupported BMP (dib={dib_size}, bpp={bpp}, "
                 f"compression={compression}): only uncompressed 24-bpp "
                 f"BI_RGB is implemented")
+        if width <= 0 or height == 0:
+            # a negative width has no top-down analogue: it would make
+            # the stride negative and the truncation bound vacuous,
+            # returning empty "pixels" instead of failing loudly
+            raise ValueError(f"invalid BMP dimensions {width}x{height}")
         top_down = height < 0
         height = abs(height)
         row_len = width * 3
@@ -132,15 +142,24 @@ def decode_audio(payload: bytes, fake: bool = False):
     Only 16-bit PCM is decoded to samples (8/24/32-bit raise ValueError).
 
     Non-WAV containers raise NotImplementedError, or return the
-    deterministic pseudo-decode when ``fake=True``."""
+    deterministic pseudo-decode when ``fake=True``.  A RIFF payload
+    that is not a decodable WAVE (WebP/AVI share the outer magic;
+    truncated or non-PCM WAVEs) raises ValueError — the documented
+    corrupt-input type, never a leaked wave.Error/struct.error."""
     if payload[:4] == b"RIFF" and not fake:
-        with wave.open(io.BytesIO(payload), "rb") as w:
-            nch, width, rate, nframes = (w.getnchannels(), w.getsampwidth(),
-                                         w.getframerate(), w.getnframes())
-            if width != 2:
-                raise ValueError(f"only 16-bit PCM implemented, got "
-                                 f"{8 * width}-bit")
-            raw = w.readframes(nframes)
+        try:
+            with wave.open(io.BytesIO(payload), "rb") as w:
+                nch, width, rate, nframes = (
+                    w.getnchannels(), w.getsampwidth(),
+                    w.getframerate(), w.getnframes())
+                if width != 2:
+                    raise ValueError(f"only 16-bit PCM implemented, got "
+                                     f"{8 * width}-bit")
+                raw = w.readframes(nframes)
+        except (wave.Error, EOFError) as e:
+            raise ValueError(f"not a decodable RIFF/WAVE payload: {e}")
+        if len(raw) != nframes * nch * 2:
+            raise ValueError("truncated WAV sample data")
         samples = list(struct.unpack(f"<{nframes * nch}h", raw))
         return {"n_samples": nframes * nch, "sample_rate": rate,
                 "n_channels": nch, "samples": samples,

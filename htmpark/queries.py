@@ -4816,6 +4816,28 @@ def _robots_rules_df(spark, n_keys: int):
         parse, "host_num int, rule_type string, rx string, plen int")
 
 
+def _robots_match_score():
+    """Longest-match score for a (path, rule) pairing after the
+    rules-dim join: 2*len(pattern) + is_allow — RFC 9309 §2.2.2
+    longest match with the allow tie-break, encoded so the LOW BIT of
+    max(score) is the verdict.  ONE definition serves the per-url gate
+    (q_web_robots_gate), the frontier target verdicts
+    (_frontier_targets), and the sitemap seed gate
+    (q_web_sitemap_coverage): a tie-break or length-formula change
+    must hit all three in lockstep or seed gating silently
+    desynchronizes from frontier gating."""
+    return F.when(
+        F.col("rx").isNotNull() & F.expr("rlike(path, rx)"),
+        F.col("plen") * 2 + (F.col("rule_type") == "allow").cast("int"))
+
+
+def _robots_verdict_agg():
+    """The verdict aggregate over _robots_match_score: max(score)'s low
+    bit, with no-matching-rule (NULL max) = allowed."""
+    return (F.when(F.max("score").isNull(), F.lit(1))
+            .otherwise(F.max("score") % 2).cast("int"))
+
+
 def q_web_robots_gate(spark, sf_dir):
     """robots.txt politeness gate (RFC 9309, htmpark/robots.py): the
     crawl-compliance decision a training-data pipeline must make before
@@ -4858,15 +4880,10 @@ def q_web_robots_gate(spark, sf_dir):
         .alias("path"))
 
     rules = _robots_rules_df(spark, 7)
-    score = F.when(
-        F.col("rx").isNotNull() & F.expr("rlike(path, rx)"),
-        F.col("plen") * 2 + (F.col("rule_type") == "allow").cast("int"))
     return (urls.join(_host_dim_side(rules, 7), "host_num", "left")
-            .withColumn("score", score)
+            .withColumn("score", _robots_match_score())
             .groupBy("doc_id", "path")
-            .agg(F.when(F.max("score").isNull(), F.lit(1))
-                 .otherwise(F.max("score") % 2).cast("int")
-                 .alias("allowed")))
+            .agg(_robots_verdict_agg().alias("allowed")))
 
 
 def _frontier_targets(spark, sf_dir):
@@ -4876,10 +4893,11 @@ def _frontier_targets(spark, sf_dir):
     keys (_resolved_outlinks) -> SURT-key target dedup -> robots
     politeness filter (the same parsed-rules dim join + longest-match
     max-score machinery as web_robots_gate, rules keyed by host % 4).
-    _build_crawl_frontier rolls this up per host; the sitemap-coverage
-    join (q_web_sitemap_coverage) consumes it at path level.  In a
-    production wave this table is written ONCE (job.py's
-    write-audit-publish sink) and every scheduler reads it.
+    frontier_rollup rolls this up per host; the sitemap-coverage
+    join (q_web_sitemap_coverage) consumes it at path level — both
+    through the frontier_targets session memo, the in-session analogue
+    of a production wave writing this table ONCE (job.py's
+    write-audit-publish sink) with every scheduler reading it.
 
     Oracle: per-fragment outlink constants (CORPUS_FRAGMENT_OUTLINKS)
     + the analytic robots verdicts (only the hmod-1 rule set gates
@@ -4920,9 +4938,6 @@ def _frontier_targets(spark, sf_dir):
             .agg(F.count("*").alias("n_edges")))
     rules = _robots_rules_df(spark, 4).withColumnRenamed("host_num",
                                                          "hmod")
-    score = F.when(
-        F.col("rx").isNotNull() & F.expr("rlike(path, rx)"),
-        F.col("plen") * 2 + (F.col("rule_type") == "allow").cast("int"))
     # robots verdict per (host, path) first — max(score) collapses the
     # rule fan-out from the dim join (n_edges is constant within
     # the group, so max() recovers it exactly); the surt rollup then
@@ -4933,56 +4948,58 @@ def _frontier_targets(spark, sf_dir):
     verdicts = (ecnt.join(_host_dim_side(rules, 4),
                           (F.col("host_num") % 4) == F.col("hmod"),
                           "left")
-                .withColumn("score", score)
+                .withColumn("score", _robots_match_score())
                 .groupBy("host_num", "path", "surt_key")
                 .agg(F.max("n_edges").alias("n_edges"),
-                     F.when(F.max("score").isNull(), F.lit(1))
-                     .otherwise(F.max("score") % 2).cast("int")
-                     .alias("allowed")))
+                     _robots_verdict_agg().alias("allowed")))
     return (verdicts.groupBy("host_num", "surt_key")
             .agg(F.sum("n_edges").alias("n_edges"),
                  F.max("allowed").alias("allowed")))
 
 
-def _build_crawl_frontier(spark, sf_dir):
-    """Per-host frontier rollup over _frontier_targets: total edges,
-    distinct targets, and targets the crawler may actually fetch.
-    This IS the next crawl wave's work list, derived end-to-end from
-    parser output."""
-    return (_frontier_targets(spark, sf_dir).groupBy("host_num")
+# the frontier TARGET TABLE fans out to the per-host rollup, the
+# politeness/fetch-budget scheduler, and the sitemap-coverage join —
+# share ONE materialization per (session, sf_dir) at target granularity
+# (the memo sat at rollup level until the r8 review: the sitemap join
+# needs targets, and a rollup-level memo made it re-run the whole
+# parse->resolve->canon pipeline), the in-session analogue of the
+# production pattern where each crawl wave's target list is WRITTEN
+# once (job.py's write-audit-publish sink) and every scheduler reads
+# it; same lifecycle as _PAIRS_CACHE (stale-session eviction +
+# clear_candidate_pairs_cache teardown)
+_FRONTIER_CACHE: dict = {}
+
+
+def frontier_targets(spark, sf_dir) -> DataFrame:
+    """Memoized + persisted frontier target table (one row per
+    (host_num, surt_key) with edge count + robots verdict), built by
+    _frontier_targets on first use in a session."""
+    _evict_stale(_FRONTIER_CACHE)
+    key = (id(spark), sf_dir)
+    df = _FRONTIER_CACHE.get(key)
+    if df is None:
+        df = _frontier_targets(spark, sf_dir).persist()
+        df.count()
+        _FRONTIER_CACHE[key] = df
+    return df
+
+
+def frontier_rollup(spark, sf_dir) -> DataFrame:
+    """Per-host crawl-frontier rollup (tiny: one row per host with
+    three counters) over the memoized target table: total edges,
+    distinct targets, and targets the crawler may actually fetch."""
+    return (frontier_targets(spark, sf_dir).groupBy("host_num")
             .agg(F.sum("n_edges").cast("bigint").alias("n_edges"),
                  F.count("*").cast("bigint").alias("n_targets"),
                  F.sum("allowed").cast("bigint")
                  .alias("n_allowed_targets")))
 
 
-# the frontier rollup fans out to the politeness/fetch-budget scheduler
-# (and any future wave consumer) — share ONE materialization per
-# (session, sf_dir), the in-session analogue of the production pattern
-# where each crawl wave's work list is WRITTEN once and every scheduler
-# reads it; same lifecycle as _PAIRS_CACHE (stale-session eviction +
-# clear_candidate_pairs_cache teardown)
-_FRONTIER_CACHE: dict = {}
-
-
-def frontier_rollup(spark, sf_dir) -> DataFrame:
-    """Memoized + persisted per-host crawl-frontier rollup (tiny: one
-    row per host with three counters), built by _build_crawl_frontier
-    on first use in a session."""
-    _evict_stale(_FRONTIER_CACHE)
-    key = (id(spark), sf_dir)
-    df = _FRONTIER_CACHE.get(key)
-    if df is None:
-        df = _build_crawl_frontier(spark, sf_dir).persist()
-        df.count()
-        _FRONTIER_CACHE[key] = df
-    return df
-
-
 def q_web_crawl_frontier(spark, sf_dir):
     """Driver surface for the crawl-frontier capstone — returns the
-    session-memoized rollup (see _build_crawl_frontier for the full
-    pipeline + scale shape, frontier_rollup for the memo contract)."""
+    rollup over the session-memoized target table (see
+    _frontier_targets for the full pipeline + scale shape,
+    frontier_targets for the memo contract)."""
     return frontier_rollup(spark, sf_dir)
 
 
@@ -5001,17 +5018,25 @@ def _frontier_tgt_ctes() -> str:
     # fragment hrefs resolve on-site by construction; the _DIRTY_HREFS
     # suffix rides on EVERY page, with its off-site (CDN) targets
     # excluded by the frontier's host-scope guard — mirror both through
-    # the same reference resolver the outlink oracle uses
+    # the same reference resolver the outlink oracle uses.  Each VALUES
+    # row carries TWO path spellings, matching the engine's two key
+    # levels: the RAW resolved path (robots verdicts match raw
+    # path+query, fragment stripped) and the CANONICAL surt path
+    # (_canon_mirror: %XX-normalized, query/fragment stripped, slash
+    # trimmed — the engine's surt_key groups on the canon form, so raw
+    # spellings that alias post-canon must merge in the oracle too)
     frag_vals = ",\n    ".join(
-        f"({f}, {lit(_ref_resolve_href(href)[1])})"
+        f"({f}, {lit(_ref_resolve_href(href)[1])}, "
+        f"{lit(_canon_mirror(_ref_resolve_href(href)[1])[1])})"
         for f, _seq, href in CORPUS_FRAGMENT_OUTLINKS)
     dirty_paths = [_ref_resolve_href(h)[1] for h in _DIRTY_HREFS
                    if _ref_resolve_href(h)[0] == ""]
-    dirty_vals = ",\n    ".join(f"({lit(p)})" for p in dirty_paths)
+    dirty_vals = ",\n    ".join(
+        f"({lit(p)}, {lit(_canon_mirror(p)[1])})" for p in dirty_paths)
     return f"""n AS (SELECT GREATEST(500, COUNT(*) * 2 // 5) AS n FROM documents),
-lk(fi, path) AS (VALUES
+lk(fi, path, spath) AS (VALUES
     {frag_vals}),
-dl(path) AS (VALUES
+dl(path, spath) AS (VALUES
     {dirty_vals}),
 idx AS (SELECT unnest(range(n.n)) AS i FROM n),
 p AS (
@@ -5020,26 +5045,29 @@ p AS (
   FROM idx
 ), e AS (
   -- '{{i}}' = same-document self-links resolve per page; the robots
-  -- verdict key strips the #fragment (never sent to servers), the
-  -- surt level below strips ?query too
+  -- verdict key (path) strips the #fragment (never sent to servers);
+  -- spath is the precomputed CANON surt path (query stripped too)
   SELECT p.host_num,
          regexp_replace(replace(l.path, '{{i}}', CAST(p.i AS VARCHAR)),
-                        '#.*$', '') AS path
+                        '#.*$', '') AS path,
+         replace(l.spath, '{{i}}', CAST(p.i AS VARCHAR)) AS spath
   FROM p JOIN lk l ON l.fi = p.frag
   UNION ALL
   SELECT p.host_num,
          regexp_replace(replace(d.path, '{{i}}', CAST(p.i AS VARCHAR)),
-                        '#.*$', '') AS path
+                        '#.*$', '') AS path,
+         replace(d.spath, '{{i}}', CAST(p.i AS VARCHAR)) AS spath
   FROM p CROSS JOIN dl d
 ), tgt0 AS (
-  SELECT host_num, path, COUNT(*) AS n_edges,
+  SELECT host_num, path, spath, COUNT(*) AS n_edges,
          CASE WHEN host_num % 4 = 1 AND path NOT LIKE '/p/%'
               THEN 0 ELSE 1 END AS allowed
-  FROM e GROUP BY host_num, path
+  FROM e GROUP BY host_num, path, spath
 ), tgt AS (
-  -- surt rollup: distinct paths that collapse to one crawl target
-  -- (query variants) sum their edges; fetchable if ANY variant is
-  SELECT host_num, regexp_replace(path, '[?#].*$', '') AS spath,
+  -- surt rollup: distinct raw paths that collapse to one CANON crawl
+  -- target (query variants AND percent-escape aliases) sum their
+  -- edges; fetchable if ANY variant is
+  SELECT host_num, spath,
          SUM(n_edges) AS n_edges, MAX(allowed) AS allowed
   FROM tgt0 GROUP BY host_num, spath
 )"""
@@ -5179,22 +5207,17 @@ def q_web_sitemap_coverage(spark, sf_dir):
                         F.expr("substr(surt_key, instr(surt_key, ')')"
                                " + 1)").alias("path"))
                 .distinct())
-    # seeds pass the same robots gate as discovered targets: parsed
-    # rules dim + longest-match max-score, verdict in the low bit
+    # seeds pass the same robots gate as discovered targets: the
+    # shared _robots_match_score/_robots_verdict_agg machinery
     rules = _robots_rules_df(spark, 4).withColumnRenamed("host_num",
                                                          "hmod")
-    score = F.when(
-        F.col("rx").isNotNull() & F.expr("rlike(path, rx)"),
-        F.col("plen") * 2 + (F.col("rule_type") == "allow").cast("int"))
     dverd = (declared.join(_host_dim_side(rules, 4),
                            (F.col("host_num") % 4) == F.col("hmod"),
                            "left")
-             .withColumn("score", score)
+             .withColumn("score", _robots_match_score())
              .groupBy("host_num", "path")
-             .agg(F.when(F.max("score").isNull(), F.lit(1))
-                  .otherwise(F.max("score") % 2).cast("int")
-                  .alias("allowed")))
-    disc = (_frontier_targets(spark, sf_dir)
+             .agg(_robots_verdict_agg().alias("allowed")))
+    disc = (frontier_targets(spark, sf_dir)
             .select("host_num",
                     F.expr("substr(surt_key, instr(surt_key, ')') + 1)")
                     .alias("path"),

@@ -706,6 +706,13 @@ def test_bmp_codec_golden_and_roundtrip():
     bad[28] = 8  # 8-bpp: unsupported depth must fail loudly
     with pytest.raises(ValueError):
         mm.decode_image(bytes(bad))
+    # negative WIDTH has no top-down analogue: it must fail loudly,
+    # not slip past the truncation bound via a negative stride and
+    # return empty pixels (r8 review)
+    negw = bytearray(golden)
+    negw[18:22] = struct.pack("<i", -2)
+    with pytest.raises(ValueError):
+        mm.decode_image(bytes(negw))
 
 
 def test_wav_codec_roundtrip():
@@ -735,6 +742,17 @@ def test_wav_codec_roundtrip():
         w.writeframes(b"\x00\x01")
     with pytest.raises(ValueError):
         mm.decode_audio(buf.getvalue())
+
+    # RIFF is a container FAMILY: WebP shares the outer magic but is
+    # not audio — the sniffer must not route it to the wave decoder,
+    # and the decoder itself raises the documented ValueError (never a
+    # leaked wave.Error) on RIFF-but-not-WAVE or truncated payloads
+    webp = b"RIFF\x24\x00\x00\x00WEBPVP8 " + b"\x00" * 16
+    assert mm.sniff_mime(webp) == "application/octet-stream"
+    with pytest.raises(ValueError):
+        mm.decode_audio(webp)
+    with pytest.raises(ValueError):
+        mm.decode_audio(payload[:len(payload) - 4])  # truncated samples
 
 
 def test_resize_nn_known_grid():
@@ -1188,6 +1206,27 @@ def test_registry_order_is_safe():
         [_sys.executable, os.path.join(root, "tools", "check_registry_order.py")],
         capture_output=True, text=True)
     assert res.returncode == 0, res.stdout + res.stderr
+
+
+def test_replica_manifest_requires_gate_scale():
+    """A replica manifest recorded at sf0.001 (check_oracle's default
+    scale) must NOT vouch for tail entries — only gate-scale (sf0.01+)
+    runs carry driver-equivalent evidence (r8 review: a bare
+    check_oracle.py run would otherwise overwrite the manifest and
+    green the tail on the weakest scale)."""
+    import importlib.util
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "cro", os.path.join(root, "tools", "check_registry_order.py"))
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    rep = {"latest_driver": "CORRECTNESS_r07.json", "sf": "sf0.001",
+           "queries": {"q": "fp"}}
+    assert not m.replica_fresh(rep, "CORRECTNESS_r07.json", "q", "fp")
+    for sf in m.REPLICA_MIN_SFS:
+        rep["sf"] = sf
+        assert m.replica_fresh(rep, "CORRECTNESS_r07.json", "q", "fp")
 
 
 def test_event_funnel_single_user_exchange(spark):

@@ -66,17 +66,26 @@ def load_replica():
             if os.path.exists(REPLICA_PATH) else None)
 
 
+# a replica run can only vouch for the tail if it ran at the driver's
+# own gate scale or above — a bare check_oracle.py run defaults to
+# sf0.001, where a scale-local accident (tie pattern, empty group)
+# could green a query the sf0.01 driver gate would catch
+REPLICA_MIN_SFS = ("sf0.01", "sf0.1")
+
+
 def replica_fresh(replica, latest, name, current_fp):
     """True when a full-registry replica run vouches for this entry.
 
     Fresh evidence means: the manifest was recorded by a 100%-green
     tools/check_oracle.py full run (a) while the current latest driver
     CORRECTNESS file was already on disk (so the replica is at least as
-    recent as the driver signal) and (b) on exactly this query source
-    (fingerprint equality, same hash the --update path records).
+    recent as the driver signal), (b) on exactly this query source
+    (fingerprint equality, same hash the --update path records), and
+    (c) at the driver's gate scale or above (REPLICA_MIN_SFS).
     """
     return (replica is not None
             and replica.get("latest_driver") == latest
+            and replica.get("sf") in REPLICA_MIN_SFS
             and replica.get("queries", {}).get(name) == current_fp)
 
 

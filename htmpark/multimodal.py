@@ -100,6 +100,13 @@ def decode_image(payload: bytes, fake: bool = False):
         height = abs(height)
         row_len = width * 3
         stride = row_len + ((-row_len) % 4)
+        if off < 14 + dib_size:
+            # an offset pointing INSIDE the headers (e.g. 0) would
+            # silently decode header bytes as "pixels" — the corrupt
+            # input must fail loudly, like every other malformed field
+            raise ValueError(
+                f"BMP pixel-data offset {off} overlaps the headers "
+                f"(must be >= {14 + dib_size})")
         if off + stride * height > len(payload):
             raise ValueError("truncated BMP pixel data")
         rows = [payload[off + r * stride: off + r * stride + row_len]

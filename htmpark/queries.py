@@ -56,6 +56,58 @@ def _table_num_rows(sf_dir: str, name: str) -> int | None:
         return None
 
 
+def _probe_rows_upper_bound(sf_dir: str, name: str, id_col: str,
+                            k: int) -> int | None:
+    """Sound planning-time UPPER BOUND on rows with ``id_col % k == 0``,
+    from parquet row-group min/max statistics (footer-only — never a Spark
+    job or a data scan).  Per row group the bound is
+    ``min(num_rows, #multiples-of-k in [min, max])``; the second term is
+    valid because ``id_col`` is the table KEY (distinct — declared by the
+    table contract), so a row group cannot hold more multiple-of-k ROWS
+    than its id range offers multiple-of-k VALUES.  Dense, sparse, and
+    skewed id spaces are all bounded soundly — this replaces the r8-era
+    ``n // k`` estimate whose dense-id assumption could under-count the
+    probe set by up to k× and mis-pick the broadcast regime.  On dense ids
+    (the generated tables) the bound equals the exact count.
+
+    Missing stats, a missing column, or a non-parquet input return None;
+    callers MUST treat None as "scale unknown" and take the shuffle /
+    bucketed path — a needless shuffle at gate scale is cheap, a forced
+    broadcast at unknown scale is an eventual executor OOM (r8 ADVICE)."""
+    import glob as _glob
+    import os as _os
+
+    try:
+        import pyarrow.parquet as _pq
+
+        path = f"{sf_dir}/{name}.parquet"
+        files = [path] if _os.path.isfile(path) else sorted(
+            _glob.glob(f"{path}/*.parquet"))
+        if not files:
+            return None
+        total = 0
+        for f in files:
+            md = _pq.ParquetFile(f).metadata
+            try:
+                ci = md.schema.names.index(id_col)
+            except ValueError:
+                return None
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                st = g.column(ci).statistics
+                if (st is None or not st.has_min_max
+                        or st.min is None or st.max is None):
+                    return None
+                lo, hi = int(st.min), int(st.max)
+                # multiples of k in [lo, hi]: floor(hi/k) - ceil(lo/k) + 1
+                # (Python floor division is sign-correct for both terms)
+                mult = hi // k - -(-lo // k) + 1
+                total += max(0, min(g.num_rows, mult))
+        return total
+    except Exception:
+        return None
+
+
 def _cents(col):
     """Exact integer cents from a 2dp-double column."""
     return F.round(col * 100).cast("bigint")
@@ -2420,11 +2472,12 @@ def q_dedup_ngram_jaccard(spark, sf_dir,
     footer-count crossover as q_text_decontamination: broadcast under
     _MAX_BROADCAST_PROBE_DOCS probe docs, shuffled hash join on the
     shingle / probe_id keys above it (both sides already distinct, so
-    the shuffle is the minimal one).  The n // 97 estimate assumes
-    DENSE doc_ids; pass the flag explicitly otherwise."""
+    the shuffle is the minimal one).  The crossover reads a SOUND upper
+    bound from row-group stats (_probe_rows_upper_bound — no density
+    assumption); stats unavailable = scale unknown = shuffle path."""
     if broadcast_probes is None:
-        n = _table_num_rows(sf_dir, "documents")
-        broadcast_probes = n is None or n // 97 <= _MAX_BROADCAST_PROBE_DOCS
+        b = _probe_rows_upper_bound(sf_dir, "documents", "doc_id", 97)
+        broadcast_probes = b is not None and b <= _MAX_BROADCAST_PROBE_DOCS
     d = _shingles(t(spark, sf_dir, "documents")).distinct()
     sizes = d.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     probes = d.where(F.col("doc_id") % 97 == 0).select(
@@ -2561,18 +2614,17 @@ def q_text_decontamination(spark, sf_dir, w: int = _SUBSTR_W,
     hint for a probe set too big to broadcast — the join then
     hash-partitions on the window hash (both sides pre-aggregated to
     distinct hashes).  The default (None) is SELF-DERIVED at planning time
-    from the parquet footer row count and the % 97 probe rule — broadcast
-    under _MAX_BROADCAST_PROBE_DOCS probe docs, shuffled hash join above
-    it; same decision-lives-in-the-query contract as
-    dedup_embedding_cosine.  Corpus side reuses the dedup_substring window
-    build: array-local hashes, pre-explode repartition, fixed-width
-    strings explode — never token arrays.
-
-    The n // 97 estimate assumes DENSE doc_ids (see _self_derived_probes'
-    contract): on a non-dense id space pass broadcast_probes explicitly."""
+    from the parquet row-group stats and the % 97 probe rule — broadcast
+    under _MAX_BROADCAST_PROBE_DOCS probe docs (a SOUND upper bound, see
+    _probe_rows_upper_bound — no density assumption), shuffled hash join
+    above it OR when stats are unavailable (scale unknown); same
+    decision-lives-in-the-query contract as dedup_embedding_cosine.
+    Corpus side reuses the dedup_substring window build: array-local
+    hashes, pre-explode repartition, fixed-width strings explode — never
+    token arrays."""
     if broadcast_probes is None:
-        n = _table_num_rows(sf_dir, "documents")
-        broadcast_probes = n is None or n // 97 <= _MAX_BROADCAST_PROBE_DOCS
+        b = _probe_rows_upper_bound(sf_dir, "documents", "doc_id", 97)
+        broadcast_probes = b is not None and b <= _MAX_BROADCAST_PROBE_DOCS
     win = _token_windows(spark, sf_dir, w)
     probes = (win.where(F.col("doc_id") % 97 == 0)
                  .select("h").distinct()
@@ -2686,12 +2738,15 @@ def _probe_pairs(e: DataFrame, probes: DataFrame,
     ``max_broadcast_probes``) or ``force_bucketed``.  Rounds 1-2 ran an
     implicit ``probes.count()`` here — an extra Spark job on every call
     (the only r1->r2 bench regression) and, at 100 TB, a full probe-table
-    scan before planning even starts.  With no hint the exact broadcast
-    regime is assumed: correct whenever probes are a bounded query batch;
-    callers pairing corpus-scale probe sets must say so explicitly."""
+    scan before planning even starts.  ``probe_count=None`` means SCALE
+    UNKNOWN and takes the bucketed path (r8 ADVICE: a needless bucket
+    shuffle at gate scale is cheap, a forced broadcast of a set of
+    unknown size is an eventual executor OOM); callers with a genuinely
+    bounded query batch must say so via ``probe_count``.  All in-repo
+    callers derive the count from _self_derived_probes' footer bound."""
     bucketed = (force_bucketed or max_broadcast_probes <= 0
-                or (probe_count is not None
-                    and probe_count > max_broadcast_probes))
+                or probe_count is None
+                or probe_count > max_broadcast_probes)
     if not bucketed:
         return _fan_out(e).crossJoin(F.broadcast(probes))
     eb = e.withColumn("_b", _lsh_bucket_expr(F.col("embedding")))
@@ -2703,22 +2758,18 @@ def _self_derived_probes(e: DataFrame, sf_dir: str,
                          probe_count: int | None,
                          force_bucketed: bool):
     """The shared probe rule (vec_id % 100 == 0) plus its self-derived
-    planning-time count: the %-100 rule makes probe_count = n_rows/100,
-    read from the parquet footer — no hint to forget, no counting job.
-    One definition so the rule and its crossover derivation can never
-    drift between the three probe-pairing queries.  Returns
-    (probes, probe_count).
-
-    CONTRACT: the n/100 estimate assumes DENSE ids (vec_id ~ 0..n, as the
-    generated tables guarantee).  On a sparse/skewed id space (e.g. all
-    ids multiples of 100) the true probe set can be up to 100x the
-    estimate and the broadcast regime would be chosen for a set that may
-    not fit — callers with non-dense ids MUST pass an explicit
-    ``probe_count`` (or ``force_bucketed=True``); same caveat applies to
-    the % 97 rule in q_text_decontamination."""
+    planning-time count: a SOUND upper bound on matching rows from the
+    parquet row-group min/max stats (_probe_rows_upper_bound) — no hint
+    to forget, no counting job, no density assumption (the r8 dense-id
+    caveat is gone: sparse/skewed id spaces are bounded correctly by the
+    per-row-group min(rows, multiples-in-range) term).  One definition so
+    the rule and its crossover derivation can never drift between the
+    three probe-pairing queries.  Returns (probes, probe_count);
+    probe_count None = stats unavailable = scale unknown, which
+    _probe_pairs maps to the bucketed path."""
     if probe_count is None and not force_bucketed:
-        n = _table_num_rows(sf_dir, "embeddings")
-        probe_count = None if n is None else n // 100
+        probe_count = _probe_rows_upper_bound(
+            sf_dir, "embeddings", "vec_id", 100)
     probes = e.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe"))
     return probes, probe_count

@@ -178,6 +178,64 @@ def test_probe_join_scale_guard(spark):
     assert approx <= exact
 
 
+def test_probe_rows_upper_bound(tmp_path):
+    """The probe-regime crossover reads a SOUND upper bound from parquet
+    row-group min/max stats (r8 verdict item 7): exact on dense ids,
+    correctly conservative on sparse id spaces (where the r8-era n//k
+    density estimate under-counted by up to k× and could pick a broadcast
+    that does not fit), None when stats are unusable."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from htmpark.queries import _probe_rows_upper_bound
+
+    # dense ids (the generated tables): bound == exact probe count
+    assert _probe_rows_upper_bound(SF, "documents", "doc_id", 97) == \
+        sum(1 for i in range(500) if i % 97 == 0)
+    assert _probe_rows_upper_bound(SF, "embeddings", "vec_id", 100) == \
+        sum(1 for i in range(500) if i % 100 == 0)
+
+    # sparse id space: EVERY id a multiple of 100 -> all 50 rows are
+    # probes; the old dense estimate said 50 // 100 = 0 (broadcast),
+    # the stats bound covers all of them
+    sparse = tmp_path / "sparse"
+    sparse.mkdir()
+    pq.write_table(pa.table({"doc_id": [i * 100 for i in range(50)]}),
+                   str(sparse / "documents.parquet"))
+    b = _probe_rows_upper_bound(str(sparse), "documents", "doc_id", 100)
+    assert b is not None and b >= 50
+    # and never more than the row count
+    assert b <= 50
+
+    # missing column / missing table -> None (scale unknown)
+    assert _probe_rows_upper_bound(str(sparse), "documents", "no_col", 97) is None
+    assert _probe_rows_upper_bound(str(sparse), "missing", "doc_id", 97) is None
+
+
+def test_unknown_probe_scale_routes_to_bucketed(spark, tmp_path):
+    """probe_count=None now means SCALE UNKNOWN and takes the bucketed
+    path (r8 ADVICE: the old default re-enabled the forced probe
+    broadcast exactly when scale was unknown).  End-to-end: an embeddings
+    table written WITHOUT statistics must plan the sign-LSH bucket
+    equi-join, never a broadcast nested loop."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from htmpark.queries import q_dedup_embedding_cosine
+
+    emb = [[float((7 * i + d) % 13) - 6.0 for d in range(16)]
+           for i in range(40)]
+    tab = pa.table({"vec_id": pa.array(range(40), type=pa.int64()),
+                    "embedding": pa.array(emb, type=pa.list_(pa.float32()))})
+    pq.write_table(tab, str(tmp_path / "embeddings.parquet"),
+                   write_statistics=False)
+    df = q_dedup_embedding_cosine(spark, str(tmp_path))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "_b" in plan  # bucket equi-join key
+
+
 def test_sessionization_single_exchange(spark):
     """Both window passes and the final (user_id, session_id) aggregate must
     reuse ONE hashpartitioning(user_id) exchange: HashPartitioning(user_id)
@@ -713,6 +771,15 @@ def test_bmp_codec_golden_and_roundtrip():
     negw[18:22] = struct.pack("<i", -2)
     with pytest.raises(ValueError):
         mm.decode_image(bytes(negw))
+    # pixel offset pointing INSIDE the headers (e.g. 0) must fail loudly,
+    # not silently decode header bytes as pixels (r8 ADVICE)
+    lowoff = bytearray(golden)
+    lowoff[10:14] = struct.pack("<I", 0)
+    with pytest.raises(ValueError):
+        mm.decode_image(bytes(lowoff))
+    lowoff[10:14] = struct.pack("<I", 53)  # one short of 14 + 40
+    with pytest.raises(ValueError):
+        mm.decode_image(bytes(lowoff))
 
 
 def test_wav_codec_roundtrip():
@@ -1227,6 +1294,50 @@ def test_replica_manifest_requires_gate_scale():
     for sf in m.REPLICA_MIN_SFS:
         rep["sf"] = sf
         assert m.replica_fresh(rep, "CORRECTNESS_r07.json", "q", "fp")
+
+
+def test_latest_correctness_sorts_numerically(tmp_path):
+    """Driver-round discovery must sort by NUMERIC round (r8 ADVICE):
+    lexicographic max mis-sorts r100 < r99 and breaks on padding drift
+    (r8 vs r08), silently matching replica freshness against the wrong
+    driver file."""
+    import importlib.util
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "cro2", os.path.join(root, "tools", "check_registry_order.py"))
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    for r in ["r08", "r9", "r99", "r100"]:
+        (tmp_path / f"CORRECTNESS_{r}.json").write_text("{}")
+    assert m.latest_correctness(str(tmp_path)) == "CORRECTNESS_r100.json"
+    files = [os.path.basename(f) for f in m.correctness_files(str(tmp_path))]
+    assert files == ["CORRECTNESS_r08.json", "CORRECTNESS_r9.json",
+                     "CORRECTNESS_r99.json", "CORRECTNESS_r100.json"]
+
+
+def test_replica_manifest_not_recorded_below_gate_scale():
+    """check_oracle must never OVERWRITE a gate-scale replica manifest
+    with a sub-gate (sf0.001) one — the order checker would reject it and
+    the valid evidence would be silently lost (r8 ADVICE)."""
+    import importlib.util
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "co_guard", os.path.join(root, "tools", "check_oracle.py"))
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    path = os.path.join(root, "tools", "replica_manifest.json")
+    before = open(path).read() if os.path.exists(path) else None
+    try:
+        m._record_replica_manifest("/root/testdata/sf0.001", [])
+        after = open(path).read() if os.path.exists(path) else None
+        assert after == before
+    finally:
+        if before is not None:
+            open(path, "w").write(before)
+        elif os.path.exists(path):
+            os.remove(path)
 
 
 def test_event_funnel_single_user_exchange(spark):

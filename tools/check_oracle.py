@@ -146,21 +146,30 @@ def _record_replica_manifest(sf, names):
     tree is equally fresh evidence, so the checker accepts "green in latest
     driver file OR green in a replica manifest that (a) post-dates the
     latest driver file and (b) fingerprint-matches the current source".
+
+    Only gate-scale-or-above runs are recorded (r8 ADVICE): a green run at
+    the default sub-gate sf0.001 must not OVERWRITE a valid sf0.01
+    manifest with one the order checker rejects (REPLICA_MIN_SFS) —
+    that fails safe but silently destroys evidence.
     """
-    import glob
     import json
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from check_registry_order import fingerprint  # noqa: E402 (same dir)
+    from check_registry_order import (  # noqa: E402 (same dir)
+        REPLICA_MIN_SFS, fingerprint, latest_correctness)
 
     from htmpark.queries import REGISTRY
 
+    if args_sf_base(sf) not in REPLICA_MIN_SFS:
+        print(f"replica manifest NOT recorded: sf {args_sf_base(sf)!r} is "
+              f"below the driver gate scale (needs one of "
+              f"{REPLICA_MIN_SFS}); existing manifest left untouched")
+        return
+
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    latest = max(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")),
-                 default=None)
     manifest = {
         "sf": args_sf_base(sf),
-        "latest_driver": os.path.basename(latest) if latest else None,
+        "latest_driver": latest_correctness(repo_root),
         "queries": {name: fingerprint(*REGISTRY[name]) for name in names},
     }
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

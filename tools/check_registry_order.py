@@ -32,6 +32,7 @@ import hashlib
 import inspect
 import json
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -89,10 +90,29 @@ def replica_fresh(replica, latest, name, current_fp):
             and replica.get("queries", {}).get(name) == current_fp)
 
 
+def correctness_files(repo_root):
+    """CORRECTNESS_r*.json paths sorted by NUMERIC round — the shared
+    helper for both this tool and check_oracle.py (r8 ADVICE): a plain
+    lexicographic max mis-sorts once rounds outgrow the zero padding
+    (r100 < r99) or the padding drifts (r8 vs r08), which would make
+    freshness checks compare against the wrong driver file."""
+    def round_no(path):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", os.path.basename(path))
+        return int(m.group(1)) if m else -1
+    return sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")),
+                  key=round_no)
+
+
+def latest_correctness(repo_root):
+    """Basename of the numerically-latest driver CORRECTNESS file."""
+    files = correctness_files(repo_root)
+    return os.path.basename(files[-1]) if files else None
+
+
 def green_history(repo_root):
     """{name: [(round_file, green_bool), ...]} from CORRECTNESS_r*.json."""
     hist = {}
-    for f in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
+    for f in correctness_files(repo_root):
         for name, row in json.load(open(f)).items():
             ok = row.get("err") is None and all(
                 v for k, v in row.items()
@@ -119,9 +139,7 @@ def main():
 
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     hist = green_history(repo_root)
-    latest = max(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")),
-                 default=None)
-    latest = os.path.basename(latest) if latest else None
+    latest = latest_correctness(repo_root)
     stored = (json.load(open(FPRINT_PATH))
               if os.path.exists(FPRINT_PATH) else {})
     replica = load_replica()

@@ -2069,7 +2069,7 @@ def clear_candidate_pairs_cache() -> None:
     import shutil
 
     for cache in (_PAIRS_CACHE, _CLUSTERS_CACHE, _EDGES_CACHE,
-                  _FRONTIER_CACHE):
+                  _FRONTIER_CACHE, _BFS_SEEDED_CACHE):
         for df in cache.values():
             try:
                 df.unpersist()
@@ -5501,7 +5501,26 @@ def q_web_crawl_bfs(spark, sf_dir, max_waves: int = _BFS_HOSTS):
     Wave count is bounded by graph diameter, max_waves is the
     safety stop.  At 10^8 hosts the visited set and frontier are both
     one-row-per-host tables partitioned on the join key — nothing in
-    the loop is proportional to pages, only to hosts and edges."""
+    the loop is proportional to pages, only to hosts and edges.
+
+    Graph build and loop live in _bfs_edges/_bfs_waves, shared with the
+    publisher-seeded variant (q_web_crawl_bfs_seeded) so the wave
+    discipline can never drift between the two schedulers."""
+    edges = _bfs_edges(spark, sf_dir)
+    dist = _bfs_waves(
+        spark, edges,
+        spark.createDataFrame([(0, 0)], "host int, wave int"), max_waves)
+    edges.unpersist()
+    return dist.select(F.col("host").cast("int").alias("host"),
+                       F.col("wave").cast("int").alias("wave"))
+
+
+def _bfs_edges(spark, sf_dir) -> DataFrame:
+    """The synthetic host-level link graph shared by the BFS schedulers
+    (construction documented on q_web_crawl_bfs): distinct edges,
+    pre-partitioned on src and persisted ONCE — only the frontier moves
+    per wave.  Materialized (count) with AQE still on, before any
+    _no_aqe loop.  Caller unpersists."""
     d = t(spark, sf_dir, "documents").select("doc_id")
     edges = (d.selectExpr(
         f"CAST(doc_id % {_BFS_HOSTS} AS INT) AS src",
@@ -5511,7 +5530,19 @@ def q_web_crawl_bfs(spark, sf_dir, max_waves: int = _BFS_HOSTS):
         .distinct()
         .repartition(F.col("src")).persist())
     edges.count()  # materialize WITH AQE, before the _no_aqe loop
-    dist = spark.createDataFrame([(0, 0)], "host int, wave int")
+    return edges
+
+
+def _bfs_waves(spark, edges: DataFrame, dist: DataFrame,
+               max_waves: int) -> DataFrame:
+    """The shared per-wave BFS loop (scale shape documented on
+    q_web_crawl_bfs): per wave ONE keyed equi-join of the frontier
+    against the static persisted edges + one left-anti visited join,
+    eager localCheckpoint to keep the plan one wave deep, AQE off.
+    ``dist`` is the seed table (host, wave-0 rows) — a single row for
+    the classic BFS, the sitemap-derived seed set for the publisher-
+    seeded variant (multi-source BFS: wave = distance to the NEAREST
+    seed, which is exactly the min-fold the visited anti-join keeps)."""
     frontier = dist.select("host")
     wave = 0
     with _no_aqe(spark):
@@ -5526,9 +5557,7 @@ def q_web_crawl_bfs(spark, sf_dir, max_waves: int = _BFS_HOSTS):
             dist = dist.union(
                 nxt.select("host", F.lit(wave).cast("int").alias("wave")))
             frontier = nxt
-    edges.unpersist()
-    return dist.select(F.col("host").cast("int").alias("host"),
-                       F.col("wave").cast("int").alias("wave"))
+    return dist
 
 
 # oracle: the standard bounded recursive-CTE BFS — UNION dedups
@@ -5549,6 +5578,180 @@ WITH RECURSIVE e AS (
 )
 SELECT CAST(host AS INT) AS host, CAST(MIN(wave) AS INT) AS wave
 FROM walk GROUP BY host
+"""
+
+
+# the seeded-BFS wave table fans out to the seeded-BFS driver surface
+# and the budget-paced scheduler — one loop execution per (session,
+# sf_dir), same lifecycle as _FRONTIER_CACHE
+_BFS_SEEDED_CACHE: dict = {}
+
+
+def _seeded_bfs_dist(spark, sf_dir) -> DataFrame:
+    """Memoized publisher-seeded BFS wave table (host, wave): seeds are
+    every crawl-space host whose sitemap declared fetchable URLs the
+    link frontier had not discovered (web_sitemap_coverage's
+    n_new_seeds > 0), scoped to the BFS host space exactly as the
+    frontier scopes off-site links; each seed enters at wave 0 and the
+    SAME _bfs_waves loop as q_web_crawl_bfs assigns discovery depth.
+    The seed frame is eagerly localCheckpoint-ed so the sitemap
+    pipeline's lineage never enters the fixpoint loop."""
+    _evict_stale(_BFS_SEEDED_CACHE)
+    key = (id(spark), sf_dir)
+    df = _BFS_SEEDED_CACHE.get(key)
+    if df is None:
+        seeds = (q_web_sitemap_coverage(spark, sf_dir)
+                 .where((F.col("n_new_seeds") > 0)
+                        & (F.col("host_num") < _BFS_HOSTS))
+                 .select(F.col("host_num").cast("int").alias("host"),
+                         F.lit(0).cast("int").alias("wave"))
+                 .localCheckpoint(eager=True))
+        edges = _bfs_edges(spark, sf_dir)
+        df = _bfs_waves(spark, edges, seeds, _BFS_HOSTS).persist()
+        df.count()
+        edges.unpersist()
+        _BFS_SEEDED_CACHE[key] = df
+    return df
+
+
+def q_web_crawl_bfs_seeded(spark, sf_dir):
+    """Publisher-seeded crawl-wave BFS — the r8 pieces composed into the
+    real crawl loop (discover -> seed -> fetch waves): instead of a
+    hand-picked seed host, the seed set is every host whose sitemap
+    declared robots-allowed URLs that link discovery missed
+    (q_web_sitemap_coverage's ``n_new_seeds``), and the multi-wave BFS
+    scheduler (shared _bfs_edges/_bfs_waves) assigns each reached host
+    the wave a breadth-first crawler first fetches it — multi-source
+    BFS, wave = distance to the NEAREST publisher seed.  Odd host ids,
+    unreachable by link edges alone (every edge lands even, see
+    _BFS_HOSTS), now appear at wave 0 whenever a sitemap seeds them:
+    publisher discovery reaches where link discovery cannot.
+
+    Oracle: SQL_WEB_CRAWL_BFS's bounded recursive CTE with its
+    single-host seed replaced by a seed table derived from the SHARED
+    sitemap-coverage oracle chain (SQL_WEB_SITEMAP_COVERAGE), so the
+    seed rule can never drift between engine and oracle.
+
+    Scale shape: the seed derivation is the sitemap pipeline (bounded
+    per-host dims + the memoized frontier targets); the loop keeps the
+    BFS per-wave discipline — one keyed exchange against static
+    persisted edges + one left-anti visited join per wave; nothing in
+    the loop is proportional to pages."""
+    return _seeded_bfs_dist(spark, sf_dir).select(
+        F.col("host").cast("int").alias("host"),
+        F.col("wave").cast("int").alias("wave"))
+
+
+# shared oracle CTE chain: the BFS edge graph + the sitemap-derived
+# seed set + the bounded recursive walk, composed by the seeded-BFS
+# oracle and the budget-paced schedule oracle
+_BFS_SEEDED_CTES = f"""e AS (
+  SELECT DISTINCT (doc_id % {_BFS_HOSTS}) AS src,
+         ((doc_id % {_BFS_HOSTS}) * 2
+          + 2 * ((doc_id // {_BFS_HOSTS}) % 3)) % {_BFS_HOSTS} AS dst
+  FROM documents
+), sm AS ({SQL_WEB_SITEMAP_COVERAGE}),
+seeds AS (
+  SELECT host_num FROM sm
+  WHERE n_new_seeds > 0 AND host_num < {_BFS_HOSTS}
+),
+walk(host, wave) AS (
+  SELECT host_num, 0 FROM seeds
+  UNION
+  SELECT e.dst, w.wave + 1
+  FROM walk w JOIN e ON e.src = w.host
+  WHERE w.wave < {_BFS_HOSTS}
+), bfs AS (
+  SELECT CAST(host AS INT) AS host, CAST(MIN(wave) AS INT) AS wave
+  FROM walk GROUP BY host
+)"""
+
+
+SQL_WEB_CRAWL_BFS_SEEDED = f"""
+WITH RECURSIVE {_BFS_SEEDED_CTES}
+SELECT host, wave FROM bfs
+"""
+
+
+# one scheduler tick for the budget-paced schedule: at gate-scale
+# per-host target counts (tens to ~100 allowed) a 60 s window makes the
+# token budget BIND (hosts spill across waves) at every sf, so the
+# spill arithmetic is actually exercised by the oracle — the
+# politeness query's 3600 s default would drain every host in one wave
+# at gate scale and the spill path would go untested
+_SCHED_WINDOW_S = 60
+
+
+def q_web_crawl_schedule(spark, sf_dir, window_s: int = _SCHED_WINDOW_S):
+    """Budget-paced crawl schedule — per-host politeness applied to BFS
+    wave pacing (r8 verdict item 3: web_politeness_budget computed
+    n_fetch_now/n_waves but nothing consumed them).  For every host the
+    publisher-seeded BFS reaches, its robots-allowed frontier targets
+    drain at most ``cap = max(1, window_s div delay_s)`` fetches per
+    wave (the politeness token bucket, one crawl window per BFS wave;
+    the clamp admits the first fetch even when a declared delay exceeds
+    the window): fetching starts the wave the host is DISCOVERED, a
+    wave that would exceed the budget spills the remainder to wave+1,
+    and the host drains ceil(allowed/cap)-1 waves after discovery.
+    Output: one row per (host, wave) with that wave's fetch count;
+    hosts with zero allowed targets schedule nothing.
+
+    Oracle: the seeded-BFS CTE chain composed with the frontier rollup
+    and the hand-derived 4-host delay dim (the SQL_WEB_POLITENESS_
+    BUDGET VALUES), the same integer token-bucket formulas, and a
+    generate_series per-wave split.
+
+    Scale shape: the seeded-BFS and frontier memos are each one
+    bounded keyed table; the delay dim joins via _host_dim_side and
+    the per-wave split is an array-local sequence+explode bounded by
+    the host's own wave count — no shuffle beyond the host-key join."""
+    dist = _seeded_bfs_dist(spark, sf_dir)
+    delays = _robots_delay_df(spark, 4)
+    budget = (q_web_crawl_frontier(spark, sf_dir)
+              .join(_host_dim_side(delays, 4),
+                    (F.col("host_num") % 4) == F.col("hmod"), "left")
+              .select("host_num",
+                      F.col("n_allowed_targets").alias("allowed"),
+                      F.expr(f"CAST(GREATEST(1, {int(window_s)} DIV "
+                             f"coalesce(delay_s, 1)) AS BIGINT)")
+                      .alias("cap")))
+    j = (dist.join(budget, dist["host"] == budget["host_num"])
+         .where(F.col("allowed") > 0)
+         .withColumn("n_w",
+                     F.expr("CAST((allowed + cap - 1) DIV cap AS INT)")))
+    return (j.select("host", "wave", "allowed", "cap",
+                     F.explode(F.sequence(F.lit(0),
+                                          F.col("n_w") - 1)).alias("k"))
+            .select(F.col("host").cast("int").alias("host"),
+                    (F.col("wave") + F.col("k")).cast("int").alias("wave"),
+                    F.least(F.col("cap"),
+                            F.col("allowed") - F.col("k") * F.col("cap"))
+                    .cast("bigint").alias("n_fetched")))
+
+
+SQL_WEB_CRAWL_SCHEDULE = f"""
+WITH RECURSIVE {_BFS_SEEDED_CTES},
+f AS ({SQL_WEB_CRAWL_FRONTIER}),
+dly(hmod, delay_s) AS (VALUES (0, 5), (1, 2), (2, 10), (3, NULL)),
+b AS (
+  SELECT f.host_num, f.n_allowed_targets AS allowed,
+         GREATEST(1, {_SCHED_WINDOW_S} // COALESCE(dly.delay_s, 1)) AS cap
+  FROM f JOIN dly ON f.host_num % 4 = dly.hmod
+),
+s AS (
+  SELECT bfs.host, bfs.wave, b.allowed, b.cap
+  FROM bfs JOIN b ON b.host_num = bfs.host
+  WHERE b.allowed > 0
+),
+k AS (
+  SELECT host, wave, allowed, cap,
+         unnest(range((allowed + cap - 1) // cap)) AS k
+  FROM s
+)
+SELECT CAST(host AS INT) AS host,
+       CAST(wave + k AS INT) AS wave,
+       CAST(LEAST(cap, allowed - k * cap) AS BIGINT) AS n_fetched
+FROM k
 """
 
 
@@ -5818,6 +6021,10 @@ JOIN embeddings eb ON p.doc_b = eb.vec_id
 # from CORRECTNESS_r*.json + per-query source fingerprints) — run it
 # after any registry/query edit; re-derive + --update each round end.
 REGISTRY = {
+    # -- new in r9
+    "web_crawl_bfs_seeded": (q_web_crawl_bfs_seeded,
+                             SQL_WEB_CRAWL_BFS_SEEDED),
+    "web_crawl_schedule": (q_web_crawl_schedule, SQL_WEB_CRAWL_SCHEDULE),
     # -- new in r8
     "mm_decode": (q_mm_decode, SQL_MM_DECODE),
     "text_bpe_tokens": (q_text_bpe_tokens, _bpe_oracle_sql),

@@ -1532,6 +1532,83 @@ def test_crawl_bfs_matches_python_bfs(spark):
     assert got[0] == 0 and max(got.values()) >= 3  # genuinely multi-wave
 
 
+def test_seeded_bfs_matches_python_multisource(spark):
+    """web_crawl_bfs_seeded — sitemap seeds feeding the crawl-wave
+    scheduler — against an independent pure-Python multi-source BFS:
+    the seed set must be exactly the sitemap-coverage hosts with
+    n_new_seeds > 0 inside the BFS host space, every reached host
+    carries distance-to-nearest-seed, and odd SEED hosts appear (at
+    wave 0) even though no link edge can reach an odd host —
+    publisher discovery reaching where link discovery cannot."""
+    from collections import deque
+
+    import pyarrow.parquet as pq
+
+    from htmpark.queries import _BFS_HOSTS, REGISTRY, q_web_sitemap_coverage
+
+    seeds = sorted(r.host_num for r in
+                   q_web_sitemap_coverage(spark, SF)
+                   .where("n_new_seeds > 0").collect()
+                   if r.host_num < _BFS_HOSTS)
+    assert seeds and any(h % 2 == 1 for h in seeds)
+
+    fn, _ = REGISTRY["web_crawl_bfs_seeded"]
+    got = {r.host: r.wave for r in fn(spark, SF).collect()}
+
+    ids = pq.read_table(f"{SF}/documents.parquet",
+                        columns=["doc_id"]).column(0).to_pylist()
+    adj: dict = {}
+    for d in ids:
+        s = d % _BFS_HOSTS
+        adj.setdefault(s, set()).add(
+            (s * 2 + 2 * ((d // _BFS_HOSTS) % 3)) % _BFS_HOSTS)
+    want = {h: 0 for h in seeds}
+    q = deque(seeds)
+    while q:
+        h = q.popleft()
+        for n in sorted(adj.get(h, ())):
+            if n not in want:
+                want[n] = want[h] + 1
+                q.append(n)
+    assert got == want
+    # odd hosts appear exactly when seeded, always at wave 0
+    assert {h for h in got if h % 2 == 1} == {h for h in seeds if h % 2 == 1}
+    assert all(got[h] == 0 for h in got if h % 2 == 1)
+
+
+def test_crawl_schedule_budget_invariants(spark):
+    """web_crawl_schedule — politeness budgets pacing the seeded BFS:
+    per host, the scheduled fetches must drain EXACTLY its allowed
+    frontier targets, never exceed the per-wave token cap, start at the
+    host's BFS discovery wave, run contiguous waves with every
+    non-final wave saturated at cap (spill semantics) — and the token
+    budget must genuinely BIND at gate scale (some host spills)."""
+    import htmpark.queries as Q
+
+    dist = {r.host: r.wave
+            for r in Q.q_web_crawl_bfs_seeded(spark, SF).collect()}
+    allowed = {r.host_num: r.n_allowed_targets
+               for r in Q.q_web_crawl_frontier(spark, SF).collect()}
+    delays = {0: 5, 1: 2, 2: 10, 3: 1}  # hand-derived from _ROBOTS_TEXTS
+    rows = Q.q_web_crawl_schedule(spark, SF).collect()
+
+    by_host: dict = {}
+    for r in rows:
+        by_host.setdefault(r.host, []).append((r.wave, r.n_fetched))
+    assert set(by_host) == {h for h in dist if allowed.get(h, 0) > 0}
+    spilled = 0
+    for h, wf in by_host.items():
+        wf.sort()
+        cap = max(1, Q._SCHED_WINDOW_S // delays[h % 4])
+        waves = [w for w, _ in wf]
+        assert waves == list(range(dist[h], dist[h] + len(wf)))
+        assert sum(n for _, n in wf) == allowed[h]
+        assert all(0 < n <= cap for _, n in wf)
+        assert all(n == cap for _, n in wf[:-1])  # only the last underfills
+        spilled += len(wf) > 1
+    assert spilled > 0
+
+
 def test_unres_hex_re_is_exactly_the_unreserved_set():
     """_UNRES_HEX_RE — the decode gate all three canon implementations
     (Spark rlike, DuckDB regexp_matches, Python re.match) share — must

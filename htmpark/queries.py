@@ -5810,6 +5810,58 @@ FROM documents
 """
 
 
+def q_warc_wet_export(spark, sf_dir):
+    """WET-style text-record export round trip (r8 verdict item 5):
+    warc.py wrote only ``response`` records, but the standard product
+    of an EXTRACTION pipeline is the WET conversion record.  Wrap each
+    document as a page, extract its text through the REAL engine (the
+    flagship _parse_docs mapInPandas path), export WET ``conversion``
+    shards (write_wet_shards), read them back (read_wet), and emit
+    per-url payload byte count + payload md5 + record timestamp.  The
+    oracle recomputes all three straight from the documents table
+    (extraction of the plain wrap is byte-identical to documents.text —
+    the html_parse_extract contract), so a defect in extraction, WET
+    framing, gzip, or the conversion-record reader breaks the hash;
+    the md5 column pins CONTENT, not just length.
+
+    Scale shape: the extract leg is the flagship plan; the export is
+    shard-per-partition with an audited manifest (no page bytes on the
+    driver); re-import is one task per shard with streamed record
+    splitting — same lifecycle as q_warc_round_trip (tmp sink tracked
+    in _STREAM_SINK_DIRS, reclaimed at teardown)."""
+    import tempfile
+
+    from .warc import read_wet, write_wet_shards
+
+    pre, post = _WRAP_PLAIN
+    txt = _parse_docs(spark, sf_dir, pre, post).select(
+        F.concat(F.lit("https://docs.example.com/"),
+                 F.col("doc_id")).alias("url"),
+        F.lit("2024-01-01T00:00:00").cast("timestamp_ntz")
+        .alias("warc_ts"),
+        "text")
+    out = tempfile.mkdtemp(prefix="htmpark_wet_gate_")
+    _STREAM_SINK_DIRS.append(out)
+    write_wet_shards(txt.repartition(8, "url"), out)
+    back = read_wet(spark, out)
+    return back.where(F.col("text").isNotNull()).select(
+        "url",
+        F.length(F.encode(F.col("text"), "UTF-8")).alias("n_bytes"),
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("text_md5"),
+        F.expr("timestampdiff(MICROSECOND, "
+               "TIMESTAMP_NTZ '1970-01-01 00:00:00', warc_ts)")
+        .alias("ts_us"))
+
+
+SQL_WARC_WET_EXPORT = """
+SELECT 'https://docs.example.com/' || doc_id AS url,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       md5(text) AS text_md5,
+       CAST(1704067200000000 AS BIGINT) AS ts_us
+FROM documents
+"""
+
+
 def q_stream_warc_ingest(spark, sf_dir):
     """Continuous crawl ingest as a REAL Structured-Streaming query in
     the gate: the same WARC export as warc_round_trip, then a
@@ -6025,6 +6077,7 @@ REGISTRY = {
     "web_crawl_bfs_seeded": (q_web_crawl_bfs_seeded,
                              SQL_WEB_CRAWL_BFS_SEEDED),
     "web_crawl_schedule": (q_web_crawl_schedule, SQL_WEB_CRAWL_SCHEDULE),
+    "warc_wet_export": (q_warc_wet_export, SQL_WARC_WET_EXPORT),
     # -- new in r8
     "mm_decode": (q_mm_decode, SQL_MM_DECODE),
     "text_bpe_tokens": (q_text_bpe_tokens, _bpe_oracle_sql),

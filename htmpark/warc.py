@@ -336,6 +336,68 @@ def _split_shard_batches(batches):
                 yield frame(rows)
 
 
+READ_WET_SCHEMA = ("url string, warc_ts timestamp_ntz, text string, "
+                   "shard string, shard_truncated int")
+
+
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """WET twin of :func:`read_warc`: ``conversion`` records (text/plain
+    payload — the extracted-text product) from a directory of
+    ``.warc.wet`` / ``.warc.wet.gz`` shards -> ``(url, warc_ts, text,
+    shard, shard_truncated)``.  Same one-task-per-shard binaryFile scan,
+    same streamed bounded-batch record splitting, same html-NULL-style
+    lineage sentinel (here text-NULL) for rotten shard tails.  Text
+    decodes as UTF-8 with surrogateescape so undecodable payload bytes
+    round-trip instead of corrupting silently."""
+    files = (spark.read.format("binaryFile")
+             .option("pathGlobFilter", "*.wet*")
+             .load(path)
+             .select("path", "content"))
+    return files.mapInPandas(_split_wet_batches, READ_WET_SCHEMA)
+
+
+def _split_wet_batches(batches):
+    """mapInPandas splitter for WET shards — the ``conversion``-record
+    mirror of :func:`_split_shard_batches` (kept separate, not
+    parameterized: the response path's batching counts PAYLOAD bytes
+    after the HTTP strip and is pinned by the property tests; sharing a
+    core would couple the two record grammars for ~20 saved lines)."""
+    import pandas as pd
+
+    def frame(rows):
+        url, ts, text, shard, trunc = zip(*rows)
+        return pd.DataFrame({
+            "url": pd.Series(url, dtype="object"),
+            "warc_ts": pd.to_datetime(pd.Series(ts, dtype="object")),
+            "text": pd.Series(text, dtype="object"),
+            "shard": pd.Series(shard, dtype="object"),
+            "shard_truncated": pd.Series(trunc, dtype="int32"),
+        })
+
+    for pdf in batches:
+        for p, content in zip(pdf["path"], pdf["content"]):
+            buf = (content if isinstance(content, (bytes, bytearray))
+                   else bytes(content))
+            rows, nbytes = [], 0
+            try:
+                for hdr, body in iter_warc_records(buf):
+                    if hdr.get("warc-type") != "conversion":
+                        continue
+                    rows.append((hdr.get("warc-target-uri", ""),
+                                 _parse_warc_date(hdr.get("warc-date", "")),
+                                 body.decode("utf-8", "surrogateescape"),
+                                 p, 0))
+                    nbytes += len(body)
+                    if (len(rows) >= _BATCH_ROWS
+                            or nbytes >= _BATCH_BYTES):
+                        yield frame(rows)
+                        rows, nbytes = [], 0
+            except ValueError:
+                rows.append((None, None, None, p, 1))  # lineage sentinel
+            if rows:
+                yield frame(rows)
+
+
 def write_warc(path: str, records, gzip_members: bool = False) -> int:
     """Deterministic WARC writer (tests + the export sink twin).
 
@@ -345,6 +407,14 @@ def write_warc(path: str, records, gzip_members: bool = False) -> int:
     per record; zlib carries no mtime, so output is byte-deterministic).
     Returns the record count."""
     return _append_warc(path, records, gzip_members, fresh=True)
+
+
+def write_wet(path: str, records, gzip_members: bool = False) -> int:
+    """Deterministic WET writer — ``conversion`` records whose block IS
+    the extracted text (the Common Crawl WET product, the standard
+    extraction output format).  ``records``: iterable of ``(url,
+    warc_date_str, text_str)``; framing in :func:`_append_wet`."""
+    return _append_wet(path, records, gzip_members, fresh=True)
 
 
 def write_warc_shards(df: DataFrame, out_dir: str,
@@ -365,12 +435,34 @@ def write_warc_shards(df: DataFrame, out_dir: str,
 
     Urls containing raw CR/LF are written percent-encoded and stay that
     way on re-import (see :func:`_hdr_value` for the rationale)."""
+    return _write_shards(df, out_dir, "html", bytes,
+                         ".warc.gz" if gzip_members else ".warc",
+                         _append_warc, gzip_members)
+
+
+def write_wet_shards(df: DataFrame, out_dir: str,
+                     gzip_members: bool = True) -> list:
+    """Distributed WET export — the ``conversion``-record twin of
+    :func:`write_warc_shards` for the pipeline's extracted TEXT output
+    (one ``.warc.wet[.gz]`` shard per partition, same audited-manifest
+    contract).  Input frame: ``(url, warc_ts, text)``."""
+    return _write_shards(df, out_dir, "text", str,
+                         ".warc.wet.gz" if gzip_members else ".warc.wet",
+                         _append_wet, gzip_members)
+
+
+def _write_shards(df: DataFrame, out_dir: str, payload_col: str,
+                  payload_cast, ext: str, append_fn,
+                  gzip_members: bool) -> list:
+    """Shared shard-per-partition export core for the WARC (response)
+    and WET (conversion) sinks: streams each partition through
+    ``append_fn`` into ``{out_dir}/part-{pid:05d}{ext}`` and returns the
+    collected manifest ``[(shard, n_records, n_bytes)]``."""
     import os
 
     import pandas as pd
 
     os.makedirs(out_dir, exist_ok=True)
-    ext = ".warc.gz" if gzip_members else ".warc"
 
     def dump(batches):
         from pyspark import TaskContext
@@ -384,17 +476,17 @@ def write_warc_shards(df: DataFrame, out_dir: str,
             dates = (pd.to_datetime(pdf["warc_ts"])
                      .dt.strftime("%Y-%m-%dT%H:%M:%SZ")
                      .fillna(""))
-            recs = [(url, date_s, bytes(html))
-                    for url, date_s, html in zip(pdf["url"], dates,
-                                                 pdf["html"])]
-            # append mode: write_warc opens fresh, so buffer per batch
-            n += _append_warc(path, recs, gzip_members, fresh=(n == 0))
+            recs = [(url, date_s, payload_cast(payload))
+                    for url, date_s, payload in zip(pdf["url"], dates,
+                                                    pdf[payload_col])]
+            # append mode: append_fn opens fresh only on the first batch
+            n += append_fn(path, recs, gzip_members, fresh=(n == 0))
         size = os.path.getsize(path) if n else 0
         yield pd.DataFrame({"shard": pd.Series([path], dtype="object"),
                             "n_records": pd.Series([n], dtype="int64"),
                             "n_bytes": pd.Series([size], dtype="int64")})
 
-    manifest = (df.select("url", "warc_ts", "html")
+    manifest = (df.select("url", "warc_ts", payload_col)
                 .mapInPandas(dump, "shard string, n_records long, "
                                    "n_bytes long")
                 .collect())
@@ -436,6 +528,40 @@ def _append_warc(path: str, records, gzip_members: bool,
                    f"Content-Type: application/http; msgtype=response\r\n"
                    f"Content-Length: {len(http)}\r\n\r\n").encode("utf-8")
             rec = hdr + http + _CRLF2
+            if gzip_members:
+                gz = zlib.compressobj(9, zlib.DEFLATED, 31)
+                rec = gz.compress(rec) + gz.flush()
+            f.write(rec)
+            n += 1
+    return n
+
+
+def _append_wet(path: str, records, gzip_members: bool,
+                fresh: bool) -> int:
+    """WET framing: ``conversion`` records whose block IS the extracted
+    text (``Content-Type: text/plain`` — the Common Crawl WET layout;
+    no HTTP wrapper, unlike response records).  ``WARC-Refers-To`` is
+    the md5-urn of the record's own url — a DETERMINISTIC stand-in for
+    the originating response record's uuid (this writer keeps no
+    record-id registry, and byte-determinism is what the round-trip
+    oracle and the gzip tests pin).  Text encodes as UTF-8 with
+    surrogateescape, the exact inverse of :func:`read_wet`'s decode."""
+    import hashlib
+
+    n = 0
+    with open(path, "wb" if fresh else "ab") as f:
+        for url, date_s, text in records:
+            block = text.encode("utf-8", "surrogateescape")
+            refers = hashlib.md5(
+                _hdr_value(url).encode("utf-8")).hexdigest()
+            hdr = (f"WARC/1.0\r\n"
+                   f"WARC-Type: conversion\r\n"
+                   f"WARC-Target-URI: {_hdr_value(url)}\r\n"
+                   f"WARC-Date: {_hdr_value(date_s)}\r\n"
+                   f"WARC-Refers-To: <urn:md5:{refers}>\r\n"
+                   f"Content-Type: text/plain\r\n"
+                   f"Content-Length: {len(block)}\r\n\r\n").encode("utf-8")
+            rec = hdr + block + _CRLF2
             if gzip_members:
                 gz = zlib.compressobj(9, zlib.DEFLATED, 31)
                 rec = gz.compress(rec) + gz.flush()

@@ -330,3 +330,103 @@ def test_warc_round_trip_property(tmp_path):
         assert got == [(u, b) for u, b in recs]
 
     check()
+
+
+WET_DOCS = [
+    ("https://a.example.com/p/1", "2024-01-01T00:00:00Z",
+     "one & done\nsecond line"),
+    ("https://b.example.com/", "2024-01-02T12:30:45Z", "two"),
+    # text with CRLFCRLF inside: Content-Length framing carries it;
+    # non-ASCII exercises the UTF-8 encode/decode pair
+    ("https://c.example.com/x?q=1", "2024-03-05T23:59:59Z",
+     "drei ü vier\r\n\r\nfünf"),
+]
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_wet_round_trip(tmp_path, gz):
+    """WET conversion records: text/plain block (no HTTP wrapper),
+    deterministic md5-urn WARC-Refers-To, byte-exact text round trip."""
+    import hashlib
+
+    from htmpark.warc import write_wet
+
+    p = str(tmp_path / ("t.warc.wet.gz" if gz else "t.warc.wet"))
+    assert write_wet(p, WET_DOCS, gzip_members=gz) == 3
+    raw = open(p, "rb").read()
+    if gz:
+        assert raw.startswith(b"\x1f\x8b")
+    recs = list(iter_warc_records(raw))
+    assert len(recs) == 3
+    for (url, date_s, text), (hdr, body) in zip(WET_DOCS, recs):
+        assert hdr["warc-type"] == "conversion"
+        assert hdr["content-type"] == "text/plain"
+        assert hdr["warc-target-uri"] == url
+        assert hdr["warc-date"] == date_s
+        assert hdr["warc-refers-to"] == \
+            f"<urn:md5:{hashlib.md5(url.encode()).hexdigest()}>"
+        # the block IS the text: no HTTP header strip on conversion
+        assert body == text.encode("utf-8")
+
+
+def test_wet_writer_is_deterministic(tmp_path):
+    from htmpark.warc import write_wet
+
+    a, b = str(tmp_path / "a.warc.wet.gz"), str(tmp_path / "b.warc.wet.gz")
+    write_wet(a, WET_DOCS, gzip_members=True)
+    write_wet(b, WET_DOCS, gzip_members=True)
+    assert open(a, "rb").read() == open(b, "rb").read()
+
+
+def test_wet_surrogateescape_round_trip(tmp_path):
+    """Undecodable payload bytes survive write->read via surrogateescape
+    (the writer's encode is the exact inverse of the reader's decode)."""
+    from htmpark.warc import write_wet
+
+    text = b"raw \xff bytes".decode("utf-8", "surrogateescape")
+    p = str(tmp_path / "s.warc.wet")
+    write_wet(p, [("https://s.example.com/", "2024-01-01T00:00:00Z", text)])
+    (hdr, body), = iter_warc_records(open(p, "rb").read())
+    assert body == b"raw \xff bytes"
+    assert body.decode("utf-8", "surrogateescape") == text
+
+
+def test_write_wet_shards_round_trip(spark, tmp_path):
+    """Distributed WET export: one .warc.wet.gz shard per partition,
+    audited manifest, read_wet round-trips text + timestamps exactly and
+    response-record readers ignore conversion shards (type filter)."""
+    from htmpark.warc import read_wet, write_wet_shards
+
+    df = spark.createDataFrame(
+        [(u, datetime.datetime(2024, 1, 1), t) for u, _d, t in WET_DOCS],
+        "url string, warc_ts timestamp_ntz, text string").repartition(2, "url")
+    out = str(tmp_path / "wet_shards")
+    manifest = write_wet_shards(df, out)
+    assert sum(n for _, n, _ in manifest) == 3
+    assert all(s.endswith(".warc.wet.gz") for s, _, _ in manifest)
+
+    back = {r.url: (r.warc_ts, r.text)
+            for r in read_wet(spark, out).collect()}
+    assert back == {u: (datetime.datetime(2024, 1, 1), t)
+                    for u, _d, t in WET_DOCS}
+
+
+def test_read_wet_rotten_shard_sentinel(spark, tmp_path):
+    """A WET shard with a rotten tail yields its readable prefix plus ONE
+    text-NULL lineage sentinel row (shard_truncated = 1)."""
+    from htmpark.warc import write_wet
+
+    src = str(tmp_path / "rot")
+    os.makedirs(src)
+    p = os.path.join(src, "r.warc.wet")
+    write_wet(p, WET_DOCS[:2])
+    with open(p, "ab") as f:
+        f.write(b"WARC/1.0\r\nWARC-Type: conversion\r\n"
+                b"Content-Length: 999\r\n\r\ncut")
+    from htmpark.warc import read_wet
+
+    rows = read_wet(spark, src).collect()
+    ok = [r for r in rows if r.shard_truncated == 0]
+    bad = [r for r in rows if r.shard_truncated == 1]
+    assert {r.url for r in ok} == {u for u, _d, _t in WET_DOCS[:2]}
+    assert len(bad) == 1 and bad[0].text is None and bad[0].url is None

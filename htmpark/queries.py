@@ -3727,21 +3727,44 @@ FROM documents
 """
 
 
+# Gopher-family repetition gate (the thresholds are this engine's, in
+# the Gopher rule FAMILY — count-based, not the paper's character-mass
+# ratios): the heaviest bigram may carry at most 8% of a doc's bigrams
+# and at least 30% of its words must be distinct.  The LM gate is
+# RELATIVE — a fixed centibit floor would break on scale-up because
+# mean floor(log2(cf)) shifts by ~log2(corpus growth); instead a doc
+# passes when its lm_cb is within _LM_SLACK_CB of the corpus-mean
+# centibits (both exact integers), which is scale-free by construction.
+_GOPHER_MAX_REP_BP = 800
+_GOPHER_MIN_DISTINCT_BP = 3000
+_LM_SLACK_CB = 20
+
+
 def q_curation_pipeline(spark, sf_dir, clusters: DataFrame | None = None):
     """Capstone training-data curation: one pass over the corpus combining
-    the quality gate, exact dedup (keep the min doc_id per md5 group), and
-    near-dup cluster keep-one (keep only each MinHash cluster's min doc_id)
-    into a per-document keep/drop verdict with per-rule flags.
+    the quality gate, exact dedup (keep the min doc_id per md5 group),
+    near-dup cluster keep-one (keep only each MinHash cluster's min
+    doc_id), the Gopher-family repetition gate (q_text_repetition's
+    rep_bp + distinct-word ratio vs _GOPHER_*), and the relative
+    unigram-LM gate (q_text_unigram_lm's centibits within _LM_SLACK_CB
+    of the corpus mean) into a per-document keep/drop verdict with
+    per-rule flags — r8 verdict item 6: the repetition and LM signals
+    existed standalone but the capstone's verdict ignored them.
 
-    Scale shape: quality flags fuse with the scan; the exact-dedup keep set
-    is a groupBy on the md5 key joined back (at 10^12 docs both sides
-    shuffle on the 128-bit hash — co-partitioned, no broadcast needed); the
-    near-dup verdict left-joins the (tiny relative to corpus) cluster
-    assignment.  kept = all three gates pass — exactly the boolean algebra
-    a curation DAG applies before tokenization.  ``clusters``: injectable
-    precomputed assignment; the default recomputes clusters over the SHARED
-    candidate-pairs materialization (see candidate_pairs), so the expensive
-    minhash subtree is built once per session across the dedup family."""
+    Scale shape: quality flags fuse with the scan; the exact-dedup keep
+    set is a groupBy on the md5 key joined back (at 10^12 docs both
+    sides shuffle on the 128-bit hash — co-partitioned, no broadcast
+    needed); the near-dup verdict left-joins the (tiny relative to
+    corpus) cluster assignment; the repetition and LM signal frames
+    left-join on doc_id (in a production DAG these are precomputed
+    signal columns written by one pass — here the composition recomputes
+    them, still all keyed partial-agg shuffles).  The corpus-mean
+    centibits is ONE scalar from a global agg of the per-doc LM frame,
+    broadcast into the flag expression.  kept = all five gates pass.
+    ``clusters``: injectable precomputed assignment; the default
+    recomputes clusters over the SHARED candidate-pairs materialization
+    (see candidate_pairs), so the expensive minhash subtree is built
+    once per session across the dedup family."""
     d = t(spark, sf_dir, "documents")
     words = F.split("text", " ")
     n_words = F.size(words)
@@ -3765,15 +3788,40 @@ def q_curation_pipeline(spark, sf_dir, clusters: DataFrame | None = None):
         "doc_id", "q", "x",
         (F.col("cluster_id").isNull()
          | (F.col("cluster_id") == F.col("doc_id"))).alias("n"))
-    return nd.select(
+    rep = q_text_repetition(spark, sf_dir).select(
+        "doc_id",
+        ((F.col("rep_bp") <= _GOPHER_MAX_REP_BP)
+         & (F.col("n_distinct_words") * 10000
+            >= _GOPHER_MIN_DISTINCT_BP * F.col("n_words"))).alias("g"))
+    lm = q_text_unigram_lm(spark, sf_dir)
+    corpus = lm.agg(F.expr("sum(lm_num) * 100 DIV sum(n_tokens)")
+                    .alias("corpus_cb"))
+    lmf = (lm.crossJoin(F.broadcast(corpus))
+           .select("doc_id",
+                   (F.col("lm_cb") + _LM_SLACK_CB
+                    >= F.col("corpus_cb")).alias("l")))
+    # docs too short to carry a signal row (no bigram / no token) pass
+    # that gate by default — absence of evidence is not a drop verdict
+    out = (nd.join(rep, "doc_id", "left").join(lmf, "doc_id", "left")
+           .withColumn("g", F.coalesce("g", F.lit(True)))
+           .withColumn("l", F.coalesce("l", F.lit(True))))
+    return out.select(
         "doc_id",
         F.col("q").cast("int").alias("quality_ok"),
         F.col("x").cast("int").alias("exact_keep"),
         F.col("n").cast("int").alias("neardup_keep"),
-        (F.col("q") & F.col("x") & F.col("n")).cast("int").alias("kept"))
+        F.col("g").cast("int").alias("gopher_ok"),
+        F.col("l").cast("int").alias("lm_ok"),
+        (F.col("q") & F.col("x") & F.col("n") & F.col("g") & F.col("l"))
+        .cast("int").alias("kept"))
 
 
-SQL_CURATION_PIPELINE = f"""
+def SQL_CURATION_PIPELINE(_sf_dir: str) -> str:
+    """Callable oracle (resolve_sql): the capstone's SQL composes
+    SQL_TEXT_REPETITION and SQL_TEXT_UNIGRAM_LM, which are defined
+    LATER in this module — late binding through a callable keeps one
+    definition per oracle instead of a forward copy."""
+    return f"""
 WITH RECURSIVE pairs AS ({SQL_DEDUP_MINHASH_PAIRS}),
 edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -3799,16 +3847,37 @@ flagged AS (
               >= len(string_split(text, ' '))) AS q
   FROM documents
 ),
-keepers AS (SELECT h, MIN(doc_id) AS keep_id FROM flagged GROUP BY h)
+keepers AS (SELECT h, MIN(doc_id) AS keep_id FROM flagged GROUP BY h),
+rep AS ({SQL_TEXT_REPETITION}),
+gf AS (
+  SELECT doc_id,
+         (rep_bp <= {_GOPHER_MAX_REP_BP}
+          AND n_distinct_words * 10000
+              >= {_GOPHER_MIN_DISTINCT_BP} * n_words) AS g
+  FROM rep
+),
+lmdoc AS ({SQL_TEXT_UNIGRAM_LM}),
+lmc AS (SELECT CAST(SUM(lm_num) * 100 // SUM(n_tokens) AS BIGINT)
+          AS corpus_cb FROM lmdoc),
+lf AS (
+  SELECT doc_id, (lm_cb + {_LM_SLACK_CB} >= lmc.corpus_cb) AS l
+  FROM lmdoc CROSS JOIN lmc
+)
 SELECT f.doc_id,
        CAST(f.q AS INT) AS quality_ok,
        CAST(f.doc_id = k.keep_id AS INT) AS exact_keep,
        CAST(c.cluster_id IS NULL OR c.cluster_id = f.doc_id AS INT) AS neardup_keep,
+       CAST(COALESCE(gf.g, TRUE) AS INT) AS gopher_ok,
+       CAST(COALESCE(lf.l, TRUE) AS INT) AS lm_ok,
        CAST(f.q AND f.doc_id = k.keep_id
-            AND (c.cluster_id IS NULL OR c.cluster_id = f.doc_id) AS INT) AS kept
+            AND (c.cluster_id IS NULL OR c.cluster_id = f.doc_id)
+            AND COALESCE(gf.g, TRUE) AND COALESCE(lf.l, TRUE)
+            AS INT) AS kept
 FROM flagged f
 JOIN keepers k USING (h)
 LEFT JOIN clusters c ON c.doc_id = f.doc_id
+LEFT JOIN gf ON gf.doc_id = f.doc_id
+LEFT JOIN lf ON lf.doc_id = f.doc_id
 """
 
 

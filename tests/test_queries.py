@@ -178,6 +178,34 @@ def test_probe_join_scale_guard(spark):
     assert approx <= exact
 
 
+def test_curation_composes_gopher_and_lm_gates(spark):
+    """The curation capstone's verdict must consume the repetition and
+    unigram-LM signals (r8 verdict item 6): each flag matches the
+    standalone signal query recomputed against the capstone's own
+    thresholds, both gates genuinely discriminate at gate scale (some
+    0s AND some 1s), and kept == AND of all five flags."""
+    import htmpark.queries as Q
+
+    rows = {r.doc_id: r for r in Q.q_curation_pipeline(spark, SF).collect()}
+    rep = {r.doc_id: r for r in Q.q_text_repetition(spark, SF).collect()}
+    lm = {r.doc_id: r.lm_cb for r in Q.q_text_unigram_lm(spark, SF).collect()}
+    corpus_cb = (sum(r.lm_num for r in
+                     Q.q_text_unigram_lm(spark, SF).collect())
+                 * 100 // sum(r.n_tokens for r in
+                              Q.q_text_unigram_lm(spark, SF).collect()))
+    for did, r in rows.items():
+        want_g = int(rep[did].rep_bp <= Q._GOPHER_MAX_REP_BP
+                     and rep[did].n_distinct_words * 10000
+                     >= Q._GOPHER_MIN_DISTINCT_BP * rep[did].n_words)
+        assert r.gopher_ok == want_g, did
+        assert r.lm_ok == int(lm[did] + Q._LM_SLACK_CB >= corpus_cb), did
+        assert r.kept == (r.quality_ok & r.exact_keep & r.neardup_keep
+                          & r.gopher_ok & r.lm_ok), did
+    for col in ("gopher_ok", "lm_ok"):
+        vals = {getattr(r, col) for r in rows.values()}
+        assert vals == {0, 1}, col
+
+
 def test_probe_rows_upper_bound(tmp_path):
     """The probe-regime crossover reads a SOUND upper bound from parquet
     row-group min/max stats (r8 verdict item 7): exact on dense ids,

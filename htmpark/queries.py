@@ -4213,6 +4213,79 @@ def _pct_norm_expr(split_col: str):
         "ELSE concat('%', s) END)))")
 
 
+def _idn_to_ascii(url: str) -> str:
+    """IDNA-ASCII the authority of ``url`` (RFC 3490 ToASCII over RFC
+    3492 punycode, stdlib-only): each non-ASCII host label is NFC-
+    normalized, lowercased, punycode-encoded and given the ``xn--`` ACE
+    prefix; ASCII labels pass through untouched (case/port/www handling
+    stays the canon fold's job).  Scheme, userinfo, port, path, query,
+    fragment are preserved byte-for-byte.  UTS 46 mapping beyond
+    NFC+lowercase (deviation characters, bidi checks) is out of scope —
+    a documented stdlib-only approximation, differentially pinned
+    against the stdlib ``idna`` codec on the fixture set.  Labels the
+    codec cannot encode pass through unchanged (a malformed host must
+    not crash the canon stage; it simply keeps a non-ASCII key)."""
+    import unicodedata
+
+    sep = url.find("://")
+    if sep < 0:
+        return url
+    rest = url[sep + 3:]
+    cut = len(rest)
+    for ch in "/?#":
+        p = rest.find(ch)
+        if p >= 0:
+            cut = min(cut, p)
+    auth, tail = rest[:cut], rest[cut:]
+    if auth.isascii():
+        return url
+    userinfo, hostport = (auth.rsplit("@", 1) + [""])[:2] \
+        if "@" in auth else ("", auth)
+    host, _, port = hostport.partition(":")
+    labels = []
+    for lab in host.split("."):
+        if lab.isascii():
+            labels.append(lab)
+        else:
+            try:
+                norm = unicodedata.normalize("NFC", lab.lower())
+                labels.append(
+                    "xn--" + norm.encode("punycode").decode("ascii"))
+            except UnicodeError:
+                labels.append(lab)
+    out = ".".join(labels) + ((":" + port) if port else "")
+    if userinfo:
+        out = userinfo + "@" + out
+    return url[:sep + 3] + out + tail
+
+
+def idn_ascii_urls(df):
+    """IDN pre-stage for the canon fold: urls whose bytes are all ASCII
+    — the overwhelming share of any real crawl — take the untouched
+    whole-stage-codegen fast path; only rows carrying non-ASCII route
+    through ONE vectorized Arrow stage that IDNA-ASCIIs the authority
+    (_idn_to_ascii).  _with_canon_url's host rules then apply uniformly
+    to the resulting ASCII keys, so Unicode and punycode spellings of
+    one host alias the same canon_url/surt_key.
+
+    Scale shape: the split is a row-local rlike; the union's two
+    branches re-evaluate the upstream subtree, so apply this right
+    after URL extraction (a cheap projection), not atop an expensive
+    pipeline leg.  The slow branch is proportional to the IDN sliver,
+    never the corpus."""
+    ascii_re = "^[\\x00-\\x7F]*$"
+    fast = df.where(F.col("url").rlike(ascii_re))
+    slow = df.where(~F.col("url").rlike(ascii_re))
+
+    def enc(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["url"] = [_idn_to_ascii(u) for u in pdf["url"]]
+            yield pdf
+
+    return fast.unionByName(slow.mapInPandas(enc, df.schema))
+
+
 def _with_canon_url(df):
     """Add ``canon_url`` + ``surt_key`` columns derived from ``url`` —
     pure row-local string/array expressions (split/substring_index/
@@ -4228,7 +4301,12 @@ def _with_canon_url(df):
     identically; '?Z=1&%61=2' canonicalizes to 'Z=1&a=2', not the
     raw-byte order '%61=2&Z=1'), trailing slash trimmed.
     Shared by q_web_url_canonical (synthetic mess) and
-    q_web_outlink_canonical (parser-extracted hrefs)."""
+    q_web_outlink_canonical (parser-extracted hrefs).
+
+    Hosts are expected IDNA-ASCII: ``idn_ascii_urls`` is the pre-stage
+    that punycodes Unicode authorities (r8 verdict item 4); a Unicode
+    host reaching this fold directly keeps a consistent but
+    non-interoperable Unicode key."""
     nofrag = F.substring_index(F.col("url"), "#", 1)
     base = F.substring_index(nofrag, "?", 1)
     query = F.when(nofrag.contains("?"),
@@ -4299,11 +4377,20 @@ def q_web_url_canonical(spark, sf_dir):
     Scale shape: pure row-local string/array expressions (split,
     array_sort, reverse, concat) inside whole-stage codegen — no
     shuffle, no UDF; the canonical key then feeds the standard exact
-    groupBy dedup (map-side combine), same as dedup_exact."""
+    groupBy dedup (map-side combine), same as dedup_exact.  IDN rows
+    (the BÜcher./中文. fixture labels) route through the idn_ascii_urls
+    pre-stage — ASCII rows stay on the codegen fast path."""
     d = t(spark, sf_dir, "documents").select("doc_id")
     url = F.concat(
         F.when(F.col("doc_id") % 2 == 0, F.lit("HTTP://")).otherwise(F.lit("https://")),
         F.when(F.col("doc_id") % 5 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        # IDN labels (r8 verdict item 4): a Latin-diacritic and a CJK
+        # Unicode host label that must canonicalize to their punycode
+        # ACE forms (pinned against the stdlib idna codec in tests) —
+        # mixed case exercises the IDNA lowercase fold
+        F.when(F.col("doc_id") % 13 == 3, F.lit("BÜcher."))
+         .when(F.col("doc_id") % 13 == 7, F.lit("中文."))
+         .otherwise(F.lit("")),
         F.lit("Site"), (F.col("doc_id") % 7).cast("string"),
         F.lit(".Example.COM"),
         # ports cover all four scheme pairings: doc_id%3==0 -> :80
@@ -4334,9 +4421,12 @@ def q_web_url_canonical(spark, sf_dir):
          .when(F.col("doc_id") % 2 == 0, F.lit("?b=2&a=1"))
          .otherwise(F.lit("?a=1&b=2")),
         F.when(F.col("doc_id") % 6 == 0, F.lit("#frag")).otherwise(F.lit("")))
-    u = d.select("doc_id", url.alias("url"))
-    return (_with_canon_url(u)
-            .select("doc_id", "url", "canon_url", "surt_key"))
+    # the pre-stage rewrites ``url`` (its consumers canonicalize); the
+    # gate output reports the ORIGINAL spelling next to its canon key
+    u = d.select("doc_id", url.alias("url"), url.alias("_orig_url"))
+    return (_with_canon_url(idn_ascii_urls(u))
+            .select("doc_id", F.col("_orig_url").alias("url"),
+                    "canon_url", "surt_key"))
 
 
 def _duck_pct_fold(col: str) -> str:
@@ -4361,6 +4451,8 @@ WITH u AS (
   SELECT doc_id,
          (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END)
          || (CASE WHEN doc_id % 5 = 0 THEN 'WWW.' ELSE '' END)
+         || (CASE WHEN doc_id % 13 = 3 THEN 'BÜcher.'
+                  WHEN doc_id % 13 = 7 THEN '中文.' ELSE '' END)
          || 'Site' || (doc_id % 7) || '.Example.COM'
          || (CASE WHEN doc_id % 11 = 0 THEN '.' ELSE '' END)
          || (CASE WHEN doc_id % 3 = 0 THEN ':80'
@@ -4393,7 +4485,12 @@ WITH u AS (
 ), comp1 AS (
   SELECT doc_id, url, query, scheme, rest,
          -- port strip (scheme's own default) -> FQDN root-label dot
-         -- strip -> www. strip, same order as the engine
+         -- strip -> www. strip, same order as the engine; the IDN
+         -- fixture labels map to their HAND-PINNED punycode ACE forms
+         -- (xn--bcher-kva / xn--fiq228c, verified against the stdlib
+         -- idna codec in tests) — the analytic-oracle pattern, since
+         -- SQL has no punycode
+         replace(replace(
          regexp_replace(regexp_replace(
              CASE scheme
                WHEN 'http' THEN regexp_replace(
@@ -4401,7 +4498,8 @@ WITH u AS (
                WHEN 'https' THEN regexp_replace(
                  lower(split_part(rest, '/', 1)), ':443$', '')
                ELSE lower(split_part(rest, '/', 1))
-             END, '\\.$', ''), '^www\\.', '') AS host,
+             END, '\\.$', ''), '^www\\.', ''),
+           'bücher.', 'xn--bcher-kva.'), '中文.', 'xn--fiq228c.') AS host,
          regexp_replace(
              substr(rest, length(split_part(rest, '/', 1)) + 1),
              '/$', '') AS path0

@@ -1637,6 +1637,52 @@ def test_crawl_schedule_budget_invariants(spark):
     assert spilled > 0
 
 
+def test_idn_to_ascii_matches_stdlib_idna():
+    """_idn_to_ascii (r8 verdict item 4) differentially against the
+    stdlib ``idna`` codec on a Unicode-host fixture set: every encoded
+    label must equal the codec's ACE form; scheme, userinfo, port,
+    path, query, and fragment must survive byte-for-byte; all-ASCII
+    urls are returned identically (the fast-path contract)."""
+    from htmpark.queries import _idn_to_ascii
+
+    hosts = ["bücher", "münchen", "中文", "例え", "köln", "россия"]
+    for h in hosts:
+        ace = h.encode("idna").decode("ascii")
+        url = f"https://USER:pw@{h.upper()}.Example.COM:8443/P/q?x=1#f"
+        got = _idn_to_ascii(url)
+        assert got == (f"https://USER:pw@{ace}.Example.COM:8443"
+                       f"/P/q?x=1#f"), h
+    # mixed ASCII + Unicode labels: only the Unicode one encodes
+    assert _idn_to_ascii("http://www.中文.example.com/a") == \
+        "http://www.xn--fiq228c.example.com/a"
+    # all-ASCII identity, schemeless identity
+    for u in ("https://plain.example.com/a?b=1#c", "no-scheme/path"):
+        assert _idn_to_ascii(u) == u
+    # non-ASCII only outside the authority: authority untouched
+    assert _idn_to_ascii("https://a.example.com/päth") == \
+        "https://a.example.com/päth"
+
+
+def test_idn_spellings_alias_one_surt_key(spark):
+    """Unicode and punycode spellings of one host must canonicalize to
+    the SAME canon_url/surt_key through idn_ascii_urls + the shared
+    canon fold — the whole point of the pre-stage (a crawl dedup key
+    must not split on spelling)."""
+    from htmpark.queries import _with_canon_url, idn_ascii_urls
+
+    df = spark.createDataFrame(
+        [(0, "https://BÜCHER.example.com/x"),
+         (1, "https://xn--bcher-kva.example.com/x"),
+         (2, "https://ascii.example.com/x")],
+        "id int, url string")
+    out = {r.id: (r.canon_url, r.surt_key)
+           for r in _with_canon_url(idn_ascii_urls(df)).collect()}
+    assert out[0] == out[1]
+    assert out[0][0] == "https://xn--bcher-kva.example.com/x"
+    assert out[0][1] == "com,example,xn--bcher-kva)/x"
+    assert out[2][0] == "https://ascii.example.com/x"
+
+
 def test_unres_hex_re_is_exactly_the_unreserved_set():
     """_UNRES_HEX_RE — the decode gate all three canon implementations
     (Spark rlike, DuckDB regexp_matches, Python re.match) share — must

@@ -6240,79 +6240,42 @@ JOIN embeddings eb ON p.doc_b = eb.vec_id
 # from CORRECTNESS_r*.json + per-query source fingerprints) — run it
 # after any registry/query edit; re-derive + --update each round end.
 REGISTRY = {
-    # -- new in r9
-    "web_crawl_bfs_seeded": (q_web_crawl_bfs_seeded,
-                             SQL_WEB_CRAWL_BFS_SEEDED),
+    # -- new in r9: sitemap-seeded BFS + budget-paced schedule + WET
+    #    export
+    "web_crawl_bfs_seeded": (q_web_crawl_bfs_seeded, SQL_WEB_CRAWL_BFS_SEEDED),
     "web_crawl_schedule": (q_web_crawl_schedule, SQL_WEB_CRAWL_SCHEDULE),
     "warc_wet_export": (q_warc_wet_export, SQL_WARC_WET_EXPORT),
-    # -- new in r8
-    "mm_decode": (q_mm_decode, SQL_MM_DECODE),
-    "text_bpe_tokens": (q_text_bpe_tokens, _bpe_oracle_sql),
+    # -- changed in r9 (BFS loop refactor; probe-bound crossovers;
+    #    curation gate composition; IDN canon) -> window head
     "web_crawl_bfs": (q_web_crawl_bfs, SQL_WEB_CRAWL_BFS),
-    "web_sitemap_coverage": (q_web_sitemap_coverage,
-                             SQL_WEB_SITEMAP_COVERAGE),
-    # -- changed in r8 (broadcast/shuffle crossover gating: ngram-jaccard
-    #    probe join + the three host-dim broadcasts) -> window head
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
-    "web_robots_gate": (q_web_robots_gate, SQL_WEB_ROBOTS_GATE),
-    "web_crawl_frontier": (q_web_crawl_frontier, SQL_WEB_CRAWL_FRONTIER),
+    "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
+    "web_url_canonical": (q_web_url_canonical, SQL_WEB_URL_CANONICAL),
+    "text_decontamination": (q_text_decontamination, SQL_TEXT_DECONTAMINATION),
+    # -- shared-helper semantics changed in r9 (probe_count None ->
+    #    bucketed; _write_shards refactor; BMP offset floor) — windowed
+    #    per the manual reorder rule
+    "dedup_embedding_cosine": (q_dedup_embedding_cosine,
+                               SQL_DEDUP_EMBEDDING_COSINE),
+    "sim_topk_bruteforce": (q_sim_topk_bruteforce, SQL_SIM_TOPK_BRUTEFORCE),
+    "sim_quantized_topk": (q_sim_quantized_topk, SQL_SIM_QUANTIZED_TOPK),
+    "warc_round_trip": (q_warc_round_trip, SQL_WARC_ROUND_TRIP),
+    "stream_warc_ingest": (q_stream_warc_ingest, SQL_STREAM_WARC_INGEST),
+    "mm_decode": (q_mm_decode, SQL_MM_DECODE),
+    # -- immature (<3 driver greens): keep collecting rows
+    "text_bpe_tokens": (q_text_bpe_tokens, _bpe_oracle_sql),
+    "web_sitemap_coverage": (q_web_sitemap_coverage, SQL_WEB_SITEMAP_COVERAGE),
     "web_politeness_budget": (q_web_politeness_budget,
                               SQL_WEB_POLITENESS_BUDGET),
-    # -- r7's tail (no r7 driver row): rotate forward for fresh rows
-    "rel_pricing_summary": (q_rel_pricing_summary, SQL_REL_PRICING_SUMMARY),
-    "rel_top_revenue_nations": (q_rel_top_revenue_nations, SQL_REL_TOP_REVENUE_NATIONS),
-    "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
-    "dedup_substring": (q_dedup_substring, SQL_DEDUP_SUBSTRING),
-    "html_headings": (q_html_headings, SQL_HTML_HEADINGS),
-    "mm_frame_sample": (q_mm_frame_sample, SQL_MM_FRAME_SAMPLE),
-    "pdf_parse_extract": (q_pdf_parse_extract, SQL_PDF_PARSE_EXTRACT),
-    "rel_asof_attribution": (q_rel_asof_attribution, SQL_REL_ASOF_ATTRIBUTION),
-    "rel_events_gapfill": (q_rel_events_gapfill, SQL_REL_EVENTS_GAPFILL),
-    "rel_events_json": (q_rel_events_json, SQL_REL_EVENTS_JSON),
-    "rel_range_join": (q_rel_range_join, SQL_REL_RANGE_JOIN),
-    "rel_rolling_revenue": (q_rel_rolling_revenue, SQL_REL_ROLLING_REVENUE),
-    "rel_user_gap_stats": (q_rel_user_gap_stats, SQL_REL_USER_GAP_STATS),
-    "rel_value_percentiles": (q_rel_value_percentiles, SQL_REL_VALUE_PERCENTILES),
-    "sim_kmeans_update": (q_sim_kmeans_update, SQL_SIM_KMEANS_UPDATE),
-    "sketch_kminima_merge": (q_sketch_kminima_merge, SQL_SKETCH_KMINIMA_MERGE),
-    "stream_windowed_counts": (q_stream_windowed_counts, SQL_STREAM_WINDOWED_COUNTS),
-    "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING_COSINE),
-    "html_node_stats": (q_html_node_stats, SQL_HTML_NODE_STATS),
-    "html_node_table": (q_html_node_table, SQL_HTML_NODE_TABLE),
-    "html_parse_entities": (q_html_parse_entities, SQL_HTML_PARSE_ENTITIES),
-    "html_parse_extract": (q_html_parse_extract, SQL_HTML_PARSE_EXTRACT),
-    "rel_window_latest_orders": (q_rel_window_latest_orders, SQL_REL_WINDOW_LATEST_ORDERS),
-    "sim_topk_bruteforce": (q_sim_topk_bruteforce, SQL_SIM_TOPK_BRUTEFORCE),
-    # -- two prior driver-green rounds
-    "html_main_content": (q_html_main_content, SQL_HTML_MAIN_CONTENT),
-    "stream_warc_ingest": (q_stream_warc_ingest, SQL_STREAM_WARC_INGEST),
-    "web_outlink_canonical": (q_web_outlink_canonical,
-                              SQL_WEB_OUTLINK_CANONICAL),
-    # -- three prior driver-green rounds
-    "warc_round_trip": (q_warc_round_trip, SQL_WARC_ROUND_TRIP),
-    "web_url_canonical": (q_web_url_canonical, SQL_WEB_URL_CANONICAL),
-    "rel_event_funnel": (q_rel_event_funnel, SQL_REL_EVENT_FUNNEL),
-    "text_inverted_index": (q_text_inverted_index, SQL_TEXT_INVERTED_INDEX),
-    "dedup_winnowing": (q_dedup_winnowing, SQL_DEDUP_WINNOWING),
-    "text_unigram_lm": (q_text_unigram_lm, SQL_TEXT_UNIGRAM_LM),
-    "dedup_label_noise": (q_dedup_label_noise, SQL_DEDUP_LABEL_NOISE),
-    # -- four prior driver-green rounds
-    "text_hash_split": (q_text_hash_split, SQL_TEXT_HASH_SPLIT),
-    "text_stratified_sample": (q_text_stratified_sample, SQL_TEXT_STRATIFIED_SAMPLE),
-    "text_top_terms": (q_text_top_terms, SQL_TEXT_TOP_TERMS),
-    "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
-    "text_decontamination": (q_text_decontamination, SQL_TEXT_DECONTAMINATION),
-    "text_pack_sequences": (q_text_pack_sequences, SQL_TEXT_PACK_SEQUENCES),
-    "text_mixture_stats": (q_text_mixture_stats, SQL_TEXT_MIXTURE_STATS),
-    "sim_quantized_topk": (q_sim_quantized_topk, SQL_SIM_QUANTIZED_TOPK),
-    # -- five prior driver-green rounds (window fillers)
+    # -- r8 tail (no r8 driver row): rotate forward for fresh rows
     "text_token_count": (q_text_token_count, SQL_TEXT_TOKEN_COUNT),
     "mm_binary_meta": (q_mm_binary_meta, SQL_MM_BINARY_META),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
-    # -- tail (>50): >=3x driver-green, green in r7, untouched this round
     "sim_lsh_buckets": (q_sim_lsh_buckets, SQL_SIM_LSH_BUCKETS),
-    "rel_customers_without_orders": (q_rel_customers_without_orders, SQL_REL_CUSTOMERS_WITHOUT_ORDERS),
-    "rel_topk_expensive_parts": (q_rel_topk_expensive_parts, SQL_REL_TOPK_EXPENSIVE_PARTS),
+    "rel_customers_without_orders": (q_rel_customers_without_orders,
+                                     SQL_REL_CUSTOMERS_WITHOUT_ORDERS),
+    "rel_topk_expensive_parts": (q_rel_topk_expensive_parts,
+                                 SQL_REL_TOPK_EXPENSIVE_PARTS),
     "dedup_minhash_sig": (q_dedup_minhash_sig, SQL_DEDUP_MINHASH_SIG),
     "dedup_minhash_pairs": (candidate_pairs, SQL_DEDUP_MINHASH_PAIRS),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
@@ -6325,14 +6288,60 @@ REGISTRY = {
     "html_outlinks": (q_html_outlinks, SQL_HTML_OUTLINKS),
     "html_sax_events": (q_html_sax_events, SQL_HTML_SAX_EVENTS),
     "rel_event_sessions": (q_rel_event_sessions, SQL_REL_EVENT_SESSIONS),
-    "stream_click_attribution": (q_stream_click_attribution, SQL_STREAM_CLICK_ATTRIBUTION),
+    "stream_click_attribution": (q_stream_click_attribution,
+                                 SQL_STREAM_CLICK_ATTRIBUTION),
     "rel_events_pivot": (q_rel_events_pivot, SQL_REL_EVENTS_PIVOT),
-    "rel_order_value_median": (q_rel_order_value_median, SQL_REL_ORDER_VALUE_MEDIAN),
+    "rel_order_value_median": (q_rel_order_value_median,
+                               SQL_REL_ORDER_VALUE_MEDIAN),
     "rel_revenue_rollup": (q_rel_revenue_rollup, SQL_REL_REVENUE_ROLLUP),
     "sim_ivf_topk": (q_sim_ivf_topk, SQL_SIM_IVF_TOPK),
     "sketch_distinct_kmv": (q_sketch_distinct_kmv, SQL_SKETCH_DISTINCT_KMV),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     "html_corpus_pipeline": (q_html_corpus_pipeline, SQL_HTML_CORPUS_PIPELINE),
     "rel_events_minutely": (q_rel_events_minutely, SQL_REL_EVENTS_MINUTELY),
+    # -- window fillers: fewest prior greens first
+    "html_main_content": (q_html_main_content, SQL_HTML_MAIN_CONTENT),
+    "web_crawl_frontier": (q_web_crawl_frontier, SQL_WEB_CRAWL_FRONTIER),
+    "web_outlink_canonical": (q_web_outlink_canonical,
+                              SQL_WEB_OUTLINK_CANONICAL),
+    "web_robots_gate": (q_web_robots_gate, SQL_WEB_ROBOTS_GATE),
+    "text_unigram_lm": (q_text_unigram_lm, SQL_TEXT_UNIGRAM_LM),
+    "dedup_label_noise": (q_dedup_label_noise, SQL_DEDUP_LABEL_NOISE),
+    # -- tail (>50): >=4x driver-green, green in r8, untouched in r9
+    "dedup_winnowing": (q_dedup_winnowing, SQL_DEDUP_WINNOWING),
+    "rel_event_funnel": (q_rel_event_funnel, SQL_REL_EVENT_FUNNEL),
+    "text_inverted_index": (q_text_inverted_index, SQL_TEXT_INVERTED_INDEX),
+    "dedup_substring": (q_dedup_substring, SQL_DEDUP_SUBSTRING),
+    "html_headings": (q_html_headings, SQL_HTML_HEADINGS),
+    "mm_frame_sample": (q_mm_frame_sample, SQL_MM_FRAME_SAMPLE),
+    "pdf_parse_extract": (q_pdf_parse_extract, SQL_PDF_PARSE_EXTRACT),
+    "rel_asof_attribution": (q_rel_asof_attribution, SQL_REL_ASOF_ATTRIBUTION),
+    "rel_events_gapfill": (q_rel_events_gapfill, SQL_REL_EVENTS_GAPFILL),
+    "rel_events_json": (q_rel_events_json, SQL_REL_EVENTS_JSON),
+    "rel_range_join": (q_rel_range_join, SQL_REL_RANGE_JOIN),
+    "rel_rolling_revenue": (q_rel_rolling_revenue, SQL_REL_ROLLING_REVENUE),
+    "rel_top_revenue_nations": (q_rel_top_revenue_nations,
+                                SQL_REL_TOP_REVENUE_NATIONS),
+    "rel_user_gap_stats": (q_rel_user_gap_stats, SQL_REL_USER_GAP_STATS),
+    "rel_value_percentiles": (q_rel_value_percentiles,
+                              SQL_REL_VALUE_PERCENTILES),
+    "sim_kmeans_update": (q_sim_kmeans_update, SQL_SIM_KMEANS_UPDATE),
+    "sketch_kminima_merge": (q_sketch_kminima_merge, SQL_SKETCH_KMINIMA_MERGE),
+    "stream_windowed_counts": (q_stream_windowed_counts,
+                               SQL_STREAM_WINDOWED_COUNTS),
+    "text_hash_split": (q_text_hash_split, SQL_TEXT_HASH_SPLIT),
+    "text_mixture_stats": (q_text_mixture_stats, SQL_TEXT_MIXTURE_STATS),
+    "text_pack_sequences": (q_text_pack_sequences, SQL_TEXT_PACK_SEQUENCES),
+    "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
+    "text_stratified_sample": (q_text_stratified_sample,
+                               SQL_TEXT_STRATIFIED_SAMPLE),
+    "text_top_terms": (q_text_top_terms, SQL_TEXT_TOP_TERMS),
+    "html_node_stats": (q_html_node_stats, SQL_HTML_NODE_STATS),
+    "html_node_table": (q_html_node_table, SQL_HTML_NODE_TABLE),
+    "html_parse_entities": (q_html_parse_entities, SQL_HTML_PARSE_ENTITIES),
+    "html_parse_extract": (q_html_parse_extract, SQL_HTML_PARSE_EXTRACT),
+    "rel_pricing_summary": (q_rel_pricing_summary, SQL_REL_PRICING_SUMMARY),
+    "rel_window_latest_orders": (q_rel_window_latest_orders,
+                                 SQL_REL_WINDOW_LATEST_ORDERS),
 }
 

@@ -39,21 +39,30 @@ def _table_num_rows(sf_dir: str, name: str) -> int | None:
     this instead of requiring the caller to remember a hint.  Returns None
     when the input is not a plain parquet path (regime falls back to the
     caller-hint contract)."""
-    import glob as _glob
-
     try:
         import pyarrow.parquet as _pq
 
         path = f"{sf_dir}/{name}.parquet"
-        import os as _os
-
-        files = [path] if _os.path.isfile(path) else sorted(
-            _glob.glob(f"{path}/*.parquet"))
+        files = _parquet_files(path)
         if not files:
             return None
         return sum(_pq.ParquetFile(f).metadata.num_rows for f in files)
     except Exception:
         return None
+
+
+def _parquet_files(path: str) -> list:
+    """Every parquet data file under ``path`` (a file, or a directory
+    walked RECURSIVELY — a partitioned/nested layout enumerated with a
+    flat glob would return a PARTIAL file list, and a partial sum
+    presented as a table stat silently under-counts; r9 review: the
+    probe upper bound must be sound or None, never low)."""
+    import glob as _glob
+    import os as _os
+
+    if _os.path.isfile(path):
+        return [path]
+    return sorted(_glob.glob(f"{path}/**/*.parquet", recursive=True))
 
 
 def _probe_rows_upper_bound(sf_dir: str, name: str, id_col: str,
@@ -74,15 +83,11 @@ def _probe_rows_upper_bound(sf_dir: str, name: str, id_col: str,
     callers MUST treat None as "scale unknown" and take the shuffle /
     bucketed path — a needless shuffle at gate scale is cheap, a forced
     broadcast at unknown scale is an eventual executor OOM (r8 ADVICE)."""
-    import glob as _glob
-    import os as _os
-
     try:
         import pyarrow.parquet as _pq
 
         path = f"{sf_dir}/{name}.parquet"
-        files = [path] if _os.path.isfile(path) else sorted(
-            _glob.glob(f"{path}/*.parquet"))
+        files = _parquet_files(path)
         if not files:
             return None
         total = 0
@@ -3794,8 +3799,16 @@ def q_curation_pipeline(spark, sf_dir, clusters: DataFrame | None = None):
          & (F.col("n_distinct_words") * 10000
             >= _GOPHER_MIN_DISTINCT_BP * F.col("n_words"))).alias("g"))
     lm = q_text_unigram_lm(spark, sf_dir)
-    corpus = lm.agg(F.expr("sum(lm_num) * 100 DIV sum(n_tokens)")
-                    .alias("corpus_cb"))
+    # corpus-mean centibits from the VOCABULARY table, not the per-doc
+    # frame: sum over docs of tf*bits(cf) == sum over terms of
+    # cf*bits(cf) (exact integer identity), and deriving it from cf
+    # keeps both capstone legs on the same canonical tf/cf subtrees so
+    # the term exchange materializes once (ReusedExchange) instead of
+    # the whole explode+join leg running twice (r9 review)
+    _tf, cfv = _unigram_lm_frames(spark, sf_dir)
+    corpus = cfv.agg(
+        F.expr("sum(cf * (length(bin(cf)) - 1)) * 100 DIV sum(cf)")
+        .alias("corpus_cb"))
     lmf = (lm.crossJoin(F.broadcast(corpus))
            .select("doc_id",
                    (F.col("lm_cb") + _LM_SLACK_CB
@@ -3816,11 +3829,15 @@ def q_curation_pipeline(spark, sf_dir, clusters: DataFrame | None = None):
         .cast("int").alias("kept"))
 
 
-def SQL_CURATION_PIPELINE(_sf_dir: str) -> str:
-    """Callable oracle (resolve_sql): the capstone's SQL composes
+def _curation_oracle_sql() -> str:
+    """Builder for SQL_CURATION_PIPELINE: the capstone's SQL composes
     SQL_TEXT_REPETITION and SQL_TEXT_UNIGRAM_LM, which are defined
-    LATER in this module — late binding through a callable keeps one
-    definition per oracle instead of a forward copy."""
+    LATER in this module, so the CONSTANT is assigned right after them
+    (one definition per oracle, no forward copy).  It must stay a
+    resolved STRING constant, not a resolve_sql callable: the registry
+    fingerprint hashes a callable's own source only, and a callable
+    here would let edits to the composed oracles slip past
+    curation_pipeline's verification evidence (r9 review)."""
     return f"""
 WITH RECURSIVE pairs AS ({SQL_DEDUP_MINHASH_PAIRS}),
 edges AS (
@@ -4249,8 +4266,16 @@ def _idn_to_ascii(url: str) -> str:
         else:
             try:
                 norm = unicodedata.normalize("NFC", lab.lower())
-                labels.append(
-                    "xn--" + norm.encode("punycode").decode("ascii"))
+                # a label whose case-fold/NFC lands on pure ASCII (e.g.
+                # the KELVIN SIGN -> 'k') takes the ASCII form directly:
+                # an unconditional 'xn--' prefix would emit a malformed
+                # ACE label ('xn--k-') and split the dedup key from the
+                # plain-ASCII spelling (r9 review)
+                if norm.isascii():
+                    labels.append(norm)
+                else:
+                    labels.append(
+                        "xn--" + norm.encode("punycode").decode("ascii"))
             except UnicodeError:
                 labels.append(lab)
     out = ".".join(labels) + ((":" + port) if port else "")
@@ -4273,9 +4298,15 @@ def idn_ascii_urls(df):
     after URL extraction (a cheap projection), not atop an expensive
     pipeline leg.  The slow branch is proportional to the IDN sliver,
     never the corpus."""
+    # NULL urls ride the fast branch untouched — both rlike predicates
+    # are NULL for a NULL url, and a pre-stage that silently DROPPED
+    # such rows would change downstream row counts with no error
+    # counter (r9 review; parser-extracted url columns can be NULL)
     ascii_re = "^[\\x00-\\x7F]*$"
-    fast = df.where(F.col("url").rlike(ascii_re))
-    slow = df.where(~F.col("url").rlike(ascii_re))
+    fast = df.where(F.col("url").isNull()
+                    | F.col("url").rlike(ascii_re))
+    slow = df.where(F.col("url").isNotNull()
+                    & ~F.col("url").rlike(ascii_re))
 
     def enc(batches):
         for pdf in batches:
@@ -5922,15 +5953,31 @@ FROM k
 """
 
 
+# ONE url/timestamp synthesis for every WARC-family gate query
+# (response round trip, streaming ingest, WET export) — the oracles
+# embed the matching literals ('https://docs.example.com/' || doc_id,
+# epoch 1704067200000000 µs), and the gate's hash check catches any
+# edit that desynchronizes one side
+_WARC_GATE_URL_PREFIX = "https://docs.example.com/"
+_WARC_GATE_TS = "2024-01-01T00:00:00"
+
+
+def _warc_gate_url_ts():
+    """(url, warc_ts) columns for a documents row — shared by
+    _warc_gate_pages and q_warc_wet_export."""
+    return (F.concat(F.lit(_WARC_GATE_URL_PREFIX),
+                     F.col("doc_id")).alias("url"),
+            F.lit(_WARC_GATE_TS).cast("timestamp_ntz").alias("warc_ts"))
+
+
 def _warc_gate_pages(spark, sf_dir):
     """Documents wrapped as WARC-exportable pages — shared by the batch
     (q_warc_round_trip) and streaming (q_stream_warc_ingest) gate
     queries, which BOTH verify against SQL_WARC_ROUND_TRIP: one
     synthesis, one oracle, nothing to desynchronize."""
+    url, ts = _warc_gate_url_ts()
     return t(spark, sf_dir, "documents").select(
-        F.concat(F.lit("https://docs.example.com/"),
-                 F.col("doc_id")).alias("url"),
-        F.lit("2024-01-01T00:00:00").cast("timestamp_ntz").alias("warc_ts"),
+        url, ts,
         F.encode(F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>")),
                  "UTF-8").alias("html"))
 
@@ -6001,12 +6048,8 @@ def q_warc_wet_export(spark, sf_dir):
     from .warc import read_wet, write_wet_shards
 
     pre, post = _WRAP_PLAIN
-    txt = _parse_docs(spark, sf_dir, pre, post).select(
-        F.concat(F.lit("https://docs.example.com/"),
-                 F.col("doc_id")).alias("url"),
-        F.lit("2024-01-01T00:00:00").cast("timestamp_ntz")
-        .alias("warc_ts"),
-        "text")
+    url, ts = _warc_gate_url_ts()
+    txt = _parse_docs(spark, sf_dir, pre, post).select(url, ts, "text")
     out = tempfile.mkdtemp(prefix="htmpark_wet_gate_")
     _STREAM_SINK_DIRS.append(out)
     write_wet_shards(txt.repartition(8, "url"), out)
@@ -6098,17 +6141,29 @@ def q_text_unigram_lm(spark, sf_dir):
     probe side where AQE's skew-join split handles it (at 10^12 docs a
     trained vocabulary is also bounded — broadcast it when known small).
     Final per-doc aggregate keys on high-cardinality doc_id."""
-    d = t(spark, sf_dir, "documents")
-    d = d.repartition(spark.sparkContext.defaultParallelism)
-    w = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-    tf = w.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    cf = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
+    tf, cf = _unigram_lm_frames(spark, sf_dir)
     bits = F.length(F.bin(F.col("cf"))) - 1  # floor(log2(cf)), exact
     return (tf.join(cf, "term")
             .groupBy("doc_id")
             .agg(F.sum("tf").alias("n_tokens"),
                  F.sum(F.col("tf") * bits).alias("lm_num"))
             .withColumn("lm_cb", F.expr("lm_num * 100 DIV n_tokens")))
+
+
+def _unigram_lm_frames(spark, sf_dir):
+    """(tf, cf) for the unigram-LM family — ONE canonical definition
+    shared by q_text_unigram_lm and the curation capstone's corpus-mean
+    derivation, so the two sides of the capstone build byte-identical
+    subtrees and AQE's ReusedExchange materializes the term shuffle
+    once per plan (r9 review: the capstone previously aggregated the
+    corpus mean over the per-doc LM frame, running the whole
+    explode+join leg twice)."""
+    d = t(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    w = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = w.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    cf = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
+    return tf, cf
 
 
 SQL_TEXT_UNIGRAM_LM = """
@@ -6124,6 +6179,12 @@ SELECT doc_id,
 FROM tf JOIN cf USING (term)
 GROUP BY doc_id
 """
+
+
+# assigned here — after SQL_TEXT_REPETITION and SQL_TEXT_UNIGRAM_LM
+# exist — so the registry fingerprints the fully-resolved oracle text
+# (see _curation_oracle_sql's docstring)
+SQL_CURATION_PIPELINE = _curation_oracle_sql()
 
 
 def q_rel_event_funnel(spark, sf_dir):

@@ -476,9 +476,19 @@ def _write_shards(df: DataFrame, out_dir: str, payload_col: str,
             dates = (pd.to_datetime(pdf["warc_ts"])
                      .dt.strftime("%Y-%m-%dT%H:%M:%SZ")
                      .fillna(""))
-            recs = [(url, date_s, payload_cast(payload))
-                    for url, date_s, payload in zip(pdf["url"], dates,
-                                                    pdf[payload_col])]
+            # a NULL payload must fail LOUDLY before framing: bytes(None)
+            # raises on the WARC path, but str(None) on the WET path
+            # would silently serialize the 4-byte literal 'None' as a
+            # record body (r9 review) — callers filter sentinel/parse-
+            # failure rows (html/text IS NOT NULL) before exporting
+            recs = []
+            for url, date_s, payload in zip(pdf["url"], dates,
+                                            pdf[payload_col]):
+                if payload is None:
+                    raise ValueError(
+                        f"NULL {payload_col} for url {url!r}: filter "
+                        f"sentinel/failed rows before the export sink")
+                recs.append((url, date_s, payload_cast(payload)))
             # append mode: append_fn opens fresh only on the first batch
             n += append_fn(path, recs, gzip_members, fresh=(n == 0))
         size = os.path.getsize(path) if n else 0

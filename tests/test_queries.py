@@ -1319,9 +1319,14 @@ def test_replica_manifest_requires_gate_scale():
     rep = {"latest_driver": "CORRECTNESS_r07.json", "sf": "sf0.001",
            "queries": {"q": "fp"}}
     assert not m.replica_fresh(rep, "CORRECTNESS_r07.json", "q", "fp")
-    for sf in m.REPLICA_MIN_SFS:
+    # at-gate AND above-gate scales vouch (numeric predicate, r9 review:
+    # exact tuple membership refused stronger-than-gate evidence)
+    for sf in ("sf0.01", "sf0.1", "sf1", "sf10"):
         rep["sf"] = sf
-        assert m.replica_fresh(rep, "CORRECTNESS_r07.json", "q", "fp")
+        assert m.replica_fresh(rep, "CORRECTNESS_r07.json", "q", "fp"), sf
+    for sf in ("sf0.001", "sf0.009", "", None, "garbage", "sf", "sfx"):
+        rep["sf"] = sf
+        assert not m.replica_fresh(rep, "CORRECTNESS_r07.json", "q", "fp"), sf
 
 
 def test_latest_correctness_sorts_numerically(tmp_path):
@@ -1655,6 +1660,12 @@ def test_idn_to_ascii_matches_stdlib_idna():
     # mixed ASCII + Unicode labels: only the Unicode one encodes
     assert _idn_to_ascii("http://www.中文.example.com/a") == \
         "http://www.xn--fiq228c.example.com/a"
+    # a label whose NFC+lowercase lands on pure ASCII (KELVIN SIGN ->
+    # 'k') must NOT grow a malformed 'xn--' prefix (r9 review) — it
+    # aliases the plain-ASCII host, matching the stdlib codec
+    assert "K".encode("idna") == b"k"
+    assert _idn_to_ascii("https://K.example.com/a") == \
+        "https://k.example.com/a"
     # all-ASCII identity, schemeless identity
     for u in ("https://plain.example.com/a?b=1#c", "no-scheme/path"):
         assert _idn_to_ascii(u) == u
@@ -1673,7 +1684,8 @@ def test_idn_spellings_alias_one_surt_key(spark):
     df = spark.createDataFrame(
         [(0, "https://BÜCHER.example.com/x"),
          (1, "https://xn--bcher-kva.example.com/x"),
-         (2, "https://ascii.example.com/x")],
+         (2, "https://ascii.example.com/x"),
+         (3, None)],
         "id int, url string")
     out = {r.id: (r.canon_url, r.surt_key)
            for r in _with_canon_url(idn_ascii_urls(df)).collect()}
@@ -1681,6 +1693,9 @@ def test_idn_spellings_alias_one_surt_key(spark):
     assert out[0][0] == "https://xn--bcher-kva.example.com/x"
     assert out[0][1] == "com,example,xn--bcher-kva)/x"
     assert out[2][0] == "https://ascii.example.com/x"
+    # a NULL url must survive the pre-stage (both rlike branches are
+    # NULL for it — dropping the row would silently change counts)
+    assert 3 in out and out[3] == (None, None)
 
 
 def test_unres_hex_re_is_exactly_the_unreserved_set():

@@ -430,3 +430,16 @@ def test_read_wet_rotten_shard_sentinel(spark, tmp_path):
     bad = [r for r in rows if r.shard_truncated == 1]
     assert {r.url for r in ok} == {u for u, _d, _t in WET_DOCS[:2]}
     assert len(bad) == 1 and bad[0].text is None and bad[0].url is None
+
+
+def test_wet_shards_reject_null_text(spark, tmp_path):
+    """A NULL payload must fail LOUDLY in the export sink: str(None)
+    would otherwise silently frame the 4-byte literal 'None' as a
+    conversion record body (r9 review)."""
+    from htmpark.warc import write_wet_shards
+
+    df = spark.createDataFrame(
+        [("https://a.example.com/", datetime.datetime(2024, 1, 1), None)],
+        "url string, warc_ts timestamp_ntz, text string")
+    with pytest.raises(Exception, match="NULL text"):
+        write_wet_shards(df, str(tmp_path / "bad"))

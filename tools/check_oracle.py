@@ -149,21 +149,21 @@ def _record_replica_manifest(sf, names):
 
     Only gate-scale-or-above runs are recorded (r8 ADVICE): a green run at
     the default sub-gate sf0.001 must not OVERWRITE a valid sf0.01
-    manifest with one the order checker rejects (REPLICA_MIN_SFS) —
+    manifest with one the order checker rejects (replica_scale_ok) —
     that fails safe but silently destroys evidence.
     """
     import json
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from check_registry_order import (  # noqa: E402 (same dir)
-        REPLICA_MIN_SFS, fingerprint, latest_correctness)
+        REPLICA_MIN_SF, fingerprint, latest_correctness, replica_scale_ok)
 
     from htmpark.queries import REGISTRY
 
-    if args_sf_base(sf) not in REPLICA_MIN_SFS:
+    if not replica_scale_ok(args_sf_base(sf)):
         print(f"replica manifest NOT recorded: sf {args_sf_base(sf)!r} is "
-              f"below the driver gate scale (needs one of "
-              f"{REPLICA_MIN_SFS}); existing manifest left untouched")
+              f"below the driver gate scale (needs sf >= "
+              f"{REPLICA_MIN_SF}); existing manifest left untouched")
         return
 
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -71,7 +71,19 @@ def load_replica():
 # own gate scale or above — a bare check_oracle.py run defaults to
 # sf0.001, where a scale-local accident (tie pattern, empty group)
 # could green a query the sf0.01 driver gate would catch
-REPLICA_MIN_SFS = ("sf0.01", "sf0.1")
+REPLICA_MIN_SF = 0.01
+
+
+def replica_scale_ok(sf_base) -> bool:
+    """True when an ``sfX`` directory basename is at the driver gate
+    scale or above — NUMERIC, so a stronger-than-gate run (sf1, sf10)
+    also counts as evidence (r9 review: exact tuple membership refused
+    above-gate runs with a misleading 'below gate scale' message)."""
+    m = re.fullmatch(r"sf([0-9.]+)", sf_base or "")
+    try:
+        return m is not None and float(m.group(1)) >= REPLICA_MIN_SF
+    except ValueError:
+        return False
 
 
 def replica_fresh(replica, latest, name, current_fp):
@@ -82,11 +94,11 @@ def replica_fresh(replica, latest, name, current_fp):
     CORRECTNESS file was already on disk (so the replica is at least as
     recent as the driver signal), (b) on exactly this query source
     (fingerprint equality, same hash the --update path records), and
-    (c) at the driver's gate scale or above (REPLICA_MIN_SFS).
+    (c) at the driver's gate scale or above (replica_scale_ok).
     """
     return (replica is not None
             and replica.get("latest_driver") == latest
-            and replica.get("sf") in REPLICA_MIN_SFS
+            and replica_scale_ok(replica.get("sf"))
             and replica.get("queries", {}).get(name) == current_fp)
 
 

@@ -4236,12 +4236,22 @@ def _idn_to_ascii(url: str) -> str:
     normalized, lowercased, punycode-encoded and given the ``xn--`` ACE
     prefix; ASCII labels pass through untouched (case/port/www handling
     stays the canon fold's job).  Scheme, userinfo, port, path, query,
-    fragment are preserved byte-for-byte.  UTS 46 mapping beyond
-    NFC+lowercase (deviation characters, bidi checks) is out of scope —
-    a documented stdlib-only approximation, differentially pinned
-    against the stdlib ``idna`` codec on the fixture set.  Labels the
-    codec cannot encode pass through unchanged (a malformed host must
-    not crash the canon stage; it simply keeps a non-ASCII key)."""
+    fragment are preserved byte-for-byte.
+
+    The label mapping is ``casefold + NFKC`` — the UTS 46-flavored
+    approximation (NAMEPREP's map-then-normalize order), which agrees
+    with the stdlib ``idna`` codec on the common-script fixture set
+    (Latin diacritics, Greek, Cyrillic, CJK, superscripts, ß→ss,
+    KELVIN→k; differentially pinned in tests).  Known divergence
+    class, documented: scripts whose case mappings postdate Unicode
+    3.2 (e.g. Cherokee) — the stdlib's IDNA 2003 tables are FROZEN at
+    3.2 while Python's casefold tracks current Unicode; neither form
+    matches what a UTS 46 browser emits for those scripts, and a
+    full UTS 46 table is out of stdlib scope.  Bidi checks are also
+    out of scope.  Labels the punycode codec cannot encode pass
+    through unchanged (a malformed host must not crash the canon
+    stage; it simply keeps a non-ASCII key).  Idempotent: re-running
+    over an already-ASCII authority is the identity."""
     import unicodedata
 
     sep = url.find("://")
@@ -4265,12 +4275,15 @@ def _idn_to_ascii(url: str) -> str:
             labels.append(lab)
         else:
             try:
-                norm = unicodedata.normalize("NFC", lab.lower())
-                # a label whose case-fold/NFC lands on pure ASCII (e.g.
-                # the KELVIN SIGN -> 'k') takes the ASCII form directly:
-                # an unconditional 'xn--' prefix would emit a malformed
-                # ACE label ('xn--k-') and split the dedup key from the
-                # plain-ASCII spelling (r9 review)
+                # NAMEPREP order: map (casefold) then normalize (NFKC)
+                # — NFKC, not NFC, so compatibility characters fold
+                # ('²'->'2', matching the stdlib codec and UTS 46)
+                norm = unicodedata.normalize("NFKC", lab.casefold())
+                # a label whose fold lands on pure ASCII (e.g. the
+                # KELVIN SIGN -> 'k', 'ß' -> 'ss') takes the ASCII form
+                # directly: an unconditional 'xn--' prefix would emit a
+                # malformed ACE label ('xn--k-') and split the dedup
+                # key from the plain-ASCII spelling (r9 review)
                 if norm.isascii():
                     labels.append(norm)
                 else:

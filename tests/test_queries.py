@@ -1674,6 +1674,92 @@ def test_idn_to_ascii_matches_stdlib_idna():
         "https://a.example.com/päth"
 
 
+# common-script labels where _idn_to_ascii must agree with the stdlib
+# ``idna`` codec byte-for-byte (the documented parity set: Latin
+# diacritics, Greek, Cyrillic, CJK, kana, Korean, compatibility folds,
+# ß->ss, KELVIN->k).  Scripts with post-Unicode-3.2 case mappings
+# (Cherokee etc.) are the documented divergence class and stay out.
+_IDN_PARITY_LABELS = [
+    "bücher", "münchen", "köln", "straße", "ß", "façade", "niño",
+    "crème-brûlée", "ελλάδα", "αθήνα", "россия", "москва", "中文",
+    "中国", "例え", "テスト", "ひらがな", "한국", "한글", "²", "½x",
+    "Ｆｕｌｌｗｉｄｔｈ", "ＡＢＣ", "K", "ǅungla", "ﬁnance",
+]
+
+
+def test_idn_to_ascii_property_vs_stdlib():
+    """Parity on the documented common-script set (byte-for-byte vs the
+    stdlib ``idna`` codec), plus structural properties on RANDOM
+    labels: never crashes, emits a well-formed ACE or lowercase-ASCII
+    label or passes the original through, preserves the non-host parts,
+    and is IDEMPOTENT (re-canonizing an already-encoded url is the
+    identity — the dedup key must be a fixpoint)."""
+    import re as _re
+
+    from hypothesis import given, settings, strategies as st
+
+    from htmpark.queries import _idn_to_ascii
+
+    for lab in _IDN_PARITY_LABELS:
+        want = lab.encode("idna").decode("ascii")
+        got = _idn_to_ascii(f"https://{lab}.example.com/p")
+        assert got == f"https://{want}.example.com/p", (lab, got, want)
+
+    label_st = st.text(
+        alphabet=st.characters(min_codepoint=0x21, max_codepoint=0x2FFF,
+                               exclude_characters=".:/?#@"),
+        min_size=1, max_size=12)
+
+    @settings(max_examples=200, deadline=None)
+    @given(label_st)
+    def check(lab):
+        url = f"https://{lab}.example.com/p?q=1#f"
+        got = _idn_to_ascii(url)
+        assert got.startswith("https://")
+        assert got.endswith(".example.com/p?q=1#f")
+        got_label = got[len("https://"):-len(".example.com/p?q=1#f")]
+        if lab.isascii():
+            assert got_label == lab  # case untouched: canon's job
+        else:
+            # encoded (valid ACE / folded ASCII) or passed through
+            assert (got_label == lab
+                    or _re.fullmatch(r"xn--[\x21-\x7e]+", got_label)
+                    or got_label.isascii())
+        # idempotence: the output is a fixpoint
+        assert _idn_to_ascii(got) == got, (lab, got)
+
+    check()
+
+
+def test_probe_rows_upper_bound_is_sound_property(tmp_path):
+    """Property: for ANY distinct id set and modulus, the stats bound is
+    >= the true count of id % k == 0 rows — soundness is the entire
+    claim (an undercount re-enables the broadcast OOM)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from hypothesis import given, settings, strategies as st
+
+    from htmpark.queries import _probe_rows_upper_bound
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.sets(st.integers(min_value=0, max_value=10_000),
+                   min_size=1, max_size=300),
+           st.integers(min_value=1, max_value=120),
+           st.integers(min_value=50, max_value=200))
+    def check(ids, k, rg_size):
+        d = tmp_path / f"p{abs(hash((tuple(sorted(ids))[:5], k, rg_size)))}"
+        d.mkdir(exist_ok=True)
+        f = d / "tbl.parquet"
+        pq.write_table(pa.table({"doc_id": sorted(ids)}), str(f),
+                       row_group_size=rg_size)
+        b = _probe_rows_upper_bound(str(d), "tbl", "doc_id", k)
+        true = sum(1 for i in ids if i % k == 0)
+        assert b is not None and b >= true
+        assert b <= len(ids)
+
+    check()
+
+
 def test_idn_spellings_alias_one_surt_key(spark):
     """Unicode and punycode spellings of one host must canonicalize to
     the SAME canon_url/surt_key through idn_ascii_urls + the shared

@@ -5893,7 +5893,8 @@ SELECT host, wave FROM bfs
 _SCHED_WINDOW_S = 60
 
 
-def q_web_crawl_schedule(spark, sf_dir, window_s: int = _SCHED_WINDOW_S):
+def q_web_crawl_schedule(spark, sf_dir, window_s: int = _SCHED_WINDOW_S,
+                         horizon: int | None = None):
     """Budget-paced crawl schedule — per-host politeness applied to BFS
     wave pacing (r8 verdict item 3: web_politeness_budget computed
     n_fetch_now/n_waves but nothing consumed them).  For every host the
@@ -5915,7 +5916,15 @@ def q_web_crawl_schedule(spark, sf_dir, window_s: int = _SCHED_WINDOW_S):
     Scale shape: the seeded-BFS and frontier memos are each one
     bounded keyed table; the delay dim joins via _host_dim_side and
     the per-wave split is an array-local sequence+explode bounded by
-    the host's own wave count — no shuffle beyond the host-key join."""
+    the host's own wave count — no shuffle beyond the host-key join.
+    ``horizon`` caps the waves EMITTED per host: per-row sequence()
+    materializes the whole wave array before exploding, so a
+    pathological host (10^7 allowed targets against a tiny cap) would
+    otherwise build a multi-GB array in one task — production callers
+    pass the crawl's planning horizon (waves past it are next plan
+    cycle's problem); the gate runs unbounded, where per-host wave
+    counts are single digits, so the default is exact and
+    oracle-checkable."""
     dist = _seeded_bfs_dist(spark, sf_dir)
     delays = _robots_delay_df(spark, 4)
     budget = (q_web_crawl_frontier(spark, sf_dir)
@@ -5930,6 +5939,9 @@ def q_web_crawl_schedule(spark, sf_dir, window_s: int = _SCHED_WINDOW_S):
          .where(F.col("allowed") > 0)
          .withColumn("n_w",
                      F.expr("CAST((allowed + cap - 1) DIV cap AS INT)")))
+    if horizon is not None:
+        j = j.withColumn("n_w", F.least(F.col("n_w"),
+                                        F.lit(int(horizon))))
     return (j.select("host", "wave", "allowed", "cap",
                      F.explode(F.sequence(F.lit(0),
                                           F.col("n_w") - 1)).alias("k"))

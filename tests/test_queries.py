@@ -1641,6 +1641,19 @@ def test_crawl_schedule_budget_invariants(spark):
         spilled += len(wf) > 1
     assert spilled > 0
 
+    # the planning horizon caps EMITTED waves per host (the per-row
+    # sequence materializes the whole wave array, so production callers
+    # bound it); capped output is an exact prefix of the unbounded one
+    capped = Q.q_web_crawl_schedule(spark, SF, horizon=2).collect()
+    by_host_c: dict = {}
+    for r in capped:
+        by_host_c.setdefault(r.host, []).append((r.wave, r.n_fetched))
+    assert set(by_host_c) == set(by_host)
+    for h, wf in by_host_c.items():
+        wf.sort()
+        assert len(wf) <= 2
+        assert wf == sorted(by_host[h])[:len(wf)]
+
 
 def test_idn_to_ascii_matches_stdlib_idna():
     """_idn_to_ascii (r8 verdict item 4) differentially against the

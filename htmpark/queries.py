@@ -79,10 +79,15 @@ def _probe_rows_upper_bound(sf_dir: str, name: str, id_col: str,
     probe set by up to k× and mis-pick the broadcast regime.  On dense ids
     (the generated tables) the bound equals the exact count.
 
-    Missing stats, a missing column, or a non-parquet input return None;
-    callers MUST treat None as "scale unknown" and take the shuffle /
-    bucketed path — a needless shuffle at gate scale is cheap, a forced
-    broadcast at unknown scale is an eventual executor OOM (r8 ADVICE)."""
+    Missing stats, a missing column, a non-INTEGER id column, or a
+    non-parquet input return None; callers MUST treat None as "scale
+    unknown" and take the shuffle / bucketed path — a needless shuffle
+    at gate scale is cheap, a forced broadcast at unknown scale is an
+    eventual executor OOM (r8 ADVICE).  The physical-type check is
+    load-bearing (r9 ADVICE): numeric STRINGS carry LEXICOGRAPHIC
+    min/max (max('99') over ids up to 500) that int() happily accepts,
+    turning the sound bound into an UNDER-estimate — exactly the
+    broadcast-OOM hazard this function exists to prevent."""
     try:
         import pyarrow.parquet as _pq
 
@@ -96,6 +101,8 @@ def _probe_rows_upper_bound(sf_dir: str, name: str, id_col: str,
             try:
                 ci = md.schema.names.index(id_col)
             except ValueError:
+                return None
+            if md.schema.column(ci).physical_type not in ("INT32", "INT64"):
                 return None
             for rg in range(md.num_row_groups):
                 g = md.row_group(rg)
@@ -2074,7 +2081,7 @@ def clear_candidate_pairs_cache() -> None:
     import shutil
 
     for cache in (_PAIRS_CACHE, _CLUSTERS_CACHE, _EDGES_CACHE,
-                  _FRONTIER_CACHE, _BFS_SEEDED_CACHE):
+                  _FRONTIER_CACHE, _BFS_SEEDED_CACHE, _DOC_SIGNALS_CACHE):
         for df in cache.values():
             try:
                 df.unpersist()
@@ -3745,45 +3752,61 @@ _GOPHER_MIN_DISTINCT_BP = 3000
 _LM_SLACK_CB = 20
 
 
-def q_curation_pipeline(spark, sf_dir, clusters: DataFrame | None = None):
-    """Capstone training-data curation: one pass over the corpus combining
-    the quality gate, exact dedup (keep the min doc_id per md5 group),
-    near-dup cluster keep-one (keep only each MinHash cluster's min
-    doc_id), the Gopher-family repetition gate (q_text_repetition's
-    rep_bp + distinct-word ratio vs _GOPHER_*), and the relative
-    unigram-LM gate (q_text_unigram_lm's centibits within _LM_SLACK_CB
-    of the corpus mean) into a per-document keep/drop verdict with
-    per-rule flags — r8 verdict item 6: the repetition and LM signals
-    existed standalone but the capstone's verdict ignored them.
+# the one-pass signal frame fans out to the curation capstone (and any
+# caller wanting precomputed signal columns) — one documents scan per
+# (session, sf_dir), same lifecycle as _BFS_SEEDED_CACHE
+_DOC_SIGNALS_CACHE: dict = {}
 
-    Scale shape: quality flags fuse with the scan; the exact-dedup keep
-    set is a groupBy on the md5 key joined back (at 10^12 docs both
-    sides shuffle on the 128-bit hash — co-partitioned, no broadcast
-    needed); the near-dup verdict left-joins the (tiny relative to
-    corpus) cluster assignment; the repetition and LM signal frames
-    left-join on doc_id (in a production DAG these are precomputed
-    signal columns written by one pass — here the composition recomputes
-    them, still all keyed partial-agg shuffles).  The corpus-mean
-    centibits is ONE scalar from a global agg of the per-doc LM frame,
-    broadcast into the flag expression.  kept = all five gates pass.
-    ``clusters``: injectable precomputed assignment; the default
-    recomputes clusters over the SHARED candidate-pairs materialization
-    (see candidate_pairs), so the expensive minhash subtree is built
-    once per session across the dedup family."""
-    d = t(spark, sf_dir, "documents")
-    words = F.split("text", " ")
-    n_words = F.size(words)
-    n_chars = F.length("text")
-    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
-    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
-    quality_ok = (
-        (n_words >= 10) & (n_words <= 1000)
-        & (n_chars - n_words + 1 >= 3 * n_words)
-        & (n_chars - n_words + 1 <= 10 * n_words)
-        & (n_stop * 50 >= n_words)
-    )
-    flagged = d.select("doc_id", F.md5("text").alias("h"),
-                       quality_ok.alias("q"))
+
+def _doc_signals_cached(spark, sf_dir) -> DataFrame:
+    """Memoized job.doc_signals frame over the sf_dir documents table:
+    ONE scan of documents builds every curation signal column
+    (doc_id, h, quality_ok, n_words, n_distinct_words, rep_bp,
+    n_tokens, lm_cb, corpus_cb), materialized narrow and shared across
+    capstone calls in the session."""
+    _evict_stale(_DOC_SIGNALS_CACHE)
+    key = (id(spark), sf_dir)
+    df = _DOC_SIGNALS_CACHE.get(key)
+    if df is None:
+        from .job import doc_signals
+
+        df = doc_signals(spark, t(spark, sf_dir, "documents"))
+        _DOC_SIGNALS_CACHE[key] = df
+    return df
+
+
+def q_curation_pipeline(spark, sf_dir, clusters: DataFrame | None = None,
+                        signals: DataFrame | None = None):
+    """Capstone training-data curation: combine the quality gate, exact
+    dedup (keep the min doc_id per md5 group), near-dup cluster
+    keep-one (keep only each MinHash cluster's min doc_id), the
+    Gopher-family repetition gate (rep_bp + distinct-word ratio vs
+    _GOPHER_*), and the relative unigram-LM gate (centibits within
+    _LM_SLACK_CB of the corpus mean) into a per-document keep/drop
+    verdict with per-rule flags.
+
+    Signal source (r9 verdict item 6): every per-document signal comes
+    from the ONE-PASS signal frame (job.doc_signals via
+    _doc_signals_cached — one documents scan builds md5/quality/
+    repetition/LM columns together), instead of each gate re-deriving
+    its signal from its own scan.  ``signals``: injectable precomputed
+    frame (e.g. read back from a write_doc_signals table); it must
+    carry the doc_signals schema.
+
+    Scale shape: the exact-dedup keep set is a groupBy on the md5 key
+    joined back (at 10^12 docs both sides shuffle on the 128-bit hash —
+    co-partitioned, no broadcast needed); the near-dup verdict
+    left-joins the (tiny relative to corpus) cluster assignment; the
+    repetition/LM flags are row-local expressions over the signal
+    columns (corpus_cb rides the frame as a constant column).  kept =
+    all five gates pass.  ``clusters``: injectable precomputed
+    assignment; the default recomputes clusters over the SHARED
+    candidate-pairs materialization (see candidate_pairs), so the
+    expensive minhash subtree is built once per session across the
+    dedup family."""
+    if signals is None:
+        signals = _doc_signals_cached(spark, sf_dir)
+    flagged = signals.select("doc_id", "h", F.col("quality_ok").alias("q"))
     keepers = flagged.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
     exact = flagged.join(keepers, "h").select(
         "doc_id", "q", (F.col("doc_id") == F.col("keep_id")).alias("x"))
@@ -3793,29 +3816,15 @@ def q_curation_pipeline(spark, sf_dir, clusters: DataFrame | None = None):
         "doc_id", "q", "x",
         (F.col("cluster_id").isNull()
          | (F.col("cluster_id") == F.col("doc_id"))).alias("n"))
-    rep = q_text_repetition(spark, sf_dir).select(
+    gates = signals.select(
         "doc_id",
         ((F.col("rep_bp") <= _GOPHER_MAX_REP_BP)
          & (F.col("n_distinct_words") * 10000
-            >= _GOPHER_MIN_DISTINCT_BP * F.col("n_words"))).alias("g"))
-    lm = q_text_unigram_lm(spark, sf_dir)
-    # corpus-mean centibits from the VOCABULARY table, not the per-doc
-    # frame: sum over docs of tf*bits(cf) == sum over terms of
-    # cf*bits(cf) (exact integer identity), and deriving it from cf
-    # keeps both capstone legs on the same canonical tf/cf subtrees so
-    # the term exchange materializes once (ReusedExchange) instead of
-    # the whole explode+join leg running twice (r9 review)
-    _tf, cfv = _unigram_lm_frames(spark, sf_dir)
-    corpus = cfv.agg(
-        F.expr("sum(cf * (length(bin(cf)) - 1)) * 100 DIV sum(cf)")
-        .alias("corpus_cb"))
-    lmf = (lm.crossJoin(F.broadcast(corpus))
-           .select("doc_id",
-                   (F.col("lm_cb") + _LM_SLACK_CB
-                    >= F.col("corpus_cb")).alias("l")))
-    # docs too short to carry a signal row (no bigram / no token) pass
+            >= _GOPHER_MIN_DISTINCT_BP * F.col("n_words"))).alias("g"),
+        (F.col("lm_cb") + _LM_SLACK_CB >= F.col("corpus_cb")).alias("l"))
+    # docs too short to carry a signal (no bigram -> NULL rep_bp) pass
     # that gate by default — absence of evidence is not a drop verdict
-    out = (nd.join(rep, "doc_id", "left").join(lmf, "doc_id", "left")
+    out = (nd.join(gates, "doc_id", "left")
            .withColumn("g", F.coalesce("g", F.lit(True)))
            .withColumn("l", F.coalesce("l", F.lit(True))))
     return out.select(
@@ -4298,36 +4307,47 @@ def _idn_to_ascii(url: str) -> str:
 
 
 def idn_ascii_urls(df):
-    """IDN pre-stage for the canon fold: urls whose bytes are all ASCII
-    — the overwhelming share of any real crawl — take the untouched
-    whole-stage-codegen fast path; only rows carrying non-ASCII route
-    through ONE vectorized Arrow stage that IDNA-ASCIIs the authority
-    (_idn_to_ascii).  _with_canon_url's host rules then apply uniformly
-    to the resulting ASCII keys, so Unicode and punycode spellings of
-    one host alias the same canon_url/surt_key.
+    """IDN pre-stage for the canon fold: IDNA-ASCII the authority of
+    every url carrying non-ASCII bytes (_idn_to_ascii), so
+    _with_canon_url's host rules apply uniformly to ASCII keys and
+    Unicode/punycode spellings of one host alias the same
+    canon_url/surt_key.
 
-    Scale shape: the split is a row-local rlike; the union's two
-    branches re-evaluate the upstream subtree, so apply this right
-    after URL extraction (a cheap projection), not atop an expensive
-    pipeline leg.  The slow branch is proportional to the IDN sliver,
-    never the corpus."""
-    # NULL urls ride the fast branch untouched — both rlike predicates
-    # are NULL for a NULL url, and a pre-stage that silently DROPPED
-    # such rows would change downstream row counts with no error
-    # counter (r9 review; parser-extracted url columns can be NULL)
-    ascii_re = "^[\\x00-\\x7F]*$"
-    fast = df.where(F.col("url").isNull()
-                    | F.col("url").rlike(ascii_re))
-    slow = df.where(F.col("url").isNotNull()
-                    & ~F.col("url").rlike(ascii_re))
+    Scale shape: ONE mapInPandas stage over one scan — no split/union
+    (the r9 fast/slow union re-evaluated the upstream subtree twice,
+    which silently doubled the cost of whatever leg it was placed on;
+    r9 verdict sharp-edge #1).  Inside each Arrow batch the ASCII check
+    is vectorized (pyarrow string_is_ascii, a C kernel); an all-ASCII
+    batch — the overwhelming share of any real crawl — yields
+    UNCHANGED, paying only the Arrow hop, and per-row Python runs only
+    on the non-ASCII sliver.  The stage is exchange-free and
+    placement-insensitive: upstream evaluates exactly once wherever
+    this is applied."""
 
     def enc(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
         for pdf in batches:
-            pdf = pdf.copy()
-            pdf["url"] = [_idn_to_ascii(u) for u in pdf["url"]]
+            u = pdf["url"]
+            # NULL urls pass untouched (string_is_ascii(NULL) is NULL
+            # -> fill True): a pre-stage that silently DROPPED such
+            # rows would change downstream row counts with no error
+            # counter (r9 review; parser-extracted urls can be NULL).
+            # type=string() pins the conversion: an ALL-null batch
+            # would otherwise infer arrow's null type, which the
+            # ascii kernel has no kernel for
+            is_ascii = pc.fill_null(
+                pc.string_is_ascii(
+                    pa.Array.from_pandas(u, type=pa.string())), True)
+            mask = is_ascii.to_numpy(zero_copy_only=False)
+            if not mask.all():
+                pdf = pdf.copy()
+                sel = ~mask
+                pdf.loc[sel, "url"] = [_idn_to_ascii(x) for x in u[sel]]
             yield pdf
 
-    return fast.unionByName(slow.mapInPandas(enc, df.schema))
+    return df.mapInPandas(enc, df.schema)
 
 
 def _with_canon_url(df):
@@ -5892,6 +5912,18 @@ SELECT host, wave FROM bfs
 # at gate scale and the spill path would go untested
 _SCHED_WINDOW_S = 60
 
+# hard ceiling on waves EMITTED per host: the per-host wave split
+# materializes a sequence() array before exploding, so the emitted
+# wave count must be bounded in EVERY call — by the caller's planning
+# horizon when given, else by this constant (64Ki waves ~ a 512 KiB
+# int array per host, far under any task budget; r9 verdict
+# sharp-edge #2: horizon=None used to mean UNBOUNDED, and a 10^7-
+# target host against a tiny cap would build a multi-GB array in one
+# task).  A host with more pending waves than the bound is next plan
+# cycle's problem — identifiable without recomputation by
+# carryover > 0 on its last emitted wave (r9 ADVICE).
+_SCHED_HORIZON_CAP = 1 << 16
+
 
 def q_web_crawl_schedule(spark, sf_dir, window_s: int = _SCHED_WINDOW_S,
                          horizon: int | None = None):
@@ -5905,8 +5937,12 @@ def q_web_crawl_schedule(spark, sf_dir, window_s: int = _SCHED_WINDOW_S,
     the window): fetching starts the wave the host is DISCOVERED, a
     wave that would exceed the budget spills the remainder to wave+1,
     and the host drains ceil(allowed/cap)-1 waves after discovery.
-    Output: one row per (host, wave) with that wave's fetch count;
-    hosts with zero allowed targets schedule nothing.
+    Output: one row per (host, wave) with that wave's fetch count and
+    the targets still pending AFTER it (``carryover`` — 0 on a fully
+    drained host's last wave, > 0 exactly when the planning horizon
+    truncated the host, so capped hosts are identifiable without
+    recomputing ceil(allowed/cap); r9 ADVICE); hosts with zero allowed
+    targets schedule nothing.
 
     Oracle: the seeded-BFS CTE chain composed with the frontier rollup
     and the hand-derived 4-host delay dim (the SQL_WEB_POLITENESS_
@@ -5917,14 +5953,13 @@ def q_web_crawl_schedule(spark, sf_dir, window_s: int = _SCHED_WINDOW_S,
     bounded keyed table; the delay dim joins via _host_dim_side and
     the per-wave split is an array-local sequence+explode bounded by
     the host's own wave count — no shuffle beyond the host-key join.
-    ``horizon`` caps the waves EMITTED per host: per-row sequence()
-    materializes the whole wave array before exploding, so a
-    pathological host (10^7 allowed targets against a tiny cap) would
-    otherwise build a multi-GB array in one task — production callers
-    pass the crawl's planning horizon (waves past it are next plan
-    cycle's problem); the gate runs unbounded, where per-host wave
-    counts are single digits, so the default is exact and
-    oracle-checkable."""
+    The emitted waves per host are ALWAYS bounded: by ``horizon``
+    (the crawl's planning horizon) when given, else by
+    _SCHED_HORIZON_CAP — sequence() materializes the whole wave array
+    before exploding, so an unbounded default was a one-task OOM
+    hazard a caller could hit by omission (r9 verdict sharp-edge #2).
+    The cap never binds at gate scale (per-host wave counts are single
+    digits), so the default stays exact and oracle-checkable."""
     dist = _seeded_bfs_dist(spark, sf_dir)
     delays = _robots_delay_df(spark, 4)
     budget = (q_web_crawl_frontier(spark, sf_dir)
@@ -5935,13 +5970,14 @@ def q_web_crawl_schedule(spark, sf_dir, window_s: int = _SCHED_WINDOW_S,
                       F.expr(f"CAST(GREATEST(1, {int(window_s)} DIV "
                              f"coalesce(delay_s, 1)) AS BIGINT)")
                       .alias("cap")))
+    bound = (min(int(horizon), _SCHED_HORIZON_CAP)
+             if horizon is not None else _SCHED_HORIZON_CAP)
     j = (dist.join(budget, dist["host"] == budget["host_num"])
          .where(F.col("allowed") > 0)
          .withColumn("n_w",
-                     F.expr("CAST((allowed + cap - 1) DIV cap AS INT)")))
-    if horizon is not None:
-        j = j.withColumn("n_w", F.least(F.col("n_w"),
-                                        F.lit(int(horizon))))
+                     F.least(
+                         F.expr("CAST((allowed + cap - 1) DIV cap AS INT)"),
+                         F.lit(int(bound)))))
     return (j.select("host", "wave", "allowed", "cap",
                      F.explode(F.sequence(F.lit(0),
                                           F.col("n_w") - 1)).alias("k"))
@@ -5949,7 +5985,11 @@ def q_web_crawl_schedule(spark, sf_dir, window_s: int = _SCHED_WINDOW_S,
                     (F.col("wave") + F.col("k")).cast("int").alias("wave"),
                     F.least(F.col("cap"),
                             F.col("allowed") - F.col("k") * F.col("cap"))
-                    .cast("bigint").alias("n_fetched")))
+                    .cast("bigint").alias("n_fetched"),
+                    F.greatest(
+                        F.lit(0).cast("bigint"),
+                        F.col("allowed") - (F.col("k") + 1) * F.col("cap"))
+                    .cast("bigint").alias("carryover")))
 
 
 SQL_WEB_CRAWL_SCHEDULE = f"""
@@ -5968,12 +6008,14 @@ s AS (
 ),
 k AS (
   SELECT host, wave, allowed, cap,
-         unnest(range((allowed + cap - 1) // cap)) AS k
+         unnest(range(LEAST((allowed + cap - 1) // cap,
+                            {_SCHED_HORIZON_CAP}))) AS k
   FROM s
 )
 SELECT CAST(host AS INT) AS host,
        CAST(wave + k AS INT) AS wave,
-       CAST(LEAST(cap, allowed - k * cap) AS BIGINT) AS n_fetched
+       CAST(LEAST(cap, allowed - k * cap) AS BIGINT) AS n_fetched,
+       CAST(GREATEST(0, allowed - (k + 1) * cap) AS BIGINT) AS carryover
 FROM k
 """
 
@@ -6326,74 +6368,37 @@ JOIN embeddings eb ON p.doc_b = eb.vec_id
 # from CORRECTNESS_r*.json + per-query source fingerprints) — run it
 # after any registry/query edit; re-derive + --update each round end.
 REGISTRY = {
-    # -- new in r9: sitemap-seeded BFS + budget-paced schedule + WET
-    #    export
-    "web_crawl_bfs_seeded": (q_web_crawl_bfs_seeded, SQL_WEB_CRAWL_BFS_SEEDED),
+    # ---- r10 window (first 50 = driver-verified this round) ----
+    # -- changed in r10 (bounded schedule + carryover column; single-
+    #    scan IDN pre-stage; one-pass signal-frame capstone; robots
+    #    strict-token mode) -> window head
     "web_crawl_schedule": (q_web_crawl_schedule, SQL_WEB_CRAWL_SCHEDULE),
-    "warc_wet_export": (q_warc_wet_export, SQL_WARC_WET_EXPORT),
-    # -- changed in r9 (BFS loop refactor; probe-bound crossovers;
-    #    curation gate composition; IDN canon) -> window head
-    "web_crawl_bfs": (q_web_crawl_bfs, SQL_WEB_CRAWL_BFS),
-    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
-    "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
     "web_url_canonical": (q_web_url_canonical, SQL_WEB_URL_CANONICAL),
-    "text_decontamination": (q_text_decontamination, SQL_TEXT_DECONTAMINATION),
-    # -- shared-helper semantics changed in r9 (probe_count None ->
-    #    bucketed; _write_shards refactor; BMP offset floor) — windowed
-    #    per the manual reorder rule
-    "dedup_embedding_cosine": (q_dedup_embedding_cosine,
-                               SQL_DEDUP_EMBEDDING_COSINE),
-    "sim_topk_bruteforce": (q_sim_topk_bruteforce, SQL_SIM_TOPK_BRUTEFORCE),
-    "sim_quantized_topk": (q_sim_quantized_topk, SQL_SIM_QUANTIZED_TOPK),
-    "warc_round_trip": (q_warc_round_trip, SQL_WARC_ROUND_TRIP),
-    "stream_warc_ingest": (q_stream_warc_ingest, SQL_STREAM_WARC_INGEST),
-    "mm_decode": (q_mm_decode, SQL_MM_DECODE),
+    "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
+    "web_robots_gate": (q_web_robots_gate, SQL_WEB_ROBOTS_GATE),
+    # -- signal-frame formula twins: quality flag and md5 keeper must
+    #    stay value-identical to the doc_signals columns
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "text_quality_filter": (q_text_quality_filter, SQL_TEXT_QUALITY_FILTER),
+    "text_unigram_lm": (q_text_unigram_lm, SQL_TEXT_UNIGRAM_LM),
     # -- immature (<3 driver greens): keep collecting rows
+    "warc_wet_export": (q_warc_wet_export, SQL_WARC_WET_EXPORT),
+    "web_crawl_bfs_seeded": (q_web_crawl_bfs_seeded, SQL_WEB_CRAWL_BFS_SEEDED),
+    "mm_decode": (q_mm_decode, SQL_MM_DECODE),
     "text_bpe_tokens": (q_text_bpe_tokens, _bpe_oracle_sql),
+    "web_crawl_bfs": (q_web_crawl_bfs, SQL_WEB_CRAWL_BFS),
     "web_sitemap_coverage": (q_web_sitemap_coverage, SQL_WEB_SITEMAP_COVERAGE),
     "web_politeness_budget": (q_web_politeness_budget,
                               SQL_WEB_POLITENESS_BUDGET),
-    # -- r8 tail (no r8 driver row): rotate forward for fresh rows
-    "text_token_count": (q_text_token_count, SQL_TEXT_TOKEN_COUNT),
-    "mm_binary_meta": (q_mm_binary_meta, SQL_MM_BINARY_META),
-    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
-    "sim_lsh_buckets": (q_sim_lsh_buckets, SQL_SIM_LSH_BUCKETS),
-    "rel_customers_without_orders": (q_rel_customers_without_orders,
-                                     SQL_REL_CUSTOMERS_WITHOUT_ORDERS),
-    "rel_topk_expensive_parts": (q_rel_topk_expensive_parts,
-                                 SQL_REL_TOPK_EXPENSIVE_PARTS),
-    "dedup_minhash_sig": (q_dedup_minhash_sig, SQL_DEDUP_MINHASH_SIG),
-    "dedup_minhash_pairs": (candidate_pairs, SQL_DEDUP_MINHASH_PAIRS),
-    "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
-    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
-    "text_quality_filter": (q_text_quality_filter, SQL_TEXT_QUALITY_FILTER),
-    "text_lang_id": (q_text_lang_id, SQL_TEXT_LANG_ID),
-    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
-    "graph_pagerank": (q_graph_pagerank, SQL_GRAPH_PAGERANK),
-    "html_meta": (q_html_meta, SQL_HTML_META),
-    "html_outlinks": (q_html_outlinks, SQL_HTML_OUTLINKS),
-    "html_sax_events": (q_html_sax_events, SQL_HTML_SAX_EVENTS),
-    "rel_event_sessions": (q_rel_event_sessions, SQL_REL_EVENT_SESSIONS),
-    "stream_click_attribution": (q_stream_click_attribution,
-                                 SQL_STREAM_CLICK_ATTRIBUTION),
-    "rel_events_pivot": (q_rel_events_pivot, SQL_REL_EVENTS_PIVOT),
-    "rel_order_value_median": (q_rel_order_value_median,
-                               SQL_REL_ORDER_VALUE_MEDIAN),
-    "rel_revenue_rollup": (q_rel_revenue_rollup, SQL_REL_REVENUE_ROLLUP),
-    "sim_ivf_topk": (q_sim_ivf_topk, SQL_SIM_IVF_TOPK),
-    "sketch_distinct_kmv": (q_sketch_distinct_kmv, SQL_SKETCH_DISTINCT_KMV),
-    "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
-    "html_corpus_pipeline": (q_html_corpus_pipeline, SQL_HTML_CORPUS_PIPELINE),
-    "rel_events_minutely": (q_rel_events_minutely, SQL_REL_EVENTS_MINUTELY),
     # -- window fillers: fewest prior greens first
     "html_main_content": (q_html_main_content, SQL_HTML_MAIN_CONTENT),
+    "stream_warc_ingest": (q_stream_warc_ingest, SQL_STREAM_WARC_INGEST),
     "web_crawl_frontier": (q_web_crawl_frontier, SQL_WEB_CRAWL_FRONTIER),
     "web_outlink_canonical": (q_web_outlink_canonical,
                               SQL_WEB_OUTLINK_CANONICAL),
-    "web_robots_gate": (q_web_robots_gate, SQL_WEB_ROBOTS_GATE),
-    "text_unigram_lm": (q_text_unigram_lm, SQL_TEXT_UNIGRAM_LM),
     "dedup_label_noise": (q_dedup_label_noise, SQL_DEDUP_LABEL_NOISE),
-    # -- tail (>50): >=4x driver-green, green in r8, untouched in r9
+    "warc_round_trip": (q_warc_round_trip, SQL_WARC_ROUND_TRIP),
+    # -- r9 tail (no r9 driver row): rotate forward for fresh rows
     "dedup_winnowing": (q_dedup_winnowing, SQL_DEDUP_WINNOWING),
     "rel_event_funnel": (q_rel_event_funnel, SQL_REL_EVENT_FUNNEL),
     "text_inverted_index": (q_text_inverted_index, SQL_TEXT_INVERTED_INDEX),
@@ -6429,5 +6434,42 @@ REGISTRY = {
     "rel_pricing_summary": (q_rel_pricing_summary, SQL_REL_PRICING_SUMMARY),
     "rel_window_latest_orders": (q_rel_window_latest_orders,
                                  SQL_REL_WINDOW_LATEST_ORDERS),
+    # ---- tail (>50): >=5x driver-green, green in r9, vouched by the
+    #      sf0.01 replica manifest recorded on this tree ----
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
+    "dedup_embedding_cosine": (q_dedup_embedding_cosine,
+                               SQL_DEDUP_EMBEDDING_COSINE),
+    "sim_lsh_buckets": (q_sim_lsh_buckets, SQL_SIM_LSH_BUCKETS),
+    "sim_topk_bruteforce": (q_sim_topk_bruteforce, SQL_SIM_TOPK_BRUTEFORCE),
+    "sim_quantized_topk": (q_sim_quantized_topk, SQL_SIM_QUANTIZED_TOPK),
+    "sim_ivf_topk": (q_sim_ivf_topk, SQL_SIM_IVF_TOPK),
+    "dedup_minhash_sig": (q_dedup_minhash_sig, SQL_DEDUP_MINHASH_SIG),
+    "dedup_minhash_pairs": (candidate_pairs, SQL_DEDUP_MINHASH_PAIRS),
+    "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "graph_pagerank": (q_graph_pagerank, SQL_GRAPH_PAGERANK),
+    "html_meta": (q_html_meta, SQL_HTML_META),
+    "html_outlinks": (q_html_outlinks, SQL_HTML_OUTLINKS),
+    "html_sax_events": (q_html_sax_events, SQL_HTML_SAX_EVENTS),
+    "html_corpus_pipeline": (q_html_corpus_pipeline, SQL_HTML_CORPUS_PIPELINE),
+    "rel_customers_without_orders": (q_rel_customers_without_orders,
+                                     SQL_REL_CUSTOMERS_WITHOUT_ORDERS),
+    "rel_topk_expensive_parts": (q_rel_topk_expensive_parts,
+                                 SQL_REL_TOPK_EXPENSIVE_PARTS),
+    "rel_event_sessions": (q_rel_event_sessions, SQL_REL_EVENT_SESSIONS),
+    "rel_events_pivot": (q_rel_events_pivot, SQL_REL_EVENTS_PIVOT),
+    "rel_order_value_median": (q_rel_order_value_median,
+                               SQL_REL_ORDER_VALUE_MEDIAN),
+    "rel_revenue_rollup": (q_rel_revenue_rollup, SQL_REL_REVENUE_ROLLUP),
+    "rel_events_minutely": (q_rel_events_minutely, SQL_REL_EVENTS_MINUTELY),
+    "stream_click_attribution": (q_stream_click_attribution,
+                                 SQL_STREAM_CLICK_ATTRIBUTION),
+    "sketch_distinct_kmv": (q_sketch_distinct_kmv, SQL_SKETCH_DISTINCT_KMV),
+    "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
+    "text_decontamination": (q_text_decontamination, SQL_TEXT_DECONTAMINATION),
+    "text_lang_id": (q_text_lang_id, SQL_TEXT_LANG_ID),
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "text_token_count": (q_text_token_count, SQL_TEXT_TOKEN_COUNT),
+    "mm_binary_meta": (q_mm_binary_meta, SQL_MM_BINARY_META),
 }
 

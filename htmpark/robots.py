@@ -8,22 +8,25 @@ against the url stream (see queries.q_web_robots_gate).
 
 Not derived from the reference (zadean/htmerl parses HTML only); the
 grammar and precedence rules follow public RFC 9309:
-* groups = one or more ``User-agent`` lines followed by rules; a group
-  applies if any of its agent tokens is a case-insensitive PREFIX of
-  the product token (token == agent or agent.startswith(token)).
-  NOTE: this prefix rule is a DELIBERATE leniency, not RFC semantics —
-  RFC 9309 §2.2.1 specifies case-insensitive EXACT product-token
-  equality; the prefix form is the common crawler behavior (e.g.
-  Google's published parser matches ``googlebot`` groups for
-  ``Googlebot-Image``) and lets site owners address a bot family with
-  one token.  Trade-off: a short named token in untrusted robots.txt
-  (``User-agent: htm``) captures the agent and suppresses the ``*``
-  fallback, possibly selecting a MORE permissive group than RFC-exact
-  matching would — acceptable here because the gate still honors
-  whatever group it selects, and pinned by
-  test_product_token_prefix_not_substring.  Rules of ALL matching
-  named groups are COMBINED (§2.2.1), with the union of ``*`` groups
-  as the fallback;
+* groups = one or more ``User-agent`` lines followed by rules; by
+  DEFAULT a group applies if any of its agent tokens is a
+  case-insensitive PREFIX of the product token (token == agent or
+  agent.startswith(token)).  NOTE: this prefix rule is a DELIBERATE
+  leniency, not RFC semantics — RFC 9309 §2.2.1 specifies
+  case-insensitive EXACT product-token equality; the prefix form is
+  the common crawler behavior (e.g. Google's published parser matches
+  ``googlebot`` groups for ``Googlebot-Image``) and lets site owners
+  address a bot family with one token.  Trade-off: a short named
+  token in untrusted robots.txt (``User-agent: htm``) captures the
+  agent and suppresses the ``*`` fallback, possibly selecting a MORE
+  permissive group than RFC-exact matching would — acceptable as a
+  default because the gate still honors whatever group it selects,
+  and pinned by test_product_token_prefix_not_substring.  The
+  leniency is SWITCHABLE (r9 verdict sharp-edge #3): pass
+  ``exact_tokens=True`` to ``parse_robots``/``crawl_delay`` for RFC
+  9309 §2.2.1 exact-equality matching.  Rules of ALL matching named
+  groups are COMBINED (§2.2.1), with the union of ``*`` groups as
+  the fallback;
 * ``Allow``/``Disallow`` patterns support the §2.2.3 special
   characters: ``*`` matches any run of octets and a trailing ``$``
   anchors the end; otherwise the pattern matches as a path prefix;
@@ -39,11 +42,25 @@ from __future__ import annotations
 import re
 
 
-def parse_robots(text: str, agent: str = "htmpark") -> list:
+def _token_matches(token: str, agent_l: str, exact: bool) -> bool:
+    """Does a lowercased named agent ``token`` select ``agent_l``?
+    Default: case-insensitive PREFIX (the documented leniency); with
+    ``exact=True``: RFC 9309 §2.2.1 case-insensitive exact equality.
+    ONE predicate shared by parse_robots and crawl_delay so the two
+    group selections can never diverge."""
+    if token == "*":
+        return False
+    return agent_l == token if exact else agent_l.startswith(token)
+
+
+def parse_robots(text: str, agent: str = "htmpark",
+                 exact_tokens: bool = False) -> list:
     """Parse robots.txt and return the ``(rule_type, pattern)`` list
     applying to ``agent``: the COMBINED rules of every group with a
     matching named agent token, else the combined ``*`` groups, else
-    no rules."""
+    no rules.  ``exact_tokens=True`` switches the named-token match
+    from the default prefix leniency to RFC 9309 §2.2.1 exact
+    equality (see module docstring)."""
     groups = []  # [(agent_tokens, rules)]
     cur_agents: list = []
     cur_rules: list = []
@@ -67,19 +84,21 @@ def parse_robots(text: str, agent: str = "htmpark") -> list:
 
     agent_l = agent.lower()
     named = [r for agents, rules in groups
-             if any(a != "*" and agent_l.startswith(a) for a in agents)
+             if any(_token_matches(a, agent_l, exact_tokens)
+                    for a in agents)
              for r in rules]
     if named:
         return named
     return [r for agents, rules in groups if "*" in agents for r in rules]
 
 
-def crawl_delay(text: str, agent: str = "htmpark"):
+def crawl_delay(text: str, agent: str = "htmpark",
+                exact_tokens: bool = False):
     """``Crawl-delay`` (a de-facto extension, not RFC 9309) in seconds
     for ``agent``: the first delay declared in any matching named
     group, else in any ``*`` group, else None.  A politeness scheduler
     turns this into a per-host token bucket; it never affects the
-    allow/disallow verdict."""
+    allow/disallow verdict.  ``exact_tokens`` as in parse_robots."""
     groups = []
     cur_agents: list = []
     cur_delay = None
@@ -107,8 +126,8 @@ def crawl_delay(text: str, agent: str = "htmpark"):
         groups.append((cur_agents, cur_delay))
     agent_l = agent.lower()
     for agents, delay in groups:
-        if delay is not None and any(a != "*" and agent_l.startswith(a)
-                                     for a in agents):
+        if delay is not None and any(
+                _token_matches(a, agent_l, exact_tokens) for a in agents):
             return delay
     for agents, delay in groups:
         if delay is not None and "*" in agents:

@@ -1995,3 +1995,260 @@ def test_winnowing_guarantee(spark, tmp_path):
     for did, row in agg.items():
         assert row.n_fp <= row.n_grams - _WIN_W + 1
         assert row.n_fp < row.n_grams / 2
+
+
+# ---------------------------------------------------------------------------
+# round-10 closures: single-scan IDN, bounded schedule + carryover,
+# strict robots tokens, typed probe stats, one-pass signal frame,
+# transitive fingerprints
+
+
+def test_idn_prestage_is_single_scan(spark):
+    """idn_ascii_urls must evaluate its upstream exactly once (r9
+    verdict sharp-edge #1: the fast/slow union re-evaluated the
+    subtree twice — misplaced atop an expensive leg it silently
+    doubled that leg's cost).  The executed plan of web_url_canonical
+    must hold ONE parquet scan, ONE MapInPandas stage, and no Union."""
+    import htmpark.queries as Q
+
+    plan = (Q.q_web_url_canonical(spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("MapInPandas") == 1
+    assert "Union" not in plan
+
+
+def test_idn_prestage_fast_batch_untouched(spark):
+    """The in-batch fast path: an all-ASCII batch must come back with
+    urls BYTE-identical (no normalization side effects), and mixed
+    batches must rewrite only the non-ASCII rows."""
+    from htmpark.queries import idn_ascii_urls
+
+    rows = [(0, "https://Plain.EXAMPLE.com:8443/A%2fb?q=%7e"),
+            (1, "https://BÜCHER.example.com/x"),
+            (2, None), (3, "")]
+    df = spark.createDataFrame(rows, "id int, url string")
+    out = {r.id: r.url for r in idn_ascii_urls(df).collect()}
+    assert out[0] == rows[0][1]          # ASCII: untouched, case intact
+    assert out[1] == "https://xn--bcher-kva.example.com/x"
+    assert out[2] is None                # NULL survives (row count pinned)
+    assert out[3] == ""
+    assert len(out) == 4
+
+
+def test_crawl_schedule_bounded_by_default_with_carryover(spark):
+    """The per-host wave split must be bounded in EVERY call (r9
+    verdict sharp-edge #2): horizon=None now clamps at
+    _SCHED_HORIZON_CAP (visible in the optimized plan, so no unbounded
+    sequence() is reachable), and the carryover column identifies
+    truncated hosts without recomputation (r9 ADVICE): it counts down
+    the pending targets per wave, hits 0 exactly on a fully drained
+    host's last wave, and stays > 0 on a horizon-truncated host's last
+    emitted wave — including when allowed is an exact multiple of cap
+    (the case the old schema could not distinguish)."""
+    import htmpark.queries as Q
+
+    df = Q.q_web_crawl_schedule(spark, SF)
+    assert str(Q._SCHED_HORIZON_CAP) in \
+        df._jdf.queryExecution().optimizedPlan().toString()
+
+    rows = df.collect()
+    assert set(df.columns) == {"host", "wave", "n_fetched", "carryover"}
+    by_host: dict = {}
+    for r in rows:
+        by_host.setdefault(r.host, []).append(r)
+    for h, hs in by_host.items():
+        hs.sort(key=lambda r: r.wave)
+        pending = sum(r.n_fetched for r in hs)  # unbounded at gate scale
+        for r in hs:
+            pending -= r.n_fetched
+            assert r.carryover == pending, h
+        assert hs[-1].carryover == 0, h  # default bound never binds here
+
+    # horizon=1 truncates every spilling host: its single emitted wave
+    # must carry the remainder, and a host whose allowed is an exact
+    # multiple of cap (cap-saturated last wave) is still identifiable
+    capped = Q.q_web_crawl_schedule(spark, SF, horizon=1).collect()
+    full = {h: sum(r.n_fetched for r in hs) for h, hs in by_host.items()}
+    saw_truncated = saw_saturated_truncation = False
+    for r in capped:
+        assert r.carryover == full[r.host] - r.n_fetched
+        if r.carryover > 0:
+            saw_truncated = True
+            if full[r.host] % r.n_fetched == 0:
+                saw_saturated_truncation = True
+    assert saw_truncated
+    assert saw_saturated_truncation
+
+
+def test_robots_exact_token_mode():
+    """RFC 9309 §2.2.1 strict product-token equality behind
+    exact_tokens=True (r9 verdict sharp-edge #3): the default keeps
+    the documented prefix leniency (a family token captures variant
+    agents), the strict mode matches only exact equality and falls
+    back to the * group — for both rule selection and crawl-delay."""
+    from htmpark.robots import crawl_delay, parse_robots, robots_allowed
+
+    txt = ("User-agent: htm\nDisallow: /fam\nCrawl-delay: 7\n\n"
+           "User-agent: htmpark\nDisallow: /exact\nCrawl-delay: 3\n\n"
+           "User-agent: *\nDisallow: /all\nCrawl-delay: 11\n")
+    # default: BOTH named groups match (prefix) and combine
+    assert sorted(parse_robots(txt, "htmpark")) == \
+        [("disallow", "/exact"), ("disallow", "/fam")]
+    assert crawl_delay(txt, "htmpark") == 7  # first matching named group
+    # strict: only the exact token matches
+    assert parse_robots(txt, "htmpark", exact_tokens=True) == \
+        [("disallow", "/exact")]
+    assert crawl_delay(txt, "htmpark", exact_tokens=True) == 3
+    # strict with no exact group: * fallback (prefix would match 'htm')
+    assert parse_robots(txt, "htmparker", exact_tokens=True) == \
+        [("disallow", "/all")]
+    assert crawl_delay(txt, "htmparker", exact_tokens=True) == 11
+    # default prefix: BOTH 'htm' and 'htmpark' capture 'htmparker'
+    assert sorted(parse_robots(txt, "htmparker")) == \
+        [("disallow", "/exact"), ("disallow", "/fam")]
+    # the decision itself honors whichever selection ran
+    assert not robots_allowed("/exact/x",
+                              parse_robots(txt, "htmpark",
+                                           exact_tokens=True))
+    assert robots_allowed("/fam/x",
+                          parse_robots(txt, "htmpark", exact_tokens=True))
+
+
+def test_probe_rows_upper_bound_rejects_non_integer_ids(tmp_path):
+    """A key column stored as numeric STRINGS carries LEXICOGRAPHIC
+    min/max (max('99') over ids up to 500) that int() happily accepts,
+    turning the sound bound into an UNDER-estimate — the exact
+    broadcast-OOM hazard it exists to prevent (r9 ADVICE).  Non-integer
+    physical types must return None (scale unknown -> shuffle path)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from htmpark.queries import _probe_rows_upper_bound
+
+    d = tmp_path / "strids"
+    d.mkdir()
+    ids = [str(i) for i in range(500)]  # lexicographic max is '99'
+    pq.write_table(pa.table({"doc_id": ids}), str(d / "documents.parquet"))
+    assert _probe_rows_upper_bound(str(d), "documents", "doc_id", 100) \
+        is None
+    # doubles are likewise refused (stats are floats, not a sound count)
+    d2 = tmp_path / "dblids"
+    d2.mkdir()
+    pq.write_table(pa.table({"doc_id": [float(i) for i in range(50)]}),
+                   str(d2 / "documents.parquet"))
+    assert _probe_rows_upper_bound(str(d2), "documents", "doc_id", 10) \
+        is None
+    # int32 stays accepted
+    d3 = tmp_path / "i32ids"
+    d3.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(500), type=pa.int32())}),
+        str(d3 / "documents.parquet"))
+    assert _probe_rows_upper_bound(str(d3), "documents", "doc_id", 100) == 5
+
+
+def test_doc_signals_one_pass_and_values(spark, tmp_path):
+    """job.doc_signals (r9 verdict item 6): ONE scan of documents feeds
+    every signal family — in the build plan no leg reads parquet
+    directly (every 'Scan parquet' printed is the one inside the
+    cached projection each InMemoryTableScan references) — and each
+    signal column is value-identical to its standalone oracled query.
+    write_doc_signals round-trips the same frame through parquet."""
+    from pyspark import StorageLevel
+
+    import htmpark.queries as Q
+    from htmpark.job import _doc_signals_build, write_doc_signals
+
+    # hermetic plan check: a signal frame cached by an earlier test
+    # (via _doc_signals_cached) makes Spark's CacheManager substitute
+    # the WHOLE build plan with one InMemoryTableScan of it — correct
+    # (and desirable) reuse, but it hides the one-scan shape this test
+    # pins, so drop the session-level query caches first
+    Q.clear_candidate_pairs_cache()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    base = (docs.select("doc_id", "text")
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    try:
+        plan = (_doc_signals_build(base)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert plan.count("InMemoryTableScan") >= 3  # row/rep/LM legs
+        assert plan.count("Scan parquet") == plan.count("InMemoryTableScan")
+    finally:
+        base.unpersist()
+
+    out = str(tmp_path / "signals")
+    write_doc_signals(spark, docs, out)
+    sig = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert len(sig) == docs.count()
+
+    qual = {r.doc_id: r.keep for r in
+            Q.q_text_quality_filter(spark, SF).collect()}
+    rep = {r.doc_id: r for r in Q.q_text_repetition(spark, SF).collect()}
+    lm = {r.doc_id: r for r in Q.q_text_unigram_lm(spark, SF).collect()}
+    corpus_cb = (sum(r.lm_num for r in lm.values()) * 100
+                 // sum(r.n_tokens for r in lm.values()))
+    exact = {r.text_md5: r.keep_doc_id for r in
+             Q.q_dedup_exact(spark, SF).collect()}
+    assert set(sig) == set(qual)
+    for did, s in sig.items():
+        assert int(s.quality_ok) == qual[did], did
+        assert s.lm_cb == lm[did].lm_cb and s.n_tokens == lm[did].n_tokens
+        assert s.corpus_cb == corpus_cb
+        if did in rep:
+            assert (s.rep_bp, s.n_words, s.n_distinct_words) == \
+                (rep[did].rep_bp, rep[did].n_words,
+                 rep[did].n_distinct_words), did
+        else:
+            assert s.rep_bp is None, did
+    # md5 key: the same canonical keeper per hash group as dedup_exact
+    keep = {h: min(d for d, s2 in sig.items() if s2.h == h)
+            for h in {s.h for s in sig.values()}}
+    assert keep == exact
+
+    # the capstone consumes an injected signal frame identically to
+    # its own cached one (production reads the parquet table back)
+    injected = Q.q_curation_pipeline(
+        spark, SF, signals=spark.read.parquet(out)).collect()
+    default = Q.q_curation_pipeline(spark, SF).collect()
+    assert sorted(map(tuple, injected)) == sorted(map(tuple, default))
+
+
+def test_fingerprints_fold_transitive_helpers():
+    """Registry fingerprints must cover shared helpers (r9 ADVICE): a
+    query's hash folds in the source of every htmpark function and the
+    repr of every module constant it transitively references, so a
+    helper edit can no longer leave dependent fingerprints unchanged.
+    Spot-pin the dependency closure of two helper-heavy queries."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "check_registry_order",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tools",
+            "check_registry_order.py"))
+    cro = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cro)
+
+    import inspect
+
+    import htmpark.queries as Q
+
+    frags = "\n".join(cro._dep_fragments(
+        Q.q_web_crawl_schedule, {id(Q.q_web_crawl_schedule)}))
+    # direct helper, transitive helper, and a planning constant
+    assert inspect.getsource(Q._seeded_bfs_dist) in frags
+    assert inspect.getsource(Q._bfs_waves) in frags      # via _seeded_bfs_dist
+    assert f"<const _SCHED_HORIZON_CAP>{Q._SCHED_HORIZON_CAP!r}" in frags
+
+    frags2 = "\n".join(cro._dep_fragments(
+        Q.q_curation_pipeline, {id(Q.q_curation_pipeline)}))
+    from htmpark import job as J
+    assert inspect.getsource(J._doc_signals_build) in frags2  # via job import
+    # and the fingerprint actually changes when a dependency would:
+    # hashing with vs without the SQL side must differ (sanity on the
+    # fold itself)
+    fn = Q.q_web_crawl_schedule
+    assert cro.fingerprint(fn, None) != \
+        cro.fingerprint(fn, Q.SQL_WEB_CRAWL_SCHEDULE)

@@ -19,9 +19,15 @@ Evidence sources:
 
 Run ``--update`` ONLY right after the full oracle gate passed on the
 current tree (tools/check_oracle.py): it re-records every fingerprint as
-"this source is what the latest green rows verified".  Helper-function
-changes are NOT fingerprinted (a query calling a changed helper keeps its
-fingerprint); reorder manually when a shared helper's semantics change.
+"this source is what the latest green rows verified".  Fingerprints are
+TRANSITIVE (r9 ADVICE): each query's hash folds in the source of every
+module-level htmpark function, htmpark module, and plain-data constant
+the function references (recursively, via co_names against the
+function's globals), so an edit to a shared helper (_bfs_waves,
+_probe_rows_upper_bound, a SQL CTE constant, warc.py, ...) flips every
+dependent query's fingerprint instead of slipping past the freshness
+evidence.  Conservative by design: docstring/comment edits count as
+touches.
 
 Exit 0 = order is safe; exit 1 = a tail entry needs to move into the
 window (or the fingerprints need a legitimate --update).
@@ -50,11 +56,126 @@ FPRINT_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "registry_fingerprints.json")
 
 
+def _const_repr(v):
+    """Deterministic repr for a plain-data module constant, or None for
+    anything whose repr is unstable/uninformative (objects, DataFrames,
+    compiled regexes hash by pattern)."""
+    import re as _re
+    if isinstance(v, (str, bytes, int, float, bool, type(None))):
+        return repr(v)
+    if isinstance(v, _re.Pattern):
+        return f"re:{v.pattern!r}:{v.flags}"
+    if isinstance(v, (tuple, list)):
+        parts = [_const_repr(x) for x in v]
+        return None if None in parts else f"[{','.join(parts)}]"
+    if isinstance(v, (set, frozenset)):
+        parts = sorted(_const_repr(x) or "?" for x in v)
+        return None if "?" in parts else "{" + ",".join(parts) + "}"
+    if isinstance(v, dict):
+        parts = []
+        for k, x in v.items():
+            kr, xr = _const_repr(k), _const_repr(x)
+            if kr is None or xr is None:
+                return None
+            parts.append(f"{kr}:{xr}")
+        return "{" + ",".join(parts) + "}"
+    return None
+
+
+def _dep_fragments(fn, seen):
+    """Source/value fragments of every module-level name ``fn``
+    transitively references (its own co_names plus those of nested
+    lambdas/comprehensions), resolved against the function's globals:
+    htmpark functions recurse, htmpark modules fold their whole source
+    (conservative — any edit to warc.py flips every warc query), and
+    plain-data constants fold their repr.  Function-LOCAL imports
+    (``from .job import doc_signals`` inside a body binds a local, not
+    a global, so co_names resolution misses it) are caught by an AST
+    scan of the source: any htmpark module imported anywhere in the
+    function folds its whole source.  ``seen`` is keyed by object id
+    so shared helpers hash once per fingerprint."""
+    import ast
+    import importlib
+    import textwrap
+    import types
+
+    frags = []
+    names = set()
+    stack = [fn.__code__]
+    while stack:
+        c = stack.pop()
+        names.update(c.co_names)
+        names.update(c.co_freevars)
+        for k in c.co_consts:
+            if isinstance(k, types.CodeType):
+                stack.append(k)
+    g = getattr(fn, "__globals__", {})
+    for n in sorted(names):
+        if n not in g:
+            continue
+        v = g[n]
+        if id(v) in seen:
+            continue
+        seen.add(id(v))
+        if (isinstance(v, types.FunctionType)
+                and getattr(v, "__module__", "").startswith("htmpark")):
+            try:
+                frags.append(f"<fn {n}>" + inspect.getsource(v))
+            except (OSError, TypeError):
+                frags.append(f"<fn {n}:unsourceable>")
+            frags.extend(_dep_fragments(v, seen))
+        elif (isinstance(v, types.ModuleType)
+                and getattr(v, "__name__", "").startswith("htmpark")):
+            try:
+                frags.append(f"<mod {n}>" + inspect.getsource(v))
+            except (OSError, TypeError):
+                frags.append(f"<mod {n}:unsourceable>")
+        else:
+            r = _const_repr(v)
+            if r is not None:
+                frags.append(f"<const {n}>" + r)
+    try:
+        tree = ast.parse(textwrap.dedent(inspect.getsource(fn)))
+    except (OSError, SyntaxError, TypeError):
+        tree = None
+    if tree is not None:
+        pkg_parts = getattr(fn, "__module__", "").split(".")
+        for node in ast.walk(tree):
+            mods = []
+            if isinstance(node, ast.ImportFrom):
+                base = ".".join(pkg_parts[:len(pkg_parts) - node.level]) \
+                    if node.level else ""
+                mods.append(".".join(p for p in (base, node.module) if p))
+            elif isinstance(node, ast.Import):
+                mods.extend(a.name for a in node.names)
+            for m in mods:
+                if not m.startswith("htmpark"):
+                    continue
+                try:
+                    v = importlib.import_module(m)
+                except ImportError:
+                    frags.append(f"<mod {m}:unimportable>")
+                    continue
+                if id(v) in seen:
+                    continue
+                seen.add(id(v))
+                try:
+                    frags.append(f"<mod {m}>" + inspect.getsource(v))
+                except (OSError, TypeError):
+                    frags.append(f"<mod {m}:unsourceable>")
+    return frags
+
+
 def fingerprint(fn, sql) -> str:
     h = hashlib.sha256(inspect.getsource(fn).encode())
+    for frag in _dep_fragments(fn, {id(fn)}):
+        h.update(frag.encode())
     if sql is not None:
         h.update(inspect.getsource(sql).encode() if callable(sql)
                  else sql.encode())
+        if callable(sql):
+            for frag in _dep_fragments(sql, {id(sql)}):
+                h.update(frag.encode())
     return h.hexdigest()
 
 

@@ -5765,7 +5765,7 @@ def _bfs_edges(spark, sf_dir) -> DataFrame:
 
 
 def _bfs_waves(spark, edges: DataFrame, dist: DataFrame,
-               max_waves: int) -> DataFrame:
+               max_waves: int, wave_probe=None) -> DataFrame:
     """The shared per-wave BFS loop (scale shape documented on
     q_web_crawl_bfs): per wave ONE keyed equi-join of the frontier
     against the static persisted edges + one left-anti visited join,
@@ -5773,17 +5773,26 @@ def _bfs_waves(spark, edges: DataFrame, dist: DataFrame,
     ``dist`` is the seed table (host, wave-0 rows) — a single row for
     the classic BFS, the sitemap-derived seed set for the publisher-
     seeded variant (multi-source BFS: wave = distance to the NEAREST
-    seed, which is exactly the min-fold the visited anti-join keeps)."""
+    seed, which is exactly the min-fold the visited anti-join keeps).
+    ``wave_probe``: diagnostics-only hook called AFTER each wave's
+    frontier materializes as ``wave_probe(wave, n_frontier, joined)``
+    with ``joined`` the pre-checkpoint wave plan — used by the scale
+    rehearsal (tools/bfs_scale_rehearsal.py) to record per-wave timing
+    and the executed join regime; None (the default, all query paths)
+    adds nothing to the loop."""
     frontier = dist.select("host")
     wave = 0
     with _no_aqe(spark):
         while wave < max_waves:
             wave += 1
-            nxt = (frontier.join(edges, frontier["host"] == edges["src"])
-                   .select(F.col("dst").alias("host")).distinct()
-                   .join(dist.select("host"), "host", "left_anti")
-                   .localCheckpoint(eager=True))
-            if nxt.count() == 0:
+            joined = (frontier.join(edges, frontier["host"] == edges["src"])
+                      .select(F.col("dst").alias("host")).distinct()
+                      .join(dist.select("host"), "host", "left_anti"))
+            nxt = joined.localCheckpoint(eager=True)
+            n = nxt.count()
+            if wave_probe is not None:
+                wave_probe(wave, n, joined)
+            if n == 0:
                 break
             dist = dist.union(
                 nxt.select("host", F.lit(wave).cast("int").alias("wave")))

@@ -1565,6 +1565,52 @@ def test_crawl_bfs_matches_python_bfs(spark):
     assert got[0] == 0 and max(got.values()) >= 3  # genuinely multi-wave
 
 
+def test_bfs_wave_probe_hook(spark):
+    """_bfs_waves' diagnostics-only wave_probe hook (the scale
+    rehearsal's instrumentation, tools/bfs_scale_rehearsal.py): it is
+    called once per wave AFTER the frontier materializes, its reported
+    frontier sizes match an independent Python BFS level-by-level, and
+    passing it changes NOTHING about the returned distances."""
+    from collections import Counter, deque
+
+    from pyspark.sql import functions as F
+
+    from htmpark.queries import _bfs_waves
+
+    H = 50  # dst = (2s+b) % 50, b in {0,1,2}: every host reachable
+    edges = (spark.range(H)
+             .selectExpr("explode(array(0, 1, 2)) AS b", "id")
+             .selectExpr("CAST(id AS INT) AS src",
+                         f"CAST((2 * id + b) % {H} AS INT) AS dst")
+             .distinct().repartition(F.col("src")).persist())
+    edges.count()
+    seeds = spark.createDataFrame([(0, 0)], "host int, wave int")
+
+    want, q = {0: 0}, deque([0])
+    while q:
+        s = q.popleft()
+        for b in (0, 1, 2):
+            d = (2 * s + b) % H
+            if d not in want:
+                want[d] = want[s] + 1
+                q.append(d)
+    levels = Counter(want.values())
+
+    calls = []
+    probed = _bfs_waves(spark, edges, seeds, 64,
+                        wave_probe=lambda w, n, j: calls.append((w, n)))
+    plain = _bfs_waves(spark, edges, seeds, 64)
+    edges.unpersist()
+    got = {r.host: r.wave for r in probed.collect()}
+    assert got == want
+    assert got == {r.host: r.wave for r in plain.collect()}
+    # one probe call per wave, frontier sizes = BFS level sizes, and
+    # the final empty-frontier wave is probed too (rows=0 sentinel)
+    assert calls == [(w, levels.get(w, 0))
+                     for w in range(1, len(calls) + 1)]
+    assert calls[-1][1] == 0 and calls[-2][1] > 0
+
+
 def test_seeded_bfs_matches_python_multisource(spark):
     """web_crawl_bfs_seeded — sitemap seeds feeding the crawl-wave
     scheduler — against an independent pure-Python multi-source BFS:

@@ -622,53 +622,28 @@ def _doc_signals_build(base: DataFrame) -> DataFrame:
     then doc_id); the LM leg is the canonical tf/cf pair (term
     shuffles with map-side combine) + a term-keyed scoring join; the
     three legs re-join on high-cardinality doc_id.  Nothing is
-    proportional to anything but docs and distinct terms."""
-    from .queries import _STOPWORDS
+    proportional to anything but docs and distinct terms.
 
-    words = F.split("text", " ")
-    n_words = F.size(words)
-    n_chars = F.length("text")
-    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
-    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
-    quality_ok = (
-        (n_words >= 10) & (n_words <= 1000)
-        & (n_chars - n_words + 1 >= 3 * n_words)
-        & (n_chars - n_words + 1 <= 10 * n_words)
-        & (n_stop * 50 >= n_words)
-    )
+    Every composite formula comes from the SAME expression builder the
+    standalone query uses (_quality_cols / _repetition_frame /
+    _lm_frames_over + _lm_doc_frame / _corpus_cb_frame) — a threshold
+    edit lands on both sides by construction, not by hand-mirroring
+    (r10 review)."""
+    from .queries import (_corpus_cb_frame, _lm_doc_frame, _lm_frames_over,
+                          _quality_cols, _repetition_frame)
+
+    quality_ok, n_words, _ = _quality_cols()
     row = base.select(
         "doc_id", F.md5("text").alias("h"), quality_ok.alias("quality_ok"),
         n_words.alias("n_words"),
-        F.size(F.array_distinct(words)).alias("n_distinct_words"))
-    bg = (base.select("doc_id", words.alias("w"))
-          .where(F.size("w") >= 2)
-          .select("doc_id", F.explode(F.expr(
-              "transform(sequence(1, size(w) - 1), "
-              "i -> concat_ws(' ', element_at(w, i), "
-              "element_at(w, i + 1)))")).alias("g")))
-    rep = (bg.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
-           .groupBy("doc_id")
-           .agg(F.max("c").alias("top_bigram_n"),
-                F.sum("c").alias("n_bigrams"))
-           .select("doc_id",
-                   F.expr("top_bigram_n * 10000 DIV n_bigrams")
-                   .alias("rep_bp")))
-    w = base.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-    tf = w.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    cf = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
-    bits = F.length(F.bin(F.col("cf"))) - 1  # floor(log2(cf)), exact
-    lm = (tf.join(cf, "term")
-          .groupBy("doc_id")
-          .agg(F.sum("tf").alias("n_tokens"),
-               F.sum(F.col("tf") * bits).alias("lm_num"))
-          .select("doc_id", "n_tokens",
-                  F.expr("lm_num * 100 DIV n_tokens").alias("lm_cb")))
-    corpus = cf.agg(
-        F.expr("sum(cf * (length(bin(cf)) - 1)) * 100 DIV sum(cf)")
-        .alias("corpus_cb"))
+        F.size(F.array_distinct(F.split("text", " ")))
+        .alias("n_distinct_words"))
+    rep = _repetition_frame(base).select("doc_id", "rep_bp")
+    tf, cf = _lm_frames_over(base)
+    lm = _lm_doc_frame(tf, cf).select("doc_id", "n_tokens", "lm_cb")
     return (row.join(rep, "doc_id", "left")
             .join(lm, "doc_id", "left")
-            .crossJoin(F.broadcast(corpus)))
+            .crossJoin(F.broadcast(_corpus_cb_frame(cf))))
 
 
 def doc_signals(spark: SparkSession, docs: DataFrame) -> DataFrame:

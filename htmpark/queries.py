@@ -3264,12 +3264,14 @@ FROM documents
 """
 
 
-def q_text_quality_filter(spark, sf_dir):
-    """Quality GATE (the training-data curation shape): keep/drop label from
-    exact integer thresholds — Gopher-rule-style filters reduced to
-    engine-exact arithmetic.  At 10^12 docs this is a stateless map the
-    scanner fuses with the read."""
-    d = t(spark, sf_dir, "documents")
+def _quality_cols():
+    """(keep, n_words, n_stopwords) column expressions over a ``text``
+    column — the canonical Gopher-style exact-integer quality rule,
+    ONE definition shared by q_text_quality_filter and the one-pass
+    signal frame (job._doc_signals_build).  The curation capstone's
+    oracle pins value identity between the standalone query and the
+    signal column; a single expression builder removes the hand-mirror
+    drift channel (r10 review)."""
     words = F.split("text", " ")
     n_words = F.size(words)
     n_chars = F.length("text")
@@ -3283,6 +3285,17 @@ def q_text_quality_filter(spark, sf_dir):
         & (n_chars - n_words + 1 <= 10 * n_words)     # mean wordlen <= 10
         & (n_stop * 50 >= n_words)
     )
+    return keep, n_words, n_stop
+
+
+def q_text_quality_filter(spark, sf_dir):
+    """Quality GATE (the training-data curation shape): keep/drop label from
+    exact integer thresholds — Gopher-rule-style filters reduced to
+    engine-exact arithmetic (_quality_cols, shared with the one-pass
+    signal frame).  At 10^12 docs this is a stateless map the scanner
+    fuses with the read."""
+    d = t(spark, sf_dir, "documents")
+    keep, n_words, n_stop = _quality_cols()
     return d.select(
         "doc_id",
         keep.cast("int").alias("keep"),
@@ -3675,7 +3688,18 @@ def q_text_repetition(spark, sf_dir):
     d = (d.select("doc_id", "text")
           .where(F.size(F.split("text", " ")) >= 2)
           .repartition(spark.sparkContext.defaultParallelism))
+    return _repetition_frame(d)
+
+
+def _repetition_frame(d):
+    """(doc_id, n_words, n_distinct_words, n_bigrams, top_bigram_n,
+    rep_bp) over a (doc_id, text) frame — the canonical repetition
+    formula, ONE definition shared by q_text_repetition (its own
+    pruned+repartitioned scan) and the one-pass signal frame
+    (job._doc_signals_build, over the cached projection).  Docs with
+    fewer than 2 words have no bigram and are absent."""
     bg = (d.select("doc_id", F.split("text", " ").alias("w"))
+           .where(F.size("w") >= 2)
            .select("doc_id",
                    F.size("w").alias("n_words"),
                    F.size(F.array_distinct("w")).alias("n_distinct_words"),
@@ -5967,8 +5991,17 @@ def q_web_crawl_schedule(spark, sf_dir, window_s: int = _SCHED_WINDOW_S,
     _SCHED_HORIZON_CAP — sequence() materializes the whole wave array
     before exploding, so an unbounded default was a one-task OOM
     hazard a caller could hit by omission (r9 verdict sharp-edge #2).
-    The cap never binds at gate scale (per-host wave counts are single
+    ``horizon`` must lie in [1, _SCHED_HORIZON_CAP]: the cap is a HARD
+    ceiling (a larger request raises rather than being silently
+    clamped — the caller must not mistake a library override for their
+    own bound), and horizon < 1 raises rather than hitting Spark's
+    sequence(0, -1) = [0, -1] descending-default surprise (which would
+    emit a fetch on wave discovery-1, before the host exists).  The
+    cap never binds at gate scale (per-host wave counts are single
     digits), so the default stays exact and oracle-checkable."""
+    if horizon is not None and not 1 <= int(horizon) <= _SCHED_HORIZON_CAP:
+        raise ValueError(
+            f"horizon must be in [1, {_SCHED_HORIZON_CAP}], got {horizon}")
     dist = _seeded_bfs_dist(spark, sf_dir)
     delays = _robots_delay_df(spark, 4)
     budget = (q_web_crawl_frontier(spark, sf_dir)
@@ -5979,8 +6012,7 @@ def q_web_crawl_schedule(spark, sf_dir, window_s: int = _SCHED_WINDOW_S,
                       F.expr(f"CAST(GREATEST(1, {int(window_s)} DIV "
                              f"coalesce(delay_s, 1)) AS BIGINT)")
                       .alias("cap")))
-    bound = (min(int(horizon), _SCHED_HORIZON_CAP)
-             if horizon is not None else _SCHED_HORIZON_CAP)
+    bound = _SCHED_HORIZON_CAP if horizon is None else int(horizon)
     j = (dist.join(budget, dist["host"] == budget["host_num"])
          .where(F.col("allowed") > 0)
          .withColumn("n_w",
@@ -6217,13 +6249,7 @@ def q_text_unigram_lm(spark, sf_dir):
     probe side where AQE's skew-join split handles it (at 10^12 docs a
     trained vocabulary is also bounded — broadcast it when known small).
     Final per-doc aggregate keys on high-cardinality doc_id."""
-    tf, cf = _unigram_lm_frames(spark, sf_dir)
-    bits = F.length(F.bin(F.col("cf"))) - 1  # floor(log2(cf)), exact
-    return (tf.join(cf, "term")
-            .groupBy("doc_id")
-            .agg(F.sum("tf").alias("n_tokens"),
-                 F.sum(F.col("tf") * bits).alias("lm_num"))
-            .withColumn("lm_cb", F.expr("lm_num * 100 DIV n_tokens")))
+    return _lm_doc_frame(*_unigram_lm_frames(spark, sf_dir))
 
 
 def _unigram_lm_frames(spark, sf_dir):
@@ -6236,10 +6262,41 @@ def _unigram_lm_frames(spark, sf_dir):
     explode+join leg twice)."""
     d = t(spark, sf_dir, "documents")
     d = d.repartition(spark.sparkContext.defaultParallelism)
+    return _lm_frames_over(d)
+
+
+def _lm_frames_over(d):
+    """(tf, cf) over an arbitrary (doc_id, text) frame — the scan-
+    agnostic core of _unigram_lm_frames, shared with the one-pass
+    signal frame (job._doc_signals_build reads the cached projection
+    instead of its own documents scan)."""
     w = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = w.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     cf = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
     return tf, cf
+
+
+def _lm_doc_frame(tf, cf):
+    """Per-document LM score frame (doc_id, n_tokens, lm_num, lm_cb)
+    from the canonical (tf, cf) pair — ONE definition of the
+    centibit formula shared by q_text_unigram_lm and the one-pass
+    signal frame."""
+    bits = F.length(F.bin(F.col("cf"))) - 1  # floor(log2(cf)), exact
+    return (tf.join(cf, "term")
+            .groupBy("doc_id")
+            .agg(F.sum("tf").alias("n_tokens"),
+                 F.sum(F.col("tf") * bits).alias("lm_num"))
+            .withColumn("lm_cb", F.expr("lm_num * 100 DIV n_tokens")))
+
+
+def _corpus_cb_frame(cf):
+    """ONE-row corpus-mean-centibits frame from the cf vocabulary
+    (exact integer identity: sum over docs of tf*bits(cf) == sum over
+    terms of cf*bits(cf)) — shared by the one-pass signal frame and
+    any gate needing the corpus scalar."""
+    return cf.agg(
+        F.expr("sum(cf * (length(bin(cf)) - 1)) * 100 DIV sum(cf)")
+        .alias("corpus_cb"))
 
 
 SQL_TEXT_UNIGRAM_LM = """

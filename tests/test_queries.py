@@ -2126,6 +2126,19 @@ def test_crawl_schedule_bounded_by_default_with_carryover(spark):
     assert saw_truncated
     assert saw_saturated_truncation
 
+    # out-of-range horizons raise instead of misbehaving: horizon=0
+    # would hit Spark's sequence(0, -1) = [0, -1] descending default
+    # (a fetch scheduled the wave BEFORE discovery), and a horizon
+    # above the hard cap must not be silently clamped to it (r10
+    # review — the caller must not mistake a library override for
+    # their own bound)
+    import pytest as _pytest
+    for bad in (0, -3, Q._SCHED_HORIZON_CAP + 1):
+        with _pytest.raises(ValueError, match="horizon"):
+            Q.q_web_crawl_schedule(spark, SF, horizon=bad)
+    assert Q.q_web_crawl_schedule(
+        spark, SF, horizon=Q._SCHED_HORIZON_CAP).count() == len(rows)
+
 
 def test_robots_exact_token_mode():
     """RFC 9309 §2.2.1 strict product-token equality behind
@@ -2281,15 +2294,16 @@ def test_fingerprints_fold_transitive_helpers():
 
     import htmpark.queries as Q
 
+    skip = frozenset({"htmpark.queries"})
     frags = "\n".join(cro._dep_fragments(
-        Q.q_web_crawl_schedule, {id(Q.q_web_crawl_schedule)}))
+        Q.q_web_crawl_schedule, {id(Q.q_web_crawl_schedule)}, skip))
     # direct helper, transitive helper, and a planning constant
     assert inspect.getsource(Q._seeded_bfs_dist) in frags
     assert inspect.getsource(Q._bfs_waves) in frags      # via _seeded_bfs_dist
     assert f"<const _SCHED_HORIZON_CAP>{Q._SCHED_HORIZON_CAP!r}" in frags
 
     frags2 = "\n".join(cro._dep_fragments(
-        Q.q_curation_pipeline, {id(Q.q_curation_pipeline)}))
+        Q.q_curation_pipeline, {id(Q.q_curation_pipeline)}, skip))
     from htmpark import job as J
     assert inspect.getsource(J._doc_signals_build) in frags2  # via job import
     # and the fingerprint actually changes when a dependency would:
@@ -2298,3 +2312,33 @@ def test_fingerprints_fold_transitive_helpers():
     fn = Q.q_web_crawl_schedule
     assert cro.fingerprint(fn, None) != \
         cro.fingerprint(fn, Q.SQL_WEB_CRAWL_SCHEDULE)
+
+    # the closure must not stop one module-fold hop in (r10 review):
+    # sitemap.py's own `from . import sax` has to reach parser.py, so
+    # a parser edit flips web_sitemap_coverage's fingerprint
+    import htmpark.parser as P
+    import htmpark.sitemap as S
+    frags3 = "\n".join(cro._dep_fragments(
+        Q.q_web_sitemap_coverage, {id(Q.q_web_sitemap_coverage)}, skip))
+    assert inspect.getsource(S) in frags3
+    assert inspect.getsource(P) in frags3
+
+    # determinism across session-cache state (r10 review): a filled
+    # query cache must hash identically to an empty one — the replica
+    # manifest is recorded in-process AFTER the gate fills the caches,
+    # and the order checker verifies from a fresh process
+    names = ["curation_pipeline", "dedup_minhash_pairs",
+             "web_crawl_schedule", "web_sitemap_coverage"]
+    before = {n: cro.fingerprint(*Q.REGISTRY[n]) for n in names}
+    Q._PAIRS_CACHE[("fp-test",)] = object()
+    Q._DOC_SIGNALS_CACHE[("fp-test",)] = object()
+    try:
+        after = {n: cro.fingerprint(*Q.REGISTRY[n]) for n in names}
+    finally:
+        Q._PAIRS_CACHE.pop(("fp-test",), None)
+        Q._DOC_SIGNALS_CACHE.pop(("fp-test",), None)
+    assert before == after
+
+    # the query module itself is never folded as text: otherwise every
+    # query's fingerprint would couple to every other query's source
+    assert inspect.getsource(Q) not in frags2

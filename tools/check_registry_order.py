@@ -57,45 +57,190 @@ FPRINT_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 
 def _const_repr(v):
-    """Deterministic repr for a plain-data module constant, or None for
-    anything whose repr is unstable/uninformative (objects, DataFrames,
-    compiled regexes hash by pattern)."""
+    """Deterministic repr for an IMMUTABLE plain-data constant, else
+    None.  Mutable containers (list/set/dict) are deliberately
+    excluded (r10 review): a session cache like _PAIRS_CACHE hashes
+    differently between an empty-cache fresh process and a post-gate
+    in-process --update (filled caches hold DataFrames, whose dicts
+    used to silently drop the fragment), making fingerprints
+    nondeterministic and voiding the replica manifest's vouching.
+    Mutable module globals hash by their ASSIGNMENT SOURCE instead
+    (_module_assign_src) — source-stable across processes, and a
+    content edit still flips the hash."""
     import re as _re
     if isinstance(v, (str, bytes, int, float, bool, type(None))):
         return repr(v)
     if isinstance(v, _re.Pattern):
         return f"re:{v.pattern!r}:{v.flags}"
-    if isinstance(v, (tuple, list)):
+    if isinstance(v, tuple):
         parts = [_const_repr(x) for x in v]
-        return None if None in parts else f"[{','.join(parts)}]"
-    if isinstance(v, (set, frozenset)):
+        return None if None in parts else f"({','.join(parts)})"
+    if isinstance(v, frozenset):
         parts = sorted(_const_repr(x) or "?" for x in v)
         return None if "?" in parts else "{" + ",".join(parts) + "}"
-    if isinstance(v, dict):
-        parts = []
-        for k, x in v.items():
-            kr, xr = _const_repr(k), _const_repr(x)
-            if kr is None or xr is None:
-                return None
-            parts.append(f"{kr}:{xr}")
-        return "{" + ",".join(parts) + "}"
     return None
 
 
-def _dep_fragments(fn, seen):
+_MOD_AST_CACHE: dict = {}
+
+
+def _module_src_tree(mod):
+    """(source, ast) of a module, cached; None when unsourceable."""
+    key = getattr(mod, "__name__", None)
+    if key is None:
+        return None
+    if key not in _MOD_AST_CACHE:
+        import ast
+        try:
+            src = inspect.getsource(mod)
+            _MOD_AST_CACHE[key] = (src, ast.parse(src))
+        except (OSError, SyntaxError, TypeError):
+            _MOD_AST_CACHE[key] = None
+    return _MOD_AST_CACHE[key]
+
+
+def _module_assign_src(mod, name):
+    """Source text of every top-level assignment binding ``name`` in
+    ``mod`` — the process-independent hash fragment for mutable module
+    globals (caches, list/dict constants): stable however the object
+    is mutated at runtime, flipped by any edit to the assignment."""
+    import ast
+    ent = _module_src_tree(mod)
+    if ent is None:
+        return None
+    src, tree = ent
+    segs = []
+    for node in tree.body:
+        targets = []
+        if isinstance(node, ast.Assign):
+            targets = node.targets
+        elif isinstance(node, (ast.AnnAssign, ast.AugAssign)):
+            targets = [node.target]
+        for tgt in targets:
+            if isinstance(tgt, ast.Name) and tgt.id == name:
+                segs.append(ast.get_source_segment(src, node) or "")
+    return "\n".join(segs) or None
+
+
+def _htmpark_import_targets(tree, pkg):
+    """(module_name, attr_or_None) for every htmpark import anywhere in
+    ``tree`` (ast.walk — module top level AND inside function bodies),
+    with relative imports resolved against containing package ``pkg``.
+    ImportFrom names are returned as attrs because ``from . import x``
+    / ``from .m import f`` may name a submodule OR a function/constant
+    — _fold_target disambiguates at resolution time."""
+    import ast
+    out = set()
+    pkg_parts = pkg.split(".") if pkg else []
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ImportFrom):
+            if node.level:
+                base = ".".join(pkg_parts[:len(pkg_parts) - node.level + 1])
+            else:
+                base = ""
+            m = ".".join(p for p in (base, node.module or "") if p)
+            if m.startswith("htmpark"):
+                out.add((m, None))
+                out.update((m, a.name) for a in node.names
+                           if a.name != "*")
+        elif isinstance(node, ast.Import):
+            out.update((a.name, None) for a in node.names
+                       if a.name.startswith("htmpark"))
+    return out
+
+
+def _containing_pkg(modname, is_pkg):
+    return modname if is_pkg else modname.rsplit(".", 1)[0]
+
+
+def _fold_module(v, seen, frags, skip):
+    """Fold a module's full source, then recurse into every htmpark
+    module IT imports (r10 review: the closure used to stop one hop in
+    — sitemap.py folded as text, but its `from . import sax` never
+    reached parser.py, so a parser edit left web_sitemap_coverage's
+    fingerprint unchanged).  ``skip`` modules (the fingerprinted
+    query's own module) are never folded as text: their functions are
+    hashed per-function and their constants by assignment source, so a
+    text fold would couple every query to every other."""
+    if id(v) in seen:
+        return
+    seen.add(id(v))
+    name = getattr(v, "__name__", "?")
+    if name in skip:
+        return
+    ent = _module_src_tree(v)
+    if ent is None:
+        frags.append(f"<mod {name}:unsourceable>")
+        return
+    src, tree = ent
+    frags.append(f"<mod {name}>" + src)
+    pkg = _containing_pkg(name, hasattr(v, "__path__"))
+    for m, attr in sorted(_htmpark_import_targets(tree, pkg),
+                          key=lambda x: (x[0], x[1] or "")):
+        _fold_target(m, attr, seen, frags, skip)
+
+
+def _fold_target(modname, attr, seen, frags, skip):
+    """Resolve an import target to a module (fold its source +
+    closure), an htmpark function (fold its source + dependency
+    fragments), or a constant (immutable repr / assignment source)."""
+    import importlib
+    import types
+
+    if attr is not None:
+        try:
+            sub = importlib.import_module(f"{modname}.{attr}")
+        except ImportError:
+            sub = None
+        if sub is not None:
+            _fold_module(sub, seen, frags, skip)
+            return
+    try:
+        mod = importlib.import_module(modname)
+    except ImportError:
+        frags.append(f"<mod {modname}:unimportable>")
+        return
+    _fold_module(mod, seen, frags, skip)
+    if attr is None:
+        return
+    v = getattr(mod, attr, None)
+    if v is None or id(v) in seen:
+        return
+    if (isinstance(v, types.FunctionType)
+            and getattr(v, "__module__", "").startswith("htmpark")):
+        seen.add(id(v))
+        try:
+            frags.append(f"<fn {attr}>" + inspect.getsource(v))
+        except (OSError, TypeError):
+            frags.append(f"<fn {attr}:unsourceable>")
+        frags.extend(_dep_fragments(v, seen, skip))
+    elif modname in skip and not isinstance(v, types.ModuleType):
+        # constant imported FROM a skipped module: its assignment
+        # source is not covered by any text fold, hash it directly
+        seen.add(id(v))
+        r = _const_repr(v)
+        if r is None:
+            r = _module_assign_src(sys.modules.get(modname), attr)
+        frags.append(f"<const {attr}>" + (r if r is not None
+                                          else "<opaque>"))
+
+
+def _dep_fragments(fn, seen, skip=frozenset()):
     """Source/value fragments of every module-level name ``fn``
     transitively references (its own co_names plus those of nested
     lambdas/comprehensions), resolved against the function's globals:
     htmpark functions recurse, htmpark modules fold their whole source
-    (conservative — any edit to warc.py flips every warc query), and
-    plain-data constants fold their repr.  Function-LOCAL imports
-    (``from .job import doc_signals`` inside a body binds a local, not
-    a global, so co_names resolution misses it) are caught by an AST
-    scan of the source: any htmpark module imported anywhere in the
-    function folds its whole source.  ``seen`` is keyed by object id
-    so shared helpers hash once per fingerprint."""
+    plus their own htmpark import closure (conservative — any edit to
+    warc.py flips every warc query, a parser.py edit flips everything
+    that parses), immutable constants fold their repr, and mutable
+    module globals fold their top-level ASSIGNMENT SOURCE (process-
+    independent: a session cache hashes the same empty or filled).
+    Function-LOCAL imports (``from .job import doc_signals`` binds a
+    local, invisible to co_names) are caught by an AST scan of the
+    function source.  ``seen`` is keyed by object id so shared helpers
+    hash once per fingerprint; ``skip`` names modules never folded as
+    text (see _fold_module)."""
     import ast
-    import importlib
     import textwrap
     import types
 
@@ -110,71 +255,56 @@ def _dep_fragments(fn, seen):
             if isinstance(k, types.CodeType):
                 stack.append(k)
     g = getattr(fn, "__globals__", {})
+    fn_mod = sys.modules.get(getattr(fn, "__module__", ""), None)
     for n in sorted(names):
         if n not in g:
             continue
         v = g[n]
         if id(v) in seen:
             continue
-        seen.add(id(v))
         if (isinstance(v, types.FunctionType)
                 and getattr(v, "__module__", "").startswith("htmpark")):
+            seen.add(id(v))
             try:
                 frags.append(f"<fn {n}>" + inspect.getsource(v))
             except (OSError, TypeError):
                 frags.append(f"<fn {n}:unsourceable>")
-            frags.extend(_dep_fragments(v, seen))
+            frags.extend(_dep_fragments(v, seen, skip))
         elif (isinstance(v, types.ModuleType)
                 and getattr(v, "__name__", "").startswith("htmpark")):
-            try:
-                frags.append(f"<mod {n}>" + inspect.getsource(v))
-            except (OSError, TypeError):
-                frags.append(f"<mod {n}:unsourceable>")
+            _fold_module(v, seen, frags, skip)
         else:
+            seen.add(id(v))
             r = _const_repr(v)
+            if r is None:
+                r = _module_assign_src(fn_mod, n)
             if r is not None:
                 frags.append(f"<const {n}>" + r)
+            elif isinstance(v, (list, set, dict)):
+                frags.append(f"<const {n}:opaque>")
     try:
         tree = ast.parse(textwrap.dedent(inspect.getsource(fn)))
     except (OSError, SyntaxError, TypeError):
         tree = None
     if tree is not None:
-        pkg_parts = getattr(fn, "__module__", "").split(".")
-        for node in ast.walk(tree):
-            mods = []
-            if isinstance(node, ast.ImportFrom):
-                base = ".".join(pkg_parts[:len(pkg_parts) - node.level]) \
-                    if node.level else ""
-                mods.append(".".join(p for p in (base, node.module) if p))
-            elif isinstance(node, ast.Import):
-                mods.extend(a.name for a in node.names)
-            for m in mods:
-                if not m.startswith("htmpark"):
-                    continue
-                try:
-                    v = importlib.import_module(m)
-                except ImportError:
-                    frags.append(f"<mod {m}:unimportable>")
-                    continue
-                if id(v) in seen:
-                    continue
-                seen.add(id(v))
-                try:
-                    frags.append(f"<mod {m}>" + inspect.getsource(v))
-                except (OSError, TypeError):
-                    frags.append(f"<mod {m}:unsourceable>")
+        pkg = _containing_pkg(getattr(fn, "__module__", ""), False)
+        for m, attr in sorted(_htmpark_import_targets(tree, pkg),
+                              key=lambda x: (x[0], x[1] or "")):
+            _fold_target(m, attr, seen, frags, skip)
     return frags
 
 
 def fingerprint(fn, sql) -> str:
+    skip = {getattr(fn, "__module__", "")}
     h = hashlib.sha256(inspect.getsource(fn).encode())
-    for frag in _dep_fragments(fn, {id(fn)}):
+    for frag in _dep_fragments(fn, {id(fn)}, frozenset(skip)):
         h.update(frag.encode())
     if sql is not None:
         h.update(inspect.getsource(sql).encode() if callable(sql)
                  else sql.encode())
         if callable(sql):
-            for frag in _dep_fragments(sql, {id(sql)}):
+            skip.add(getattr(sql, "__module__", ""))
+            for frag in _dep_fragments(sql, {id(sql)}, frozenset(skip)):
                 h.update(frag.encode())
     return h.hexdigest()
 

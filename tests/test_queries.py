@@ -2132,9 +2132,8 @@ def test_crawl_schedule_bounded_by_default_with_carryover(spark):
     # above the hard cap must not be silently clamped to it (r10
     # review — the caller must not mistake a library override for
     # their own bound)
-    import pytest as _pytest
     for bad in (0, -3, Q._SCHED_HORIZON_CAP + 1):
-        with _pytest.raises(ValueError, match="horizon"):
+        with pytest.raises(ValueError, match="horizon"):
             Q.q_web_crawl_schedule(spark, SF, horizon=bad)
     assert Q.q_web_crawl_schedule(
         spark, SF, horizon=Q._SCHED_HORIZON_CAP).count() == len(rows)

@@ -99,27 +99,80 @@ def _module_src_tree(mod):
     return _MOD_AST_CACHE[key]
 
 
+def _iter_module_stmts(body):
+    """Module-scope statements, recursing through statement containers
+    (if/try/for/while/with) but NOT into function/class bodies — the
+    binding sites that can create a module global."""
+    import ast
+    for node in body:
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef,
+                             ast.ClassDef)):
+            continue
+        yield node
+        for fld in ("body", "orelse", "finalbody"):
+            sub = getattr(node, fld, None)
+            if isinstance(sub, list):
+                yield from _iter_module_stmts(sub)
+        for h in getattr(node, "handlers", []) or []:
+            yield from _iter_module_stmts(h.body)
+
+
+def _target_names(tgt):
+    import ast
+    if isinstance(tgt, ast.Name):
+        yield tgt.id
+    elif isinstance(tgt, (ast.Tuple, ast.List)):
+        for e in tgt.elts:
+            yield from _target_names(e)
+    elif isinstance(tgt, ast.Starred):
+        yield from _target_names(tgt.value)
+
+
 def _module_assign_src(mod, name):
-    """Source text of every top-level assignment binding ``name`` in
+    """Source text of every module-scope statement binding ``name`` in
     ``mod`` — the process-independent hash fragment for mutable module
     globals (caches, list/dict constants): stable however the object
-    is mutated at runtime, flipped by any edit to the assignment."""
+    is mutated at runtime, flipped by any edit to the binding.  Covers
+    plain/annotated/augmented assignment, tuple-unpacking targets,
+    bindings nested in module-level if/try blocks, and import
+    statements that bind the name (r10 review: Name-only top-level
+    Assign missed all of these, leaving such globals permanently
+    '<opaque>')."""
     import ast
     ent = _module_src_tree(mod)
     if ent is None:
         return None
     src, tree = ent
     segs = []
-    for node in tree.body:
-        targets = []
+    for node in _iter_module_stmts(tree.body):
+        bound = []
         if isinstance(node, ast.Assign):
-            targets = node.targets
+            for tgt in node.targets:
+                bound.extend(_target_names(tgt))
         elif isinstance(node, (ast.AnnAssign, ast.AugAssign)):
-            targets = [node.target]
-        for tgt in targets:
-            if isinstance(tgt, ast.Name) and tgt.id == name:
-                segs.append(ast.get_source_segment(src, node) or "")
+            bound.extend(_target_names(node.target))
+        elif isinstance(node, (ast.Import, ast.ImportFrom)):
+            bound.extend(a.asname or a.name.split(".")[0]
+                         for a in node.names)
+        if name in bound:
+            segs.append(ast.get_source_segment(src, node) or "")
     return "\n".join(segs) or None
+
+
+def _owner_assign_src(v, name):
+    """Cross-module fallback for a mutable global imported FROM another
+    htmpark module (``from .entities import X`` binds X here, but its
+    assignment lives there): find the htmpark module whose attribute
+    IS this object and hash that module's binding source."""
+    owners = sorted(
+        m for m, mod in sys.modules.items()
+        if m.startswith("htmpark") and mod is not None
+        and getattr(mod, name, None) is v)
+    for m in owners:
+        seg = _module_assign_src(sys.modules[m], name)
+        if seg is not None:
+            return seg
+    return None
 
 
 def _htmpark_import_targets(tree, pkg):
@@ -180,24 +233,37 @@ def _fold_module(v, seen, frags, skip):
         _fold_target(m, attr, seen, frags, skip)
 
 
+_IMPORT_PROBE: dict = {}
+
+
+def _probe_import(name):
+    """importlib.import_module with a negative-result memo — failed
+    imports are not cached by Python, and _fold_target probes
+    '{mod}.{attr}' for every from-imported FUNCTION name too, so an
+    unmemoized checker run pays thousands of filesystem-walking
+    negative probes (r10 review)."""
+    import importlib
+    if name not in _IMPORT_PROBE:
+        try:
+            _IMPORT_PROBE[name] = importlib.import_module(name)
+        except ImportError:
+            _IMPORT_PROBE[name] = None
+    return _IMPORT_PROBE[name]
+
+
 def _fold_target(modname, attr, seen, frags, skip):
     """Resolve an import target to a module (fold its source +
     closure), an htmpark function (fold its source + dependency
     fragments), or a constant (immutable repr / assignment source)."""
-    import importlib
     import types
 
     if attr is not None:
-        try:
-            sub = importlib.import_module(f"{modname}.{attr}")
-        except ImportError:
-            sub = None
+        sub = _probe_import(f"{modname}.{attr}")
         if sub is not None:
             _fold_module(sub, seen, frags, skip)
             return
-    try:
-        mod = importlib.import_module(modname)
-    except ImportError:
+    mod = _probe_import(modname)
+    if mod is None:
         frags.append(f"<mod {modname}:unimportable>")
         return
     _fold_module(mod, seen, frags, skip)
@@ -221,6 +287,8 @@ def _fold_target(modname, attr, seen, frags, skip):
         r = _const_repr(v)
         if r is None:
             r = _module_assign_src(sys.modules.get(modname), attr)
+        if r is None:
+            r = _owner_assign_src(v, attr)
         frags.append(f"<const {attr}>" + (r if r is not None
                                           else "<opaque>"))
 
@@ -278,6 +346,8 @@ def _dep_fragments(fn, seen, skip=frozenset()):
             r = _const_repr(v)
             if r is None:
                 r = _module_assign_src(fn_mod, n)
+            if r is None:
+                r = _owner_assign_src(v, n)
             if r is not None:
                 frags.append(f"<const {n}>" + r)
             elif isinstance(v, (list, set, dict)):

@@ -50,7 +50,10 @@ def test_suite_enumerates_registry():
 
 @pytest.fixture(scope="module")
 def rnd_sf(tmp_path_factory):
-    rng = random.Random(20260816)
+    # default seed is pinned (CI determinism); HTMPARK_RND_SEED lets a
+    # soak sweep seeds — a query/oracle pair that agrees on one random
+    # table by data coincidence gets re-challenged on others
+    rng = random.Random(int(os.environ.get("HTMPARK_RND_SEED", "20260816")))
     d = str(tmp_path_factory.mktemp("rnd_sf"))
     con = duckdb.connect()
 

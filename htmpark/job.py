@@ -673,16 +673,33 @@ def doc_signals(spark: SparkSession, docs: DataFrame) -> DataFrame:
 
 
 def write_doc_signals(spark: SparkSession, docs: DataFrame, path: str,
-                      mode: str = "errorifexists") -> None:
-    """Sink twin of doc_signals: one scan of ``docs`` -> a parquet
+                      mode: str = "errorifexists",
+                      cache_source: bool = True) -> None:
+    """Sink twin of doc_signals: one pass over ``docs`` -> a parquet
     signal table at ``path`` (doc_id, h, quality_ok, n_words,
     n_distinct_words, rep_bp, n_tokens, lm_cb, corpus_cb).  Production
     curation then gates against the signal table without ever
-    re-reading text."""
+    re-reading text.
+
+    ``cache_source`` picks the scan-vs-cache trade-off: True (default)
+    persists the (doc_id, text) projection so the source is scanned
+    exactly ONCE however many signal legs fan out of it — right
+    whenever the projection fits the cluster's aggregate memory+disk.
+    At full corpus scale (100 TB of text) materializing the text
+    column to executor disk can cost MORE than letting the three legs
+    re-scan parquet with column pruning (three sequential columnar
+    reads of an already-compressed column vs one write + three reads
+    of an uncompressed cache) — pass False there: the legs each read
+    the pruned source directly and the job needs no cache storage at
+    all.  Signal values are identical either way (same plan, different
+    materialization), pinned by test_doc_signals_one_pass_and_values."""
     from pyspark import StorageLevel
 
-    base = (docs.select("doc_id", "text")
-            .persist(StorageLevel.MEMORY_AND_DISK))
+    base = docs.select("doc_id", "text")
+    if not cache_source:
+        write_table(_doc_signals_build(base), path, "parquet", mode=mode)
+        return
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         write_table(_doc_signals_build(base), path, "parquet", mode=mode)
     finally:

@@ -2271,6 +2271,14 @@ def test_doc_signals_one_pass_and_values(spark, tmp_path):
     default = Q.q_curation_pipeline(spark, SF).collect()
     assert sorted(map(tuple, injected)) == sorted(map(tuple, default))
 
+    # cache_source=False (the 100 TB re-scan regime: three pruned
+    # column scans instead of materializing text to executor disk)
+    # writes a value-identical signal table
+    out2 = str(tmp_path / "signals_noscan_cache")
+    write_doc_signals(spark, docs, out2, cache_source=False)
+    sig2 = {r.doc_id: tuple(r) for r in spark.read.parquet(out2).collect()}
+    assert sig2 == {d: tuple(r) for d, r in sig.items()}
+
 
 def test_fingerprints_fold_transitive_helpers():
     """Registry fingerprints must cover shared helpers (r9 ADVICE): a

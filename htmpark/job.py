@@ -606,16 +606,24 @@ def _doc_signals_build(base: DataFrame) -> DataFrame:
     the curation capstone's oracle pins every derived flag, so a drift
     here fails the gate):
       * h — md5(text), the exact-dedup key (q_dedup_exact);
-      * quality_ok — the q_text_quality_filter keep rule;
+      * quality_ok / n_stopwords — the q_text_quality_filter keep rule
+        and its stopword count;
       * n_words / n_distinct_words — array-local (q_text_repetition);
-      * rep_bp — heaviest-bigram share in basis points, NULL for docs
-        with < 2 words (q_text_repetition: absence of evidence);
-      * n_tokens / lm_cb — unigram-LM centibits (q_text_unigram_lm);
+      * n_bigrams / top_bigram_n / rep_bp — heaviest-bigram share in
+        basis points and its numerator/denominator, NULL for docs with
+        < 2 words (q_text_repetition: absence of evidence);
+      * n_tokens / lm_num / lm_cb — unigram-LM centibits with the
+        exact integer numerator (q_text_unigram_lm);
       * corpus_cb — corpus-mean centibits, ONE scalar derived from the
         cf vocabulary (sum over docs of tf*bits(cf) == sum over terms
         of cf*bits(cf)), broadcast onto every row — constant columns
         RLE-compress to nothing in parquet and make the frame
         self-contained for a downstream gate pass.
+    The frame carries every column of the three standalone gate
+    queries (r10 verdict item 4), so a session/production run that
+    built it once can answer text_quality_filter / text_repetition /
+    text_unigram_lm via their ``signals=`` injection without ever
+    re-scanning text.
 
     Scale shape: the row-local leg fuses with the cached scan; the
     repetition leg is two keyed partial-agg shuffles ((doc_id, gram)
@@ -632,15 +640,17 @@ def _doc_signals_build(base: DataFrame) -> DataFrame:
     from .queries import (_corpus_cb_frame, _lm_doc_frame, _lm_frames_over,
                           _quality_cols, _repetition_frame)
 
-    quality_ok, n_words, _ = _quality_cols()
+    quality_ok, n_words, n_stop = _quality_cols()
     row = base.select(
         "doc_id", F.md5("text").alias("h"), quality_ok.alias("quality_ok"),
-        n_words.alias("n_words"),
+        n_words.alias("n_words"), n_stop.alias("n_stopwords"),
         F.size(F.array_distinct(F.split("text", " ")))
         .alias("n_distinct_words"))
-    rep = _repetition_frame(base).select("doc_id", "rep_bp")
+    rep = _repetition_frame(base).select("doc_id", "n_bigrams",
+                                         "top_bigram_n", "rep_bp")
     tf, cf = _lm_frames_over(base)
-    lm = _lm_doc_frame(tf, cf).select("doc_id", "n_tokens", "lm_cb")
+    lm = _lm_doc_frame(tf, cf).select("doc_id", "n_tokens", "lm_num",
+                                      "lm_cb")
     return (row.join(rep, "doc_id", "left")
             .join(lm, "doc_id", "left")
             .crossJoin(F.broadcast(_corpus_cb_frame(cf))))
@@ -677,9 +687,11 @@ def write_doc_signals(spark: SparkSession, docs: DataFrame, path: str,
                       cache_source: bool = True) -> None:
     """Sink twin of doc_signals: one pass over ``docs`` -> a parquet
     signal table at ``path`` (doc_id, h, quality_ok, n_words,
-    n_distinct_words, rep_bp, n_tokens, lm_cb, corpus_cb).  Production
-    curation then gates against the signal table without ever
-    re-reading text.
+    n_stopwords, n_distinct_words, n_bigrams, top_bigram_n, rep_bp,
+    n_tokens, lm_num, lm_cb, corpus_cb).  Production curation then
+    gates against the signal table without ever re-reading text —
+    including the three standalone gate queries via their ``signals=``
+    injection.
 
     ``cache_source`` picks the scan-vs-cache trade-off: True (default)
     persists the (doc_id, text) projection so the source is scanned

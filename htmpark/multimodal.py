@@ -5,14 +5,17 @@ column next to typed metadata (mime, width/height, duration), processed by
 Arrow-batched ``mapInPandas`` stages.  The Spark-side plumbing here (schema,
 batch iteration, partition sizing) is real and tested.  Codec coverage:
 
-* ONE real container per modality, stdlib-only: uncompressed 24-bpp BMP
-  (``struct`` — encode_bmp/decode_image) and 16-bit PCM WAV (the stdlib
+* REAL containers, stdlib-only: uncompressed 24-bpp BMP (``struct`` —
+  encode_bmp/decode_image), ICO icon directories wrapping such BMP
+  entries (encode_ico; decode_image re-frames the entry and routes it
+  through the SAME BMP decoder), and 16-bit PCM WAV (the stdlib
   ``wave`` module — encode_wav/decode_audio).  These run end-to-end on
   real pixels/samples, so resize_stage/feature_stage exercise genuine
   decoded data.
-* every other container (PNG/JPEG/GIF, compressed audio) still raises
-  NotImplementedError unless ``fake=True`` substitutes the deterministic
-  pseudo-decoder — those codecs need libraries this container lacks.
+* every other container (PNG/JPEG/GIF — including PNG-framed ICO
+  entries — and compressed audio) still raises NotImplementedError
+  unless ``fake=True`` substitutes the deterministic pseudo-decoder —
+  those codecs need libraries this container lacks.
 """
 
 from __future__ import annotations
@@ -28,6 +31,9 @@ IMAGE_MAGIC = {
     b"\xff\xd8\xff": "image/jpeg",
     b"BM": "image/bmp",
     b"GIF8": "image/gif",
+    # ICONDIR: reserved=0, type=1 (little-endian) — 4 bytes, because the
+    # leading pair alone (\x00\x00) is far too promiscuous a magic
+    b"\x00\x00\x01\x00": "image/vnd.microsoft.icon",
 }
 
 
@@ -66,19 +72,79 @@ def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
     return hdr + dib + bytes(body)
 
 
+def encode_ico(width: int, height: int, pixels: bytes) -> bytes:
+    """Serialize a top-down BGR pixel matrix as a single-image ICO: the
+    ICONDIR/ICONDIRENTRY directory (6 + 16 bytes) framing a BMP-style
+    entry — the BITMAPINFOHEADER with DOUBLED biHeight (the format
+    stores XOR color rows then a 1-bpp AND transparency mask, both
+    bottom-up; mask here all-opaque zeros), NO BITMAPFILEHEADER.
+    Deterministic; built on encode_bmp so the two containers cannot
+    drift (layout per the public ICO format as documented for Windows
+    ICONDIR/BITMAPINFOHEADER structures)."""
+    if not 1 <= width <= 256 or not 1 <= height <= 256:
+        raise ValueError("ICO images are at most 256x256")
+    bmp = encode_bmp(width, height, pixels)
+    dib = bytearray(bmp[14:54])
+    struct.pack_into("<i", dib, 8, height * 2)  # XOR + AND mask rows
+    xor = bmp[54:]
+    and_mask = b"\x00" * ((((width + 31) // 32) * 4) * height)
+    entry_size = 40 + len(xor) + len(and_mask)
+    hdr = struct.pack("<HHH", 0, 1, 1)
+    entry = struct.pack("<BBBBHHII", width % 256, height % 256, 0, 0,
+                        1, 24, entry_size, 6 + 16)
+    return hdr + entry + bytes(dib) + xor + and_mask
+
+
 def decode_image(payload: bytes, fake: bool = False):
     """Decode an image payload to (height, width, channels) + pixels.
 
-    REAL path: uncompressed 24-bpp BI_RGB BMP via ``struct`` — returns
+    REAL paths: uncompressed 24-bpp BI_RGB BMP via ``struct`` — returns
     ``pixels`` as the top-down BGR byte stream (padding stripped, bottom-up
     storage unflipped) and ``pix_checksum`` = sum of those pixel bytes mod
     65536.  Top-down BMPs (negative height) are handled; other bit depths /
     compressions raise ValueError (a corrupt or unsupported BMP must fail
-    loudly, never emit garbage pixels).
+    loudly, never emit garbage pixels).  ICO directories route their FIRST
+    entry through the same BMP decoder: the entry's BITMAPINFOHEADER
+    (doubled biHeight = XOR rows + AND mask) is re-framed as a standalone
+    BMP covering only the XOR color rows, so every BMP validation above
+    applies to icon entries too; PNG-framed entries are
+    NotImplementedError (they need a PNG codec), malformed directories
+    ValueError.
 
-    Non-BMP containers (PNG/JPEG/GIF) need an imaging library this
+    Other containers (PNG/JPEG/GIF) need an imaging library this
     container lacks: NotImplementedError, or the deterministic pseudo-decode
     when ``fake=True`` (no ``pixels`` key — plumbing tests only)."""
+    if payload[:4] == b"\x00\x00\x01\x00" and not fake:
+        if len(payload) < 6 + 16:
+            raise ValueError("truncated ICO directory")
+        count = struct.unpack_from("<H", payload, 4)[0]
+        if count < 1:
+            raise ValueError("empty ICO directory")
+        entry_bytes, off = struct.unpack_from("<II", payload, 6 + 8)
+        if payload[off:off + 4] == b"\x89PNG":
+            raise NotImplementedError(
+                "PNG-framed ICO entry requires an imaging library (not "
+                "in container); only BMP-framed entries are implemented")
+        if off + 40 > len(payload) or off + entry_bytes > len(payload):
+            raise ValueError("truncated ICO entry")
+        dib = bytearray(payload[off:off + 40])
+        dib_size, width, height2 = struct.unpack_from("<Iii", dib, 0)
+        if dib_size != 40:
+            raise ValueError(
+                f"unsupported ICO entry header (dib={dib_size}): only "
+                f"BITMAPINFOHEADER-framed entries are implemented")
+        if height2 <= 0 or height2 % 2:
+            # ICO entries are always bottom-up with biHeight = 2*height
+            raise ValueError(f"invalid ICO entry height {height2} "
+                             f"(must be a positive even XOR+AND total)")
+        height = height2 // 2
+        struct.pack_into("<i", dib, 8, height)
+        row_len = width * 3
+        stride = row_len + ((-row_len) % 4)
+        xor = payload[off + 40: off + 40 + stride * height]
+        hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(xor), 0, 0,
+                          14 + 40)
+        return decode_image(hdr + bytes(dib) + xor)
     if payload[:2] == b"BM" and not fake:
         if len(payload) < 54:
             raise ValueError("truncated BMP header")
@@ -235,8 +301,9 @@ def resize_stage(df: DataFrame, target_h: int = 224, target_w: int = 224,
     """mapInPandas stage: decode -> resize to (target_h, target_w).
 
     Real plumbing (Arrow batches, fixed output schema, stateless map — at
-    100 TB this fuses with the scan and never shuffles).  BMP payloads
-    take the REAL path end-to-end: decode_image yields actual pixels,
+    100 TB this fuses with the scan and never shuffles).  BMP and ICO
+    payloads take the REAL path end-to-end: decode_image yields actual
+    pixels,
     resize_nn resamples them, and resized_checksum sums the RESIZED pixel
     bytes.  Containers without an in-container codec keep the
     deterministic fake (stride-sampled payload byte sum) under
@@ -249,7 +316,9 @@ def resize_stage(df: DataFrame, target_h: int = 224, target_w: int = 224,
     def run(batches):
         for pdf in batches:
             pays = [bytes(p) for p in pdf[payload_col]]
-            metas = [decode_image(p, fake=fake and p[:2] != b"BM")
+            metas = [decode_image(
+                p, fake=(fake and p[:2] != b"BM"
+                         and p[:4] != b"\x00\x00\x01\x00"))
                      for p in pays]
             sums = []
             for p, m in zip(pays, metas):
@@ -278,10 +347,10 @@ def resize_stage(df: DataFrame, target_h: int = 224, target_w: int = 224,
 
 def content_bytes(payload: bytes) -> bytes:
     """The DECODED content byte stream of a payload with an in-container
-    codec: BMP -> top-down BGR pixel bytes, WAV -> little-endian 16-bit
-    sample bytes.  Raises NotImplementedError for containers without one
-    (the caller decides whether a fake is acceptable)."""
-    if payload[:2] == b"BM":
+    codec: BMP/ICO -> top-down BGR pixel bytes, WAV -> little-endian
+    16-bit sample bytes.  Raises NotImplementedError for containers
+    without one (the caller decides whether a fake is acceptable)."""
+    if payload[:2] == b"BM" or payload[:4] == b"\x00\x00\x01\x00":
         return decode_image(payload)["pixels"]
     if payload[:4] == b"RIFF":
         samples = decode_audio(payload)["samples"]

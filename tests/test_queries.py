@@ -2495,6 +2495,32 @@ def test_text_gates_signal_injection(spark, tmp_path):
             sorted(map(tuple, gate(spark, SF).collect())), gate.__name__
 
 
+def test_schedule_cycle_reads_materialized_table_only(spark, tmp_path):
+    """next_schedule_cycle's production scale shape, plan-pinned (its
+    docstring claims it: 'a production planner persists each cycle's
+    schedule table anyway, so cycle k+1 reads a narrow materialized
+    input, never the upstream graph'): against a cycle-1 table read
+    back from parquet, the cycle-2 plan scans THAT parquet exactly once
+    (no documents/frontier/BFS re-derivation) and shuffles exactly once
+    (the host-keyed max_by partial agg; the wave split is row-local) —
+    and emits the identical rows to the lazy-path cycle 2."""
+    import htmpark.queries as Q
+
+    h = Q._SCHED_CYCLE_HORIZON
+    c1 = Q.q_web_crawl_schedule(spark, SF, horizon=h)
+    out = str(tmp_path / "cycle1")
+    c1.write.parquet(out)
+    mat = spark.read.parquet(out)
+
+    c2 = Q.next_schedule_cycle(mat, h)
+    plan = c2._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert "documents" not in plan and "events" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert sorted(map(tuple, c2.collect())) == \
+        sorted(map(tuple, Q.next_schedule_cycle(c1, h).collect()))
+
+
 def test_robots_gate_strict_mode_divergence(spark):
     """web_robots_gate's allowed_strict column (r10 verdict item 6):
     RFC 9309 §2.2.1 exact product-token equality must diverge from the

@@ -1323,6 +1323,7 @@ def test_registry_order_pending_vs_unsafe(tmp_path):
     committed artifact (tracked -> False), and fails CLOSED (False)
     outside a git repo so the strict exit-1 path wins."""
     import importlib.util
+    import json
     import subprocess
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -1359,6 +1360,47 @@ def test_registry_order_pending_vs_unsafe(tmp_path):
     assert m._untracked(str(repo), "dropped.json") is True
     assert m._untracked(str(repo), "tracked.json") is False
     assert m._untracked(str(tmp_path), "dropped.json") is False
+    # a gitignored artifact would make pending a PERMANENT skip (the
+    # untracked -> tracked transition can never fire) -> stay strict
+    (repo / ".gitignore").write_text("dropped.json\n")
+    assert m._untracked(str(repo), "dropped.json") is False
+
+    # a red row in the dropped file blocks the pending downgrade: the
+    # next session must SEE the gate failure, not skip past it
+    green = {"rows_match": True, "schema_match": True,
+             "hash_match": True, "err": None}
+    red_err = dict(green, err="boom")
+    red_hash = dict(green, hash_match=False)
+    f = tmp_path / "c.json"
+    f.write_text(json.dumps({"a": green, "b": green}))
+    assert m.all_rows_green(str(f)) is True
+    f.write_text(json.dumps({"a": green, "b": red_err}))
+    assert m.all_rows_green(str(f)) is False
+    f.write_text(json.dumps({"a": red_hash}))
+    assert m.all_rows_green(str(f)) is False
+    f.write_text("{}")  # empty: no evidence -> strict
+    assert m.all_rows_green(str(f)) is False
+    f.write_text("not json")
+    assert m.all_rows_green(str(f)) is False
+    assert m.all_rows_green(str(tmp_path / "missing.json")) is False
+
+    # the as-of-prev re-judgment must EXCLUDE the untracked file's
+    # rows: 2 committed greens + 1 green in the dropped file is NOT a
+    # mature tail entry as of the last commit
+    hist2 = {name: [(f"CORRECTNESS_r0{k}.json", True) for k in (7, 8, 9)]
+             for name in registry}
+    hist2["tailq"] = [("CORRECTNESS_r08.json", True),
+                      ("CORRECTNESS_r09.json", True),
+                      ("CORRECTNESS_r10.json", True)]  # r10 = the drop
+    hist_prev = {name: [(fl, ok) for fl, ok in rounds
+                        if fl != "CORRECTNESS_r10.json"]
+                 for name, rounds in hist2.items()}
+    inflated, _, _ = m.evaluate(registry, current, hist2,
+                                "CORRECTNESS_r09.json", stored, replica)
+    honest, _, _ = m.evaluate(registry, current, hist_prev,
+                              "CORRECTNESS_r09.json", stored, replica)
+    assert not inflated  # the unfiltered history would grant pending
+    assert any("only 2 driver-green rounds" in p for p in honest)
 
 
 def test_replica_manifest_requires_gate_scale():

@@ -509,8 +509,11 @@ def evaluate(registry, current, hist, latest, stored, replica):
 def _untracked(repo_root, basename):
     """True when ``basename`` exists in the repo root but git does not
     track it — the signature of a driver artifact dropped after the
-    last builder commit.  Conservative on git failure (no repo, no
-    git): report TRACKED, keeping the strict exit-1 path."""
+    last builder commit.  Conservative on every ambiguous state (no
+    repo, no git, or the file is GITIGNORED — an ignored artifact
+    would make 'pending' a permanent skip because the untracked ->
+    tracked transition could never happen): report TRACKED, keeping
+    the strict exit-1 path."""
     import subprocess
 
     def _git(*args):
@@ -522,8 +525,27 @@ def _untracked(repo_root, basename):
     try:
         if _git("rev-parse", "--git-dir") != 0:
             return False  # not a repo: cannot tell, stay strict
+        if _git("check-ignore", "-q", basename) == 0:
+            return False  # ignored: committing can never flip it, stay strict
         return _git("ls-files", "--error-unmatch", basename) != 0
     except OSError:
+        return False
+
+
+def all_rows_green(path):
+    """True when every row of a CORRECTNESS file is green (err is None
+    and every *_match that is present holds) — a red row anywhere is a
+    gate failure the next builder session must SEE, so it blocks the
+    ROTATION-PENDING downgrade and keeps the strict exit-1 path.
+    Unreadable/malformed files report False (stay strict)."""
+    try:
+        rows = json.load(open(path))
+        return bool(rows) and all(
+            row.get("err") is None and all(
+                v for k, v in row.items()
+                if k.endswith("_match") and v is not None)
+            for row in rows.values())
+    except (OSError, ValueError, AttributeError):
         return False
 
 
@@ -558,22 +580,33 @@ def main():
         # AFTER the builder's final commit, so the manifest cannot yet
         # vouch against it — red pytest at judging time, by design but
         # noisy).  Pending means ALL of: the newest CORRECTNESS file is
-        # untracked in git (no builder session has acted on it yet),
-        # and the tree evaluates fully safe as of the previous driver
-        # file (i.e. nothing was wrong at the last builder commit; the
-        # only delta is the driver's own drop).  Pending exits 2 — the
+        # untracked in git (no builder session has acted on it yet; a
+        # gitignored file counts as tracked — see _untracked), every
+        # row in it is GREEN (a red driver row must be seen, not
+        # skipped past), and the tree evaluates fully safe as of the
+        # previous driver file with the untracked rows excluded from
+        # the history (i.e. nothing was wrong at the last builder
+        # commit; the only delta is the driver's own drop).  Pending
+        # exits 2 — the
         # pytest wrapper reports it as an explicit skip whose message
         # IS the round-opening instruction; any other failure stays
         # exit 1.  The hard-fail path is untouched for the real hazard:
         # the moment a builder commits the new CORRECTNESS file without
         # re-recording the manifest (the r10 ADVICE case), the file is
         # tracked and the checker is red.
-        if latest and _untracked(repo_root, latest):
+        if (latest and _untracked(repo_root, latest)
+                and all_rows_green(os.path.join(repo_root, latest))):
             prev_files = correctness_files(repo_root)[:-1]
             prev = (os.path.basename(prev_files[-1])
                     if prev_files else None)
+            # re-judge strictly as-of the last builder commit: rows from
+            # the untracked file must not inflate green counts or shrink
+            # the immaturity/debt tallies (they are exactly the evidence
+            # that did not exist yet)
+            hist_prev = {name: [(f, ok) for f, ok in rounds if f != latest]
+                         for name, rounds in hist.items()}
             prev_problems, _, _ = evaluate(
-                REGISTRY, current, hist, prev, stored, replica)
+                REGISTRY, current, hist_prev, prev, stored, replica)
             if not prev_problems:
                 print(f"ROTATION PENDING: the driver dropped {latest} "
                       f"after the last builder commit (it is untracked); "

@@ -27,8 +27,9 @@ def main(names):
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
-    from htmpark.corpus import synthesize_pages
-    from htmpark.job import build_session, extract_pages
+    from BENCH.bench_common import noop_materialize as materialize
+    from BENCH.bench_common import warm_session
+    from htmpark.job import build_session
     from htmpark.queries import REGISTRY, candidate_pairs, q_dedup_clusters
 
     unknown = [n for n in names if n not in REGISTRY]
@@ -39,25 +40,10 @@ def main(names):
                           app_name="htmpark-remeasure")
     spark.sparkContext.setLogLevel("ERROR")
 
-    def materialize(df):
-        df.write.format("noop").mode("overwrite").save()
-
-    # identical warmups to bench.py: python workers + codegen, table
-    # footers/page cache, shuffle/window machinery
-    materialize(extract_pages(synthesize_pages(spark, 256, body_repeat=12)))
-    for tbl in ("region", "nation", "customer", "supplier", "part", "orders",
-                "lineitem", "events", "documents", "embeddings"):
-        try:
-            materialize(spark.read.parquet(f"{sf_dir}/{tbl}.parquet"))
-        except Exception:
-            pass
-    materialize(spark.range(0, 100_000)
-                .selectExpr("id", "explode(sequence(0, 3)) AS x")
-                .repartition(8, "x")
-                .selectExpr("id", "x",
-                            "row_number() OVER (PARTITION BY x ORDER BY id)"
-                            " AS rn")
-                .groupBy("x").count())
+    # the IDENTICAL warmup sequence bench.py runs (shared helper —
+    # comparability is the whole point), minus any head-of-line entry
+    # that is itself under measurement
+    warm_session(spark, sf_dir, exclude=names)
     # memo dependencies built UNTIMED, exactly as the driver bench times
     # them on their own attribution lines before the per-query loop
     candidate_pairs(spark, sf_dir)

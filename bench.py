@@ -25,6 +25,8 @@ def main():
         sf = -1.0
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from BENCH.bench_common import noop_materialize as materialize
+    from BENCH.bench_common import warm_session
     from htmpark.corpus import synthesize_pages
     from htmpark.job import build_session, extract_pages
     from htmpark.queries import REGISTRY, candidate_pairs, q_dedup_clusters
@@ -33,46 +35,13 @@ def main():
                           app_name="htmpark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    def materialize(df):
-        df.write.format("noop").mode("overwrite").save()
-
-    # warm the JVM + Python workers once (excluded from timings)
-    materialize(extract_pages(synthesize_pages(spark, 256, body_repeat=12)))
-    # warm each input table's file index / footers / page cache so
-    # first-touch cost doesn't land on whichever query the registry order
-    # happens to put first (the r3->r4 reorder made the front-runners read
-    # as 2x regressions that were really one-time scan setup)
-    for tbl in ("region", "nation", "customer", "supplier", "part", "orders",
-                "lineitem", "events", "documents", "embeddings"):
-        try:
-            materialize(spark.read.parquet(f"{sf_dir}/{tbl}.parquet"))
-        except Exception:
-            pass
-    # ...and the shuffle/explode/window machinery (codegen + exchange
-    # init otherwise bills ~0.5-2.4s to whichever query runs first:
-    # measured rep0 3.5s -> rep1 1.1s with zero code change)
-    materialize(spark.range(0, 100_000)
-                .selectExpr("id", "explode(sequence(0, 3)) AS x")
-                .repartition(8, "x")
-                .selectExpr("id", "x",
-                            "row_number() OVER (PARTITION BY x ORDER BY id)"
-                            " AS rn")
-                .groupBy("x").count())
-    # ...and the head-of-line queries themselves: the generic probe above
-    # still left a ~0.3-0.7s residual on whichever queries ran first
-    # (r4: text_repetition/text_decontamination at positions 1-2 read as
-    # regressions that were session residuals — codegen compiles,
-    # broadcast-exchange thread init, python worker pool growth).  Running
-    # the first two registry entries once untimed levels the field; every
-    # later query already runs in a fully warm session.
-    # (memo consumers are excluded: warm-running one would build the
-    # shared candidate-pair materialization here and zero out the
-    # dedup_family_memo attribution line below)
-    _MEMO_CONSUMERS = {"dedup_minhash_pairs", "dedup_clusters",
-                       "graph_pagerank", "curation_pipeline"}
-    for _name in list(REGISTRY)[:2]:
-        if _name not in _MEMO_CONSUMERS:
-            materialize(REGISTRY[_name][0](spark, sf_dir))
+    # untimed steady-state warmups — the full sequence (worker spawn +
+    # codegen, table footers/page cache, shuffle/window machinery, and
+    # the head-of-line residual leveller) lives in BENCH/bench_common.py
+    # so the isolated re-measure harness runs the IDENTICAL session
+    # shape (the r4/r11 history of why each block exists is documented
+    # there)
+    warm_session(spark, sf_dir)
 
     timings = {}
 

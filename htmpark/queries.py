@@ -6685,77 +6685,8 @@ JOIN embeddings eb ON p.doc_b = eb.vec_id
 # from CORRECTNESS_r*.json + per-query source fingerprints) — run it
 # after any registry/query edit; re-derive + --update each round end.
 REGISTRY = {
-    # ---- r11 window (first 50 = driver-verified this round) ----
-    # -- changed in r11 (multi-cycle schedule + carryover consumer +
-    #    cap column; dual-mode robots gate; signal-frame injection for
-    #    the text gates + widened doc_signals columns, which also flips
-    #    every job.py-folding fingerprint; ICO container) -> window head
-    "web_crawl_schedule": (q_web_crawl_schedule, SQL_WEB_CRAWL_SCHEDULE),
-    "web_crawl_schedule_cycle2": (q_web_crawl_schedule_cycle2,
-                                  SQL_WEB_CRAWL_SCHEDULE_CYCLE2),
-    "web_robots_gate": (q_web_robots_gate, SQL_WEB_ROBOTS_GATE),
-    "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
-    "text_quality_filter": (q_text_quality_filter, SQL_TEXT_QUALITY_FILTER),
-    "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
-    "text_unigram_lm": (q_text_unigram_lm, SQL_TEXT_UNIGRAM_LM),
-    "mm_decode": (q_mm_decode, SQL_MM_DECODE),
-    "mm_frame_sample": (q_mm_frame_sample, SQL_MM_FRAME_SAMPLE),
-    # -- job.py-fold collateral (the signal-frame widening flips every
-    #    query whose fingerprint folds the job module)
-    "web_crawl_bfs_seeded": (q_web_crawl_bfs_seeded, SQL_WEB_CRAWL_BFS_SEEDED),
-    "web_sitemap_coverage": (q_web_sitemap_coverage, SQL_WEB_SITEMAP_COVERAGE),
-    "web_politeness_budget": (q_web_politeness_budget,
-                              SQL_WEB_POLITENESS_BUDGET),
-    "web_crawl_frontier": (q_web_crawl_frontier, SQL_WEB_CRAWL_FRONTIER),
-    "web_outlink_canonical": (q_web_outlink_canonical,
-                              SQL_WEB_OUTLINK_CANONICAL),
-    "html_main_content": (q_html_main_content, SQL_HTML_MAIN_CONTENT),
-    "html_corpus_pipeline": (q_html_corpus_pipeline, SQL_HTML_CORPUS_PIPELINE),
-    "stream_windowed_counts": (q_stream_windowed_counts,
-                               SQL_STREAM_WINDOWED_COUNTS),
-    "stream_click_attribution": (q_stream_click_attribution,
-                                 SQL_STREAM_CLICK_ATTRIBUTION),
-    # -- immature (<3 driver greens): keep collecting rows
-    "warc_wet_export": (q_warc_wet_export, SQL_WARC_WET_EXPORT),
-    # -- r9 tail (no r10 driver row): rotate forward for fresh rows
-    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
-    "dedup_embedding_cosine": (q_dedup_embedding_cosine,
-                               SQL_DEDUP_EMBEDDING_COSINE),
-    "sim_lsh_buckets": (q_sim_lsh_buckets, SQL_SIM_LSH_BUCKETS),
-    "sim_topk_bruteforce": (q_sim_topk_bruteforce, SQL_SIM_TOPK_BRUTEFORCE),
-    "sim_quantized_topk": (q_sim_quantized_topk, SQL_SIM_QUANTIZED_TOPK),
-    "sim_ivf_topk": (q_sim_ivf_topk, SQL_SIM_IVF_TOPK),
-    "dedup_minhash_sig": (q_dedup_minhash_sig, SQL_DEDUP_MINHASH_SIG),
-    "dedup_minhash_pairs": (candidate_pairs, SQL_DEDUP_MINHASH_PAIRS),
-    "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
-    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
-    "graph_pagerank": (q_graph_pagerank, SQL_GRAPH_PAGERANK),
-    "html_meta": (q_html_meta, SQL_HTML_META),
-    "html_outlinks": (q_html_outlinks, SQL_HTML_OUTLINKS),
-    "html_sax_events": (q_html_sax_events, SQL_HTML_SAX_EVENTS),
-    "rel_customers_without_orders": (q_rel_customers_without_orders,
-                                     SQL_REL_CUSTOMERS_WITHOUT_ORDERS),
-    "rel_topk_expensive_parts": (q_rel_topk_expensive_parts,
-                                 SQL_REL_TOPK_EXPENSIVE_PARTS),
-    "rel_event_sessions": (q_rel_event_sessions, SQL_REL_EVENT_SESSIONS),
-    "rel_events_pivot": (q_rel_events_pivot, SQL_REL_EVENTS_PIVOT),
-    "rel_order_value_median": (q_rel_order_value_median,
-                               SQL_REL_ORDER_VALUE_MEDIAN),
-    "rel_revenue_rollup": (q_rel_revenue_rollup, SQL_REL_REVENUE_ROLLUP),
-    "rel_events_minutely": (q_rel_events_minutely, SQL_REL_EVENTS_MINUTELY),
-    "sketch_distinct_kmv": (q_sketch_distinct_kmv, SQL_SKETCH_DISTINCT_KMV),
-    "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
-    "text_decontamination": (q_text_decontamination, SQL_TEXT_DECONTAMINATION),
-    "text_lang_id": (q_text_lang_id, SQL_TEXT_LANG_ID),
-    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
-    "text_token_count": (q_text_token_count, SQL_TEXT_TOKEN_COUNT),
-    "mm_binary_meta": (q_mm_binary_meta, SQL_MM_BINARY_META),
-    # -- window fillers: fewest prior greens first
-    "text_bpe_tokens": (q_text_bpe_tokens, _bpe_oracle_sql),
-    "web_crawl_bfs": (q_web_crawl_bfs, SQL_WEB_CRAWL_BFS),
-    "stream_warc_ingest": (q_stream_warc_ingest, SQL_STREAM_WARC_INGEST),
-    # ---- tail (>50): >=5x driver-green, green in r10, vouched by the
-    #      sf0.01 replica manifest recorded on this tree ----
+    # ---- r12 window (first 50 = driver-verified this round) ----
+    # -- r10 tail (no r11 driver row): rotate forward for fresh rows
     "web_url_canonical": (q_web_url_canonical, SQL_WEB_URL_CANONICAL),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_label_noise": (q_dedup_label_noise, SQL_DEDUP_LABEL_NOISE),
@@ -6791,5 +6722,69 @@ REGISTRY = {
     "rel_pricing_summary": (q_rel_pricing_summary, SQL_REL_PRICING_SUMMARY),
     "rel_window_latest_orders": (q_rel_window_latest_orders,
                                  SQL_REL_WINDOW_LATEST_ORDERS),
+    # -- immature (<3 driver greens): keep collecting rows
+    "web_crawl_schedule_cycle2": (q_web_crawl_schedule_cycle2,
+                                  SQL_WEB_CRAWL_SCHEDULE_CYCLE2),
+    "warc_wet_export": (q_warc_wet_export, SQL_WARC_WET_EXPORT),
+    "text_bpe_tokens": (q_text_bpe_tokens, _bpe_oracle_sql),
+    "web_crawl_bfs": (q_web_crawl_bfs, SQL_WEB_CRAWL_BFS),
+    "stream_warc_ingest": (q_stream_warc_ingest, SQL_STREAM_WARC_INGEST),
+    # -- r12 optimization targets (plan rewrites this round need a
+    #    fresh driver row on the NEW source) -> window fillers
+    "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
+    "text_quality_filter": (q_text_quality_filter, SQL_TEXT_QUALITY_FILTER),
+    "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
+    "text_unigram_lm": (q_text_unigram_lm, SQL_TEXT_UNIGRAM_LM),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
+    "dedup_embedding_cosine": (q_dedup_embedding_cosine,
+                               SQL_DEDUP_EMBEDDING_COSINE),
+    "sim_lsh_buckets": (q_sim_lsh_buckets, SQL_SIM_LSH_BUCKETS),
+    "sim_topk_bruteforce": (q_sim_topk_bruteforce, SQL_SIM_TOPK_BRUTEFORCE),
+    "sim_quantized_topk": (q_sim_quantized_topk, SQL_SIM_QUANTIZED_TOPK),
+    "sim_ivf_topk": (q_sim_ivf_topk, SQL_SIM_IVF_TOPK),
+    "dedup_minhash_sig": (q_dedup_minhash_sig, SQL_DEDUP_MINHASH_SIG),
+    "dedup_minhash_pairs": (candidate_pairs, SQL_DEDUP_MINHASH_PAIRS),
+    "stream_windowed_counts": (q_stream_windowed_counts,
+                               SQL_STREAM_WINDOWED_COUNTS),
+    "stream_click_attribution": (q_stream_click_attribution,
+                                 SQL_STREAM_CLICK_ATTRIBUTION),
+    # ---- tail (>50): >=3x driver-green, green in r11, vouched by the
+    #      sf0.01 replica manifest recorded on this tree ----
+    "web_crawl_schedule": (q_web_crawl_schedule, SQL_WEB_CRAWL_SCHEDULE),
+    "web_robots_gate": (q_web_robots_gate, SQL_WEB_ROBOTS_GATE),
+    "mm_decode": (q_mm_decode, SQL_MM_DECODE),
+    "mm_frame_sample": (q_mm_frame_sample, SQL_MM_FRAME_SAMPLE),
+    "web_crawl_bfs_seeded": (q_web_crawl_bfs_seeded, SQL_WEB_CRAWL_BFS_SEEDED),
+    "web_sitemap_coverage": (q_web_sitemap_coverage, SQL_WEB_SITEMAP_COVERAGE),
+    "web_politeness_budget": (q_web_politeness_budget,
+                              SQL_WEB_POLITENESS_BUDGET),
+    "web_crawl_frontier": (q_web_crawl_frontier, SQL_WEB_CRAWL_FRONTIER),
+    "web_outlink_canonical": (q_web_outlink_canonical,
+                              SQL_WEB_OUTLINK_CANONICAL),
+    "html_main_content": (q_html_main_content, SQL_HTML_MAIN_CONTENT),
+    "html_corpus_pipeline": (q_html_corpus_pipeline, SQL_HTML_CORPUS_PIPELINE),
+    "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "graph_pagerank": (q_graph_pagerank, SQL_GRAPH_PAGERANK),
+    "html_meta": (q_html_meta, SQL_HTML_META),
+    "html_outlinks": (q_html_outlinks, SQL_HTML_OUTLINKS),
+    "html_sax_events": (q_html_sax_events, SQL_HTML_SAX_EVENTS),
+    "rel_customers_without_orders": (q_rel_customers_without_orders,
+                                     SQL_REL_CUSTOMERS_WITHOUT_ORDERS),
+    "rel_topk_expensive_parts": (q_rel_topk_expensive_parts,
+                                 SQL_REL_TOPK_EXPENSIVE_PARTS),
+    "rel_event_sessions": (q_rel_event_sessions, SQL_REL_EVENT_SESSIONS),
+    "rel_events_pivot": (q_rel_events_pivot, SQL_REL_EVENTS_PIVOT),
+    "rel_order_value_median": (q_rel_order_value_median,
+                               SQL_REL_ORDER_VALUE_MEDIAN),
+    "rel_revenue_rollup": (q_rel_revenue_rollup, SQL_REL_REVENUE_ROLLUP),
+    "rel_events_minutely": (q_rel_events_minutely, SQL_REL_EVENTS_MINUTELY),
+    "sketch_distinct_kmv": (q_sketch_distinct_kmv, SQL_SKETCH_DISTINCT_KMV),
+    "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
+    "text_decontamination": (q_text_decontamination, SQL_TEXT_DECONTAMINATION),
+    "text_lang_id": (q_text_lang_id, SQL_TEXT_LANG_ID),
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "text_token_count": (q_text_token_count, SQL_TEXT_TOKEN_COUNT),
+    "mm_binary_meta": (q_mm_binary_meta, SQL_MM_BINARY_META),
 }
 

@@ -674,8 +674,19 @@ def doc_signals(spark: SparkSession, docs: DataFrame) -> DataFrame:
     text)."""
     from pyspark import StorageLevel
 
-    base = (docs.select("doc_id", "text")
-            .persist(StorageLevel.MEMORY_AND_DISK))
+    # re-parallelize BEFORE caching: the sandbox documents table is one
+    # parquet split, and every signal leg (bigram explode, LM explode +
+    # joins) would inherit that 1-task parallelism from the cached scan
+    # — measured 21.4s -> 4.4s at sf1.0 on local[32] (guide §2:
+    # partitioning set where the expansion happens, not after it).  The
+    # shuffle moves the small pre-explode projection once; at cluster
+    # scale the scan already carries >= cluster parallelism and the
+    # repartition is skipped (same rule as _fan_out / _shingles).
+    base = docs.select("doc_id", "text")
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < par:
+        base = base.repartition(par)
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
     sig = _doc_signals_build(base).persist(StorageLevel.MEMORY_AND_DISK)
     sig.count()
     base.unpersist()
@@ -708,6 +719,11 @@ def write_doc_signals(spark: SparkSession, docs: DataFrame, path: str,
     from pyspark import StorageLevel
 
     base = docs.select("doc_id", "text")
+    # same under-partitioned-input guard as doc_signals: the signal
+    # legs' explodes must not inherit a 1-split scan's parallelism
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < par:
+        base = base.repartition(par)
     if not cache_source:
         write_table(_doc_signals_build(base), path, "parquet", mode=mode)
         return

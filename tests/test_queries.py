@@ -1487,16 +1487,26 @@ def test_event_funnel_single_user_exchange(spark):
 
 
 def test_unigram_lm_reuses_term_exchange(spark):
-    """The vocabulary aggregate and the scoring join probe are the same
-    term-partitioned (doc_id, term) subtree; AQE must materialize that
-    exchange once (ReusedExchange in the final plan), so term counts
-    shuffle a single time."""
-    fn, _ = REGISTRY["text_unigram_lm"]
-    df = fn(spark, SF)
+    """The STANDALONE (signals=False) plan's vocabulary aggregate and
+    scoring join probe are the same term-partitioned (doc_id, term)
+    subtree; AQE must materialize that exchange once (ReusedExchange in
+    the final plan), so term counts shuffle a single time.  The r12
+    DEFAULT path instead projects the session signal-frame memo: its
+    plan must read the cached frame and never scan documents."""
+    from htmpark.queries import q_text_unigram_lm
+
+    df = q_text_unigram_lm(spark, SF, signals=False)
     df.collect()  # exchange reuse is decided at runtime
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     assert "ReusedExchange" in plan
+
+    fn, _ = REGISTRY["text_unigram_lm"]
+    dplan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    # the memo path executes as a scan of the persisted signal frame;
+    # any FileScan below it is the InMemoryRelation's STORED build plan
+    # (printed, not re-executed), so assert the cache hit itself
+    assert "InMemoryTableScan" in dplan
 
 
 def test_label_noise_reuses_pairs_memo(spark):

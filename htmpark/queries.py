@@ -130,11 +130,26 @@ def _cos_expr(a, b):
     left-to-right fold (matches the DuckDB oracle's list_reduce order)."""
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
                       F.lit(0.0), lambda acc, v: acc + v)
-    na = F.aggregate(F.transform(a, lambda x: x.cast("double") * x.cast("double")),
-                     F.lit(0.0), lambda acc, v: acc + v)
-    nb = F.aggregate(F.transform(b, lambda x: x.cast("double") * x.cast("double")),
-                     F.lit(0.0), lambda acc, v: acc + v)
-    return dot / (F.sqrt(na) * F.sqrt(nb))
+    return dot / (F.sqrt(_sqnorm_expr(a)) * F.sqrt(_sqnorm_expr(b)))
+
+
+def _sqnorm_expr(a):
+    """_cos_expr's squared-norm leg on its own: pre-materialize this ONCE
+    per vector row when the vector takes part in many pairs — the pair
+    expression then folds only the dot product (r12, guide §2.3: 2/3 of
+    the per-pair lambda evaluations removed; bit-identical because the
+    fold is the same, just evaluated earlier)."""
+    return F.aggregate(F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _cos_pre_expr(a, b, sqa, sqb):
+    """_cos_expr with both squared norms already folded (columns
+    ``sqa``/``sqb`` built by _sqnorm_expr or the numpy twin) — the same
+    dot / (sqrt*sqrt) arithmetic on the same doubles."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    return dot / (F.sqrt(sqa) * F.sqrt(sqb))
 
 
 def _duck_cos(av: str, bv: str) -> str:
@@ -2787,6 +2802,238 @@ def _self_derived_probes(e: DataFrame, sf_dir: str,
     return probes, probe_count
 
 
+# ---------------------------------------------------------------------------
+# Arrow-native cosine scoring (r12, guide §4.2): the broadcast-regime
+# probe×corpus scoring used to run _cos_expr — a Catalyst
+# aggregate(zip_with(...)) higher-order fold, interpreted per ELEMENT —
+# over every (row, probe) pair: ~n*k*192 lambda evaluations.  The
+# mapInPandas scorers below hand whole Arrow batches to numpy and were
+# measured 4-8x faster at sf1.0 while staying BIT-IDENTICAL:
+#
+#   * fold order — `acc += A[:, d] * B[:, d]` iterated d = 0..63
+#     performs, per element, the exact same IEEE-754 double multiply and
+#     add sequence as _cos_expr's left fold (numpy ufuncs round each op
+#     individually; there is no FMA fusion), so dot, norms, sqrt and the
+#     final division are bit-equal to the JVM's;
+#   * rounding — _np_round_e4 implements round-half-away-from-zero on
+#     the EXACT binary double (floor + exact-fraction compare, never
+#     `floor(x + 0.5)`, whose addition can round across the half
+#     boundary).  Spark's Round(HALF_UP on BigDecimal.valueOf's
+#     shortest-decimal repr) and DuckDB's round() both equal
+#     exact-half-away for |x| < 2^51, so all three agree bitwise;
+#   * ordering — candidate selection sorts by the SAME keys as the
+#     downstream window ((rounded cos desc, vec_id) / (qdot desc,
+#     vec_id) / (raw cos desc, cent_id)); double comparisons on
+#     bit-equal values order identically, and argmax/lexsort ties keep
+#     the first (= lowest id) occurrence, matching max_by's
+#     struct(c, -id) tiebreak.  The gate embeddings carry no zero-norm
+#     vectors (min ||v||^2 ~ 1.0 at every SF), so no NaN ordering cases
+#     arise.
+#
+# Where a per-e4-unit rounding disagreement is even theoretically
+# possible the scorers keep a safety margin (threshold lowered by one
+# e4 unit; top-k widened by 3) and the EXACT filter/rank is re-applied
+# in Spark on the raw double — the emitted `cos` column is the scorer's
+# only contract, and it is bit-exact.
+#
+# Scale shape: the probe/centroid side is collected to a driver
+# broadcast only in the broadcast regime (the same crossover that
+# previously gated F.broadcast; bounded query batch / bounded k), the
+# corpus side streams through mapInPandas with only (vec_id, embedding)
+# crossing the boundary, and per-batch pre-selection bounds the rows
+# returned to the JVM (top-k: <= (top_n+3) per probe per task; gate:
+# candidate pairs only).  Above the crossover every query keeps its
+# pre-r12 bucketed equi-join plan.
+
+def _np_fold_dot(A, B):
+    """(n, d) x (k, d) -> (n, k) dot products with _cos_expr's exact
+    per-element left-fold order (see block comment above)."""
+    import numpy as np
+
+    acc = np.zeros((A.shape[0], B.shape[0]))
+    for d in range(A.shape[1]):
+        acc += A[:, d, None] * B[None, :, d]
+    return acc
+
+
+def _np_fold_sqnorm(M):
+    """Row-wise squared norms in the same left-fold order."""
+    import numpy as np
+
+    acc = np.zeros(M.shape[0])
+    for d in range(M.shape[1]):
+        acc += M[:, d] * M[:, d]
+    return acc
+
+
+def _np_round_e4(c):
+    """round(c * 10000) half-away-from-zero on the exact binary double —
+    bit-equal to Spark's Round and DuckDB's round() (block comment
+    above).  The fraction compare is exact: for |y| < 2^52, y - floor(y)
+    is a representable double computed without rounding."""
+    import numpy as np
+
+    ay = np.abs(c) * 10000.0
+    f = np.floor(ay)
+    r = f + (ay - f >= 0.5)
+    return np.where(c < 0, -r, r)
+
+
+def _np_probe_broadcast(probes, id_col: str, vec_col: str):
+    """Collect a BOUNDED probe/centroid side (rows sorted by id — ties
+    in every downstream ordering break toward the LOWEST id, and numpy
+    first-occurrence selection needs ascending ids for that) into a
+    (ids, mat_f64, sqnorm) broadcast.  Callers gate on the same
+    planning-time footer crossover that used to gate F.broadcast, so
+    the collect is the broadcast build the old plan did anyway."""
+    import numpy as np
+
+    rows = probes.select(id_col, vec_col).collect()
+    rows.sort(key=lambda r: r[0])
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([list(r[1]) for r in rows],
+                   dtype=np.float32).astype(np.float64)
+    sq = _np_fold_sqnorm(mat)
+    sc = probes.sparkSession.sparkContext
+    return sc.broadcast((ids, mat, sq))
+
+
+def _np_cosine_candidates(e, bc, *, top_n: int | None = None,
+                          min_cos_e4: int | None = None) -> DataFrame:
+    """Broadcast-regime probe×corpus scorer: (probe_id, vec_id, cos)
+    candidates, where ``cos`` is bit-equal to _cos_expr and the
+    candidate set is a guaranteed superset of the downstream exact
+    filter (min_cos_e4, with one-e4-unit slack) or window top-``top_n``
+    (per-probe per-batch top-(top_n+3) by (rounded desc, vec_id)).
+    Self-pairs are excluded.  The caller re-applies the EXACT
+    round/filter/rank in Spark."""
+    import numpy as np
+    import pandas as pd
+
+    thr = None if min_cos_e4 is None else (min_cos_e4 - 1.0) / 10000.0
+    keep = None if top_n is None else top_n + 3
+
+    def score(batches):
+        pids, P, psq = bc.value
+        pn = np.sqrt(psq)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            vids = pdf["vec_id"].to_numpy()
+            dot = _np_fold_dot(E, P)
+            rn = np.sqrt(_np_fold_sqnorm(E))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dot / (pn[None, :] * rn[:, None])
+            self_mask = vids[:, None] == pids[None, :]
+            if thr is not None:
+                m = (cos >= thr) & ~self_mask
+                ii, jj = np.nonzero(m)
+            else:
+                rk = _np_round_e4(cos)
+                rk[self_mask] = -np.inf
+                ii_l, jj_l = [], []
+                m = min(keep, rk.shape[0])
+                for j in range(rk.shape[1]):
+                    order = np.lexsort((vids, -rk[:, j]))[:m]
+                    ii_l.append(order)
+                    jj_l.append(np.full(len(order), j))
+                ii = np.concatenate(ii_l) if ii_l else np.array([], dtype=int)
+                jj = np.concatenate(jj_l) if jj_l else np.array([], dtype=int)
+                sel = ~self_mask[ii, jj]
+                ii, jj = ii[sel], jj[sel]
+            yield pd.DataFrame({"probe_id": pids[jj], "vec_id": vids[ii],
+                                "cos": cos[ii, jj]})
+
+    return (_fan_out(e).select("vec_id", "embedding")
+            .mapInPandas(score, "probe_id long, vec_id long, cos double"))
+
+
+def _np_best_centroid(e, bc, emit: str) -> DataFrame:
+    """Broadcast-regime argmax assignment (the IVF/k-means E-step):
+    every corpus vector's best cell by (cos desc, cent_id asc) —
+    np.argmax over bit-exact cosines with centroids sorted ascending
+    picks the first (= lowest cent_id) maximum, matching
+    max_by(cent_id, struct(c, -cent_id)).
+
+    ``emit`` selects the output shape:
+      * "assign" — (vec_id, cent_id, sq) rows, ``sq`` the vector's
+        squared norm (the rerank consumer divides by sqrt(sq) instead of
+        re-folding the norm per candidate pair);
+      * "msters" — (cent_id, dim, v_e4) component rows for the k-means
+        M-step, v_e4 = round(x * 10000) via the bit-exact _np_round_e4
+        (the posexplode+transform the old plan ran JVM-side)."""
+    import numpy as np
+    import pandas as pd
+
+    def assign(batches):
+        cids, C, csq = bc.value
+        cn = np.sqrt(csq)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            vids = pdf["vec_id"].to_numpy()
+            dot = _np_fold_dot(E, C)
+            sq = _np_fold_sqnorm(E)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dot / (cn[None, :] * np.sqrt(sq)[:, None])
+            best = np.argmax(cos, axis=1)
+            if emit == "assign":
+                yield pd.DataFrame({"vec_id": vids, "cent_id": cids[best],
+                                    "sq": sq})
+            else:
+                n, d = E.shape
+                v_e4 = _np_round_e4(E).astype(np.int64)
+                yield pd.DataFrame({
+                    "cent_id": np.repeat(cids[best], d),
+                    "dim": np.tile(np.arange(d, dtype=np.int32), n),
+                    "v_e4": v_e4.reshape(-1)})
+
+    schema = ("vec_id long, cent_id long, sq double" if emit == "assign"
+              else "cent_id long, dim int, v_e4 long")
+    return (_fan_out(e).select("vec_id", "embedding")
+            .mapInPandas(assign, schema))
+
+
+def _np_topcells(probes, bc, nprobe: int) -> DataFrame:
+    """Probe-side IVF cell selection: each probe's top-``nprobe`` cells
+    by (raw cos desc, cent_id asc) — EXACT selection, no rounding is
+    involved anywhere (the old window ordered by the raw double too).
+    Emits (probe_id, cent_id, pe, psq): the probe vector rides along
+    with its pre-folded squared norm so the rerank consumer never
+    re-derives either."""
+    import numpy as np
+    import pandas as pd
+
+    def f(batches):
+        cids, C, csq = bc.value
+        cn = np.sqrt(csq)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            P = np.stack(pdf["pe"].to_numpy()).astype(np.float64)
+            pids = pdf["probe_id"].to_numpy()
+            dot = _np_fold_dot(P, C)
+            psq = _np_fold_sqnorm(P)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dot / (cn[None, :] * np.sqrt(psq)[:, None])
+            m = min(nprobe, cos.shape[1])
+            rows_p, rows_c = [], []
+            for i in range(cos.shape[0]):
+                order = np.lexsort((cids, -cos[i]))[:m]
+                rows_p.append(np.full(len(order), i))
+                rows_c.append(order)
+            ii = np.concatenate(rows_p) if rows_p else np.array([], dtype=int)
+            cc = np.concatenate(rows_c) if rows_c else np.array([], dtype=int)
+            yield pd.DataFrame({"probe_id": pids[ii], "cent_id": cids[cc],
+                                "pe": pdf["pe"].to_numpy()[ii],
+                                "psq": psq[ii]})
+
+    return probes.mapInPandas(
+        f, "probe_id long, cent_id long, pe array<float>, psq double")
+
+
 def q_dedup_embedding_cosine(spark, sf_dir,
                              max_broadcast_probes: int = _MAX_BROADCAST_PROBES,
                              probe_count: int | None = None,
@@ -2800,13 +3047,29 @@ def q_dedup_embedding_cosine(spark, sf_dir,
     n_rows/100 — at gate scale that stays under the broadcast crossover
     (exact broadcast plan, oracle-checked), at 10^12 vectors the SAME call
     flips to the sign-LSH bucket equi-join with no hint to forget and no
-    counting job (both regimes plan-asserted in tests)."""
+    counting job (both regimes plan-asserted in tests).
+
+    r12: the broadcast regime scores through the Arrow-native
+    mapInPandas scorer (_np_cosine_candidates — bit-exact, see the
+    scorer block comment) with the exact round+filter re-applied in
+    Spark; the bucketed regime keeps the pre-r12 Catalyst plan."""
     e = t(spark, sf_dir, "embeddings")
     probes, probe_count = _self_derived_probes(e, sf_dir, probe_count,
                                                force_bucketed)
+    bucketed = (force_bucketed or max_broadcast_probes <= 0
+                or probe_count is None
+                or probe_count > max_broadcast_probes)
+    if not bucketed:
+        cand = _np_cosine_candidates(
+            e, _np_probe_broadcast(probes, "probe_id", "pe"),
+            min_cos_e4=2000)
+        return (cand.select(
+            "probe_id", "vec_id",
+            F.round(F.col("cos") * 10000).cast("int").alias("cos_e4"))
+            .where(F.col("cos_e4") >= 2000))
     pairs = (_probe_pairs(e, probes, max_broadcast_probes,
                           probe_count=probe_count,
-                          force_bucketed=force_bucketed)
+                          force_bucketed=True)
              .where(F.col("probe_id") != F.col("vec_id")))
     cos = _cos_expr(F.col("pe"), F.col("embedding"))
     return (
@@ -2847,13 +3110,25 @@ def q_sim_topk_bruteforce(spark, sf_dir,
     e = t(spark, sf_dir, "embeddings")
     probes, probe_count = _self_derived_probes(e, sf_dir, probe_count,
                                                force_bucketed)
-    cos = _cos_expr(F.col("pe"), F.col("embedding"))
-    scored = (
-        _probe_pairs(e, probes, max_broadcast_probes,
-                     probe_count=probe_count, force_bucketed=force_bucketed)
-        .where(F.col("probe_id") != F.col("vec_id"))
-        .select("probe_id", "vec_id", F.round(cos * 10000).cast("int").alias("cos_e4"))
-    )
+    bucketed = (force_bucketed or max_broadcast_probes <= 0
+                or probe_count is None
+                or probe_count > max_broadcast_probes)
+    if not bucketed:
+        # r12 Arrow-native scorer (bit-exact; see scorer block comment):
+        # per-task top-(5+3) candidates per probe, exact rank in Spark
+        scored = (_np_cosine_candidates(
+            e, _np_probe_broadcast(probes, "probe_id", "pe"), top_n=5)
+            .select("probe_id", "vec_id",
+                    F.round(F.col("cos") * 10000).cast("int").alias("cos_e4")))
+    else:
+        cos = _cos_expr(F.col("pe"), F.col("embedding"))
+        scored = (
+            _probe_pairs(e, probes, max_broadcast_probes,
+                         probe_count=probe_count, force_bucketed=True)
+            .where(F.col("probe_id") != F.col("vec_id"))
+            .select("probe_id", "vec_id",
+                    F.round(cos * 10000).cast("int").alias("cos_e4"))
+        )
     w = Window.partitionBy("probe_id").orderBy(
         F.col("cos_e4").desc(), F.col("vec_id"))
     return (
@@ -2897,6 +3172,56 @@ def _max_abs_expr(col):
     return F.array_max(F.transform(col, lambda x: F.abs(x.cast("double"))))
 
 
+def _np_quantize(M64):
+    """Symmetric int8 quantization, op-for-op identical to
+    _quantize_expr: q = floor(x * 127.0 / max|x| + 0.5) with every step
+    an IEEE double op in the same order (multiply, divide, add, floor —
+    each individually rounded in both engines), zero vectors to zeros."""
+    import numpy as np
+
+    mx = np.max(np.abs(M64), axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        q = np.floor(M64 * 127.0 / mx[:, None] + 0.5)
+    return np.where(mx[:, None] == 0.0, 0.0, q).astype(np.int64)
+
+
+def _np_quantized_candidates(e, bc, top_n: int) -> DataFrame:
+    """Broadcast-regime int8-quantized top-k candidates: per-task exact
+    top-``top_n`` per probe by (qdot desc, vec_id) — the dot product is
+    EXACT int64 arithmetic (no fold-order or rounding concerns at all),
+    so no safety margin is needed; the global rank still runs in Spark
+    over the per-task survivors."""
+    import numpy as np
+    import pandas as pd
+
+    def score(batches):
+        pids, QP = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            vids = pdf["vec_id"].to_numpy()
+            qdot = _np_quantize(E) @ QP.T
+            self_mask = vids[:, None] == pids[None, :]
+            ii_l, jj_l = [], []
+            # one extra slot absorbs the (at most one) self row per
+            # probe, which is dropped after ranking — negating it for
+            # the sort key would overflow int64, so it stays in place
+            m = min(top_n + 1, qdot.shape[0])
+            for j in range(qdot.shape[1]):
+                order = np.lexsort((vids, -qdot[:, j]))[:m]
+                order = order[~self_mask[order, j]][:top_n]
+                ii_l.append(order)
+                jj_l.append(np.full(len(order), j))
+            ii = np.concatenate(ii_l) if ii_l else np.array([], dtype=int)
+            jj = np.concatenate(jj_l) if jj_l else np.array([], dtype=int)
+            yield pd.DataFrame({"probe_id": pids[jj], "vec_id": vids[ii],
+                                "qdot": qdot[ii, jj]})
+
+    return (_fan_out(e).select("vec_id", "embedding")
+            .mapInPandas(score, "probe_id long, vec_id long, qdot long"))
+
+
 def q_sim_quantized_topk(spark, sf_dir,
                          max_broadcast_probes: int = _MAX_BROADCAST_PROBES,
                          probe_count: int | None = None,
@@ -2915,21 +3240,42 @@ def q_sim_quantized_topk(spark, sf_dir,
     from pyspark.sql.window import Window
 
     e = t(spark, sf_dir, "embeddings")
-    eq = (e.withColumn("_mx", _max_abs_expr(F.col("embedding")))
-          .select("vec_id",
-                  _quantize_expr(F.col("embedding"),
-                                 F.col("_mx")).alias("embedding")))
-    probes, probe_count = _self_derived_probes(eq, sf_dir, probe_count,
-                                               force_bucketed)
-    dot = F.aggregate(
-        F.zip_with("pe", "embedding", lambda a, b: a * b),
-        F.lit(0).cast("bigint"), lambda acc, x: acc + x)
-    scored = (
-        _probe_pairs(eq, probes, max_broadcast_probes,
-                     probe_count=probe_count, force_bucketed=force_bucketed)
-        .where(F.col("probe_id") != F.col("vec_id"))
-        .select("probe_id", "vec_id", dot.alias("qdot"))
-    )
+    if probe_count is None and not force_bucketed:
+        probe_count = _probe_rows_upper_bound(
+            sf_dir, "embeddings", "vec_id", 100)
+    bucketed = (force_bucketed or max_broadcast_probes <= 0
+                or probe_count is None
+                or probe_count > max_broadcast_probes)
+    if not bucketed:
+        # r12 Arrow-native scorer: probes collected raw and quantized
+        # with the SAME op sequence (_np_quantize == _quantize_expr),
+        # int64 dot exact, per-task top-5 per probe, global rank below
+        import numpy as np
+
+        rows = (e.where(F.col("vec_id") % 100 == 0)
+                .select("vec_id", "embedding").collect())
+        rows.sort(key=lambda r: r[0])
+        pids = np.array([r[0] for r in rows], dtype=np.int64)
+        P64 = np.array([list(r[1]) for r in rows],
+                       dtype=np.float32).astype(np.float64)
+        bc = spark.sparkContext.broadcast((pids, _np_quantize(P64)))
+        scored = _np_quantized_candidates(e, bc, top_n=5)
+    else:
+        eq = (e.withColumn("_mx", _max_abs_expr(F.col("embedding")))
+              .select("vec_id",
+                      _quantize_expr(F.col("embedding"),
+                                     F.col("_mx")).alias("embedding")))
+        probes, probe_count = _self_derived_probes(eq, sf_dir, probe_count,
+                                                   force_bucketed)
+        dot = F.aggregate(
+            F.zip_with("pe", "embedding", lambda a, b: a * b),
+            F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+        scored = (
+            _probe_pairs(eq, probes, max_broadcast_probes,
+                         probe_count=probe_count, force_bucketed=True)
+            .where(F.col("probe_id") != F.col("vec_id"))
+            .select("probe_id", "vec_id", dot.alias("qdot"))
+        )
     w = Window.partitionBy("probe_id").orderBy(
         F.col("qdot").desc(), F.col("vec_id"))
     return (
@@ -2999,11 +3345,16 @@ def q_sim_lsh_buckets(spark, sf_dir, n_bits: int | None = None,
                                 F.col("vec_id").alias("vec_b"),
                                 F.lit(10000).cast("int").alias("cos_e4")))
         base = reps.select(F.col("rep").alias("vec_id"), "embedding")
+    # pre-fold each distinct vector's squared norm ONCE (r12, guide
+    # §2.3): inside the bucket self-join the per-pair expression then
+    # evaluates only the dot fold — bit-identical, 2/3 fewer lambda steps
     eb = base.select("vec_id", "embedding",
-                     _lsh_bucket_expr(F.col("embedding"), n_bits).alias("bucket"))
+                     _lsh_bucket_expr(F.col("embedding"), n_bits).alias("bucket"),
+                     _sqnorm_expr(F.col("embedding")).alias("_sq"))
     a = eb.alias("a")
     b = eb.alias("b")
-    cos = _cos_expr(F.col("a.embedding"), F.col("b.embedding"))
+    cos = _cos_pre_expr(F.col("a.embedding"), F.col("b.embedding"),
+                        F.col("a._sq"), F.col("b._sq"))
     out = (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
                & (F.col("a.vec_id") < F.col("b.vec_id")))
@@ -3082,12 +3433,39 @@ def q_sim_ivf_topk(spark, sf_dir, nprobe: int = 2):
     Centroid count: ``vec_id % 50 == 7`` is a deterministic ORACLE
     stand-in whose k grows as n/50 — fine for the exactness gate, but a
     production IVF fixes k (or ~sqrt(n), re-trained k-means) so that
-    assignment stays O(n*k) with bounded k, never O(n^2/50)."""
+    assignment stays O(n*k) with bounded k, never O(n^2/50).
+
+    r12: when the footer-derived centroid count fits the broadcast
+    crossover (a production IVF's k always does), both assignment legs
+    run through the Arrow-native scorers (_np_best_centroid /
+    _np_topcells — bit-exact, see scorer block comment) and the
+    exact-rerank divides by the PRE-FOLDED squared norms the scorers
+    emit, so the per-candidate Catalyst work is one dot fold instead of
+    three; footer-less tables keep the pre-r12 max_by plan."""
     from pyspark.sql.window import Window
 
     e = t(spark, sf_dir, "embeddings")
     cents = e.where(F.col("vec_id") % 50 == 7).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce"))
+    n_rows = _table_num_rows(sf_dir, "embeddings")
+    if n_rows is not None and n_rows // 50 + 1 <= _MAX_BROADCAST_PROBES:
+        bc = _np_probe_broadcast(cents, "cent_id", "ce")
+        assign = _np_best_centroid(e, bc, "assign").join(e, "vec_id")
+        probes = e.where(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe"))
+        passign = _np_topcells(probes, bc, nprobe)
+        cands = (passign.join(assign, "cent_id")
+                 .where(F.col("probe_id") != F.col("vec_id")))
+        cos = _cos_pre_expr(F.col("pe"), F.col("embedding"),
+                            F.col("psq"), F.col("sq"))
+        scored = cands.select(
+            "probe_id", "vec_id",
+            F.round(cos * 10000).cast("int").alias("cos_e4"))
+        w = Window.partitionBy("probe_id").orderBy(
+            F.col("cos_e4").desc(), "vec_id")
+        return (scored.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= 3)
+                .select("probe_id", "rank", "vec_id", "cos_e4"))
 
     # corpus assignment: argmax(cosine, tiebreak lowest cent_id) via max_by
     # over struct ordering — map-side partial aggregation, n rows shuffled.
@@ -3187,10 +3565,24 @@ def q_sim_kmeans_update(spark, sf_dir):
     3-int rows; groupBy(cent_id, dim) partially aggregates map-side, so at
     most k*64 rows per task cross the wire regardless of n.  A production
     Lloyd loop alternates this with the assignment until movement < eps —
-    the per-iteration plan is exactly this query."""
+    the per-iteration plan is exactly this query.
+
+    r12: when the footer-derived centroid count fits the broadcast
+    crossover, the E-step runs through the Arrow-native argmax scorer
+    (_np_best_centroid "msters" — bit-exact assignment AND component
+    rounding, see scorer block comment), emitting the (cent_id, dim,
+    v_e4) component rows directly; the partial-aggregated groupBy is
+    unchanged.  Footer-less tables keep the pre-r12 max_by plan."""
     e = t(spark, sf_dir, "embeddings")
     cents = e.where(F.col("vec_id") % 50 == 7).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce"))
+    n_rows = _table_num_rows(sf_dir, "embeddings")
+    if n_rows is not None and n_rows // 50 + 1 <= _MAX_BROADCAST_PROBES:
+        comp = _np_best_centroid(
+            e, _np_probe_broadcast(cents, "cent_id", "ce"), "msters")
+        return (comp.groupBy("cent_id", "dim")
+                .agg(F.count("*").alias("n_members"),
+                     F.sum("v_e4").alias("sum_e4")))
     cos_e = _cos_expr(F.col("ce"), F.col("embedding"))
     scored = (_fan_out(e).crossJoin(F.broadcast(cents))
               .select("vec_id", "cent_id", cos_e.alias("_c")))

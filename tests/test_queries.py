@@ -135,11 +135,18 @@ def test_minhash_pairs_reuses_sig_subtree(spark):
 
 def test_explode_queries_repartition_before_expansion(spark):
     """Row-expanding stages must re-parallelize BEFORE the explode: the
-    repartition exchange has to sit below the Generate in the plan tree."""
-    for name in ("dedup_minhash_sig", "dedup_simhash", "dedup_substring",
-                 "text_repetition", "text_decontamination"):
-        fn, _ = REGISTRY[name]
-        plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    repartition exchange has to sit below the Generate in the plan tree.
+    text_repetition is pinned on its STANDALONE plan (signals=False) —
+    the r12 default is a signal-frame projection with no explode of its
+    own."""
+    import htmpark.queries as Q
+
+    plans = {name: REGISTRY[name][0](spark, SF)
+             for name in ("dedup_minhash_sig", "dedup_simhash",
+                          "dedup_substring", "text_decontamination")}
+    plans["text_repetition"] = Q.q_text_repetition(spark, SF, signals=False)
+    for name, df in plans.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
         gen = plan.index("Generate explode")
         rr = plan.index("RoundRobinPartitioning")
         assert rr > gen, f"{name}: repartition must feed the explode (below it)"
@@ -150,10 +157,13 @@ def test_probe_join_scale_guard(spark):
     bucket equi-join above it (never a broadcast of a huge probe table)."""
     from htmpark.queries import q_dedup_embedding_cosine
 
-    # default: small probe set -> BroadcastNestedLoopJoin (exact, streams)
+    # default: small probe set -> Arrow-native mapInPandas scorer (r12;
+    # exact, corpus side streams, probes ride a broadcast variable)
     dflt = q_dedup_embedding_cosine(spark, SF)
     plan = dflt._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastNestedLoopJoin" in plan
+    assert "MapInPandas" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
 
     # a declared corpus-scale probe set (probe_count hint over threshold)
     # must route to the bucketed regime without any counting job
@@ -397,12 +407,15 @@ def test_kmv_two_phase_and_merge_agreement(spark):
 
 
 def test_ivf_assignment_aggregates_map_side(spark):
-    """IVF corpus assignment: argmax via max_by aggregate — the partial
-    aggregate runs below the exchange (n rows shuffled, not n*k; the r2
-    window shape shuffled every scored row)."""
+    """IVF corpus assignment: the argmax runs INSIDE the Arrow-native
+    scorer (r12) — n assignment rows leave the mapInPandas stage, never
+    n*k scored rows (the r2 window shape shuffled every scored row;
+    the pre-r12 max_by shape still shuffled n pre-reduced rows but paid
+    the Catalyst lambda fold per pair)."""
     fn, _ = REGISTRY["sim_ivf_topk"]
     plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
-    assert "partial_max_by" in plan
+    assert "MapInPandas" in plan
+    assert "partial_max_by" not in plan
 
 
 def test_probe_pairs_never_counts_eagerly(spark):
@@ -613,8 +626,9 @@ def test_repetition_signal_bounds(spark):
 def test_kmeans_update_partitions_all_vectors(spark):
     """M-step invariants: every vector lands in exactly one centroid
     (sum of members over one dim == corpus size), each centroid's
-    member count is identical across its 64 dims, and the partial
-    aggregation happens map-side (partial max_by below the exchange)."""
+    member count is identical across its 64 dims, and the E-step runs
+    inside the Arrow-native scorer (r12) with the component rows still
+    partially aggregated map-side below the exchange."""
     from htmpark.queries import q_sim_kmeans_update
 
     df = q_sim_kmeans_update(spark, SF)
@@ -628,7 +642,8 @@ def test_kmeans_update_partitions_all_vectors(spark):
     assert {r.dim for r in rows} == set(range(64))
 
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "partial_max_by" in plan
+    assert "MapInPandas" in plan
+    assert "partial_count" in plan  # map-side partial agg below exchange
 
 
 def test_two_phase_quantiles_property(spark):
@@ -1046,10 +1061,11 @@ def test_probe_regime_is_self_derived(spark):
 
     for fn in (q_dedup_embedding_cosine, q_sim_topk_bruteforce):
         dflt = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
-        assert "BroadcastNestedLoopJoin" in dflt
+        assert "MapInPandas" in dflt  # r12 Arrow-native broadcast regime
         # sf0.001 derives probe_count = 500 // 100 = 5 > 3: bucketed, no hint
         flipped = fn(spark, SF, max_broadcast_probes=3) \
             ._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" not in flipped
         assert "BroadcastNestedLoopJoin" not in flipped
         assert "CartesianProduct" not in flipped
 

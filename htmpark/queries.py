@@ -1879,13 +1879,61 @@ _MH_AB = [(97 + 61 * i, 17 + 89 * i) for i in range(_MH_PERMS)]
 def _minhash_sig_from(docs: DataFrame) -> DataFrame:
     """MinHash signatures for an arbitrary (doc_id, text) DataFrame —
     shared by the full-corpus signature query and the exact-collapsed
-    representative path."""
-    sh = _shingles(docs)
-    h = (F.conv(F.substring(F.md5(F.col("shingle").cast("binary")), 1, 15), 16, 10)
-         .cast("bigint") % _MH_P)
-    aggs = [F.min((F.lit(a) * h + F.lit(b)) % _MH_P).alias(f"mh{i}")
-            for i, (a, b) in enumerate(_MH_AB)]
-    return sh.groupBy("doc_id").agg(*aggs)
+    representative path.
+
+    r12 (guide §2.4/§4.2): a document's signature depends only on its
+    own text, so the shingle explode (~50x row expansion of string
+    rows), the per-shingle JVM md5/conv expressions, and the
+    (doc_id -> 16 mins) groupBy SHUFFLE are all replaced by ONE
+    mapInPandas stage that computes each doc's minima map-locally —
+    nothing leaves the stage but one 17-column integer row per doc.
+    Arithmetic is integer end-to-end and engine-exact: shingles are
+    `" ".join(words[i:i+w])` over `text.split(" ")` (identical to the
+    JVM split-on-space + concat_ws), h = int(md5(utf8)[:15 hex], 16)
+    % P (identical to conv(substring(md5(binary),1,15),16,10) % P),
+    and (a*h + b) % P stays far inside int64 (a,b < 2^11, h < 2^30).
+    Docs with fewer than _SHINGLE_W words carry no signature, as
+    before."""
+    import numpy as np
+    import pandas as pd
+
+    spark = docs.sparkSession
+    d = docs.select("doc_id", "text")
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
+    n_perm = len(_MH_AB)
+
+    def sig(batches):
+        import hashlib
+
+        A = np.array([a for a, _ in _MH_AB], dtype=np.int64)[:, None]
+        B = np.array([b for _, b in _MH_AB], dtype=np.int64)[:, None]
+        w_ = _SHINGLE_W
+        for pdf in batches:
+            ids, mins = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                w = text.split(" ")
+                n = len(w) - w_ + 1
+                if n <= 0:
+                    continue
+                hs = np.fromiter(
+                    (int(hashlib.md5(
+                        " ".join(w[i:i + w_]).encode("utf-8")
+                     ).hexdigest()[:15], 16) for i in range(n)),
+                    dtype=np.int64, count=n) % _MH_P
+                mins.append(((A * hs[None, :] + B) % _MH_P).min(axis=1))
+                ids.append(did)
+            m = (np.stack(mins) if ids
+                 else np.zeros((0, n_perm), dtype=np.int64))
+            out = {"doc_id": np.array(ids, dtype=np.int64)}
+            for i in range(n_perm):
+                out[f"mh{i}"] = m[:, i]
+            yield pd.DataFrame(out)
+
+    schema = "doc_id long, " + ", ".join(
+        f"mh{i} long" for i in range(n_perm))
+    return d.mapInPandas(sig, schema)
 
 
 def q_dedup_minhash_sig(spark, sf_dir):
@@ -2037,10 +2085,58 @@ def candidate_pairs(spark, sf_dir) -> DataFrame:
     df = _PAIRS_CACHE.get(key)
     if df is None:
         df = q_dedup_minhash_pairs(spark, sf_dir).persist()
-        df.count()  # materialize eagerly: consumers iterate under _no_aqe,
-        #             and the big banding DAG should build WITH AQE
+        n = df.count()  # materialize eagerly: consumers iterate under
+        #                 _no_aqe, and the big banding DAG should build
+        #                 WITH AQE
+        df._htmpark_rows = n  # free row bound for loop partition sizing
         _PAIRS_CACHE[key] = df
     return df
+
+
+# fixpoint-loop shuffle sizing (r12, guide §2.2): inside a _no_aqe loop
+# AQE's partition coalescing is off, so every per-pass exchange
+# materializes the session's full spark.sql.shuffle.partitions even when
+# the loop's working set is bounded and tiny (a 96-host BFS frontier
+# through 32-partition shuffles is pure task-scheduling overhead, ~3
+# jobs x 32+ tasks per wave).  The clamp below derives the loop's
+# partition count from the caller's own ROW BOUND on the loop tables —
+# ceil(bound / rows-per-partition), never above the session setting —
+# so it is scale-adaptive, not a local[32] constant: at 10^8 hosts /
+# edges the derived value meets the session cap and the clamp is a
+# no-op.  Static loop sides (pre-partitioned persisted edge tables)
+# must be built at the SAME width or every pass re-shuffles them.
+_LOOP_ROWS_PER_PARTITION = 1 << 16
+
+
+def _loop_partitions(spark, n_rows_bound) -> int | None:
+    """Partition count for a fixpoint loop whose tables are bounded by
+    ``n_rows_bound`` rows; None (bound unknown) keeps the session conf."""
+    if n_rows_bound is None:
+        return None
+    try:
+        cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return None
+    return max(1, min(cur, -(-int(n_rows_bound) // _LOOP_ROWS_PER_PARTITION)))
+
+
+def _scoped_shuffle_partitions(spark, nparts: int | None):
+    """Context: spark.sql.shuffle.partitions = nparts inside, restored
+    after; no-op when nparts is None."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def ctx():
+        if nparts is None:
+            yield
+            return
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(int(nparts)))
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return ctx()
 
 
 def _no_aqe(spark):
@@ -2182,7 +2278,10 @@ def cc_star_labels(spark, pairs: DataFrame) -> DataFrame:
                .union(m.select("src", F.col("m").alias("dst"))))
         return out.where(F.col("src") != F.col("dst")).distinct()
 
-    with _no_aqe(spark):
+    n_pairs = getattr(pairs, "_htmpark_rows", None)
+    nparts = _loop_partitions(
+        spark, 2 * n_pairs if n_pairs is not None else None)
+    with _no_aqe(spark), _scoped_shuffle_partitions(spark, nparts):
         prev = _checksum(edges)
         while True:
             edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
@@ -2215,15 +2314,19 @@ def _label_prop_labels(spark, pairs: DataFrame,
     confirming pass is never charged against the budget; the first pass
     always counts as changing (the None sentinel — avoiding the up-front
     label-sum job is worth the one-pass overcount)."""
+    n_pairs = getattr(pairs, "_htmpark_rows", None)
+    nparts = _loop_partitions(
+        spark, 3 * n_pairs if n_pairs is not None else None)
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     verts = (fwd.select("src")
              .union(fwd.select(F.col("dst").alias("src"))).distinct())
     edges = (fwd
              .union(fwd.select(F.col("dst").alias("src"),
                                F.col("src").alias("dst")))
-             .union(verts.select("src", F.col("src").alias("dst")))
-             .repartition(F.col("dst"))  # static side keeps the join key
-             .persist())
+             .union(verts.select("src", F.col("src").alias("dst"))))
+    edges = (edges.repartition(nparts, F.col("dst")) if nparts
+             else edges.repartition(F.col("dst"))).persist()
+    # ^ static side keeps the join key at the loop's shuffle width
     labels = verts.select(F.col("src").alias("doc_id"),
                           F.col("src").alias("cluster_id")).persist()
     # no up-front label-sum job: on any non-empty edge set the first pass
@@ -2232,7 +2335,7 @@ def _label_prop_labels(spark, pairs: DataFrame,
     # the loop exits after one cheap pass
     prev_sum = None
     changing = 0
-    with _no_aqe(spark):
+    with _no_aqe(spark), _scoped_shuffle_partitions(spark, nparts):
         while True:
             new_labels = (edges.join(labels, edges.dst == labels.doc_id)
                           .groupBy("src")
@@ -2313,7 +2416,8 @@ def q_dedup_clusters(spark, sf_dir, pairs: DataFrame | None = None,
             # never build full pairs just for this
             paid = _PAIRS_CACHE.get(key)
             pairs = collapsed_dup_edges(spark, sf_dir, pairs=paid).persist()
-            pairs.count()  # materialize WITH AQE, before the _no_aqe loop
+            n = pairs.count()  # materialize WITH AQE, before _no_aqe loops
+            pairs._htmpark_rows = n  # row bound for loop partition sizing
             _EDGES_CACHE[key] = pairs
 
     if star is True:
@@ -2388,17 +2492,23 @@ def q_graph_pagerank(spark, sf_dir, iters: int = _PR_ITERS,
     iteration deep instead of accreting all five (driver re-optimization
     of the accreted DAG dominated wall-clock at sandbox scale)."""
     pairs = pairs if pairs is not None else candidate_pairs(spark, sf_dir)
+    # loop shuffle width from the pair count the memo already paid for
+    # (2 directed edges per pair); unknown bound keeps the session conf
+    n_pairs = getattr(pairs, "_htmpark_rows", None)
+    nparts = _loop_partitions(
+        spark, 2 * n_pairs if n_pairs is not None else None)
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     edges = fwd.union(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
-    ed = (edges.join(deg, "src")
-          .repartition(F.col("src")).persist())  # static, carries out_deg
+    ed = edges.join(deg, "src")
+    ed = (ed.repartition(nparts, F.col("src")) if nparts
+          else ed.repartition(F.col("src"))).persist()  # static, carries deg
     verts = deg.select(F.col("src").alias("id")).persist()
     base = 15 * _PR_SCALE // 100
     ranks = verts.select("id", F.lit(_PR_SCALE).cast("bigint").alias("r"))
-    with _no_aqe(spark):
+    with _no_aqe(spark), _scoped_shuffle_partitions(spark, nparts):
         for _ in range(iters):
             contrib = (ed.join(ranks, ed.src == ranks.id)
                        .select(F.col("dst"), F.expr("r div out_deg").alias("c"))
@@ -6274,36 +6384,45 @@ def q_web_crawl_bfs(spark, sf_dir, max_waves: int = _BFS_HOSTS):
 
     Graph build and loop live in _bfs_edges/_bfs_waves, shared with the
     publisher-seeded variant (q_web_crawl_bfs_seeded) so the wave
-    discipline can never drift between the two schedulers."""
-    edges = _bfs_edges(spark, sf_dir)
+    discipline can never drift between the two schedulers.  The loop's
+    shuffle width derives from the host-space bound (every loop table
+    is <= _BFS_HOSTS rows / <= 3*_BFS_HOSTS edges; see _loop_partitions)."""
+    nparts = _loop_partitions(spark, 3 * _BFS_HOSTS)
+    edges = _bfs_edges(spark, sf_dir, nparts)
     dist = _bfs_waves(
         spark, edges,
-        spark.createDataFrame([(0, 0)], "host int, wave int"), max_waves)
+        spark.createDataFrame([(0, 0)], "host int, wave int"), max_waves,
+        nparts=nparts)
     edges.unpersist()
     return dist.select(F.col("host").cast("int").alias("host"),
                        F.col("wave").cast("int").alias("wave"))
 
 
-def _bfs_edges(spark, sf_dir) -> DataFrame:
+def _bfs_edges(spark, sf_dir, nparts: int | None = None) -> DataFrame:
     """The synthetic host-level link graph shared by the BFS schedulers
     (construction documented on q_web_crawl_bfs): distinct edges,
     pre-partitioned on src and persisted ONCE — only the frontier moves
     per wave.  Materialized (count) with AQE still on, before any
-    _no_aqe loop.  Caller unpersists."""
+    _no_aqe loop.  ``nparts`` (from _loop_partitions) pins the static
+    side to the LOOP's shuffle width so the per-wave join reuses this
+    partitioning instead of re-shuffling the edges every pass.  Caller
+    unpersists."""
     d = t(spark, sf_dir, "documents").select("doc_id")
     edges = (d.selectExpr(
         f"CAST(doc_id % {_BFS_HOSTS} AS INT) AS src",
         f"CAST(((doc_id % {_BFS_HOSTS}) * 2"
         f" + 2 * ((doc_id div {_BFS_HOSTS}) % 3))"
         f" % {_BFS_HOSTS} AS INT) AS dst")
-        .distinct()
-        .repartition(F.col("src")).persist())
+        .distinct())
+    edges = (edges.repartition(nparts, F.col("src")) if nparts
+             else edges.repartition(F.col("src"))).persist()
     edges.count()  # materialize WITH AQE, before the _no_aqe loop
     return edges
 
 
 def _bfs_waves(spark, edges: DataFrame, dist: DataFrame,
-               max_waves: int, wave_probe=None) -> DataFrame:
+               max_waves: int, wave_probe=None,
+               nparts: int | None = None) -> DataFrame:
     """The shared per-wave BFS loop (scale shape documented on
     q_web_crawl_bfs): per wave ONE keyed equi-join of the frontier
     against the static persisted edges + one left-anti visited join,
@@ -6320,13 +6439,16 @@ def _bfs_waves(spark, edges: DataFrame, dist: DataFrame,
     adds nothing to the loop."""
     frontier = dist.select("host")
     wave = 0
-    with _no_aqe(spark):
+    with _no_aqe(spark), _scoped_shuffle_partitions(spark, nparts):
         while wave < max_waves:
             wave += 1
             joined = (frontier.join(edges, frontier["host"] == edges["src"])
                       .select(F.col("dst").alias("host")).distinct()
                       .join(dist.select("host"), "host", "left_anti"))
-            nxt = joined.localCheckpoint(eager=True)
+            # LAZY checkpoint with the termination count as the
+            # materializing action: one Spark job per wave, not
+            # checkpoint-then-scan (the cc_star_labels discipline, r12)
+            nxt = joined.localCheckpoint(eager=False)
             n = nxt.count()
             if wave_probe is not None:
                 wave_probe(wave, n, joined)
@@ -6384,8 +6506,10 @@ def _seeded_bfs_dist(spark, sf_dir) -> DataFrame:
                  .select(F.col("host_num").cast("int").alias("host"),
                          F.lit(0).cast("int").alias("wave"))
                  .localCheckpoint(eager=True))
-        edges = _bfs_edges(spark, sf_dir)
-        df = _bfs_waves(spark, edges, seeds, _BFS_HOSTS).persist()
+        nparts = _loop_partitions(spark, 3 * _BFS_HOSTS)
+        edges = _bfs_edges(spark, sf_dir, nparts)
+        df = _bfs_waves(spark, edges, seeds, _BFS_HOSTS,
+                        nparts=nparts).persist()
         df.count()
         edges.unpersist()
         _BFS_SEEDED_CACHE[key] = df

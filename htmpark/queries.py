@@ -2615,25 +2615,54 @@ def q_dedup_ngram_jaccard(spark, sf_dir,
     if broadcast_probes is None:
         b = _probe_rows_upper_bound(sf_dir, "documents", "doc_id", 97)
         broadcast_probes = b is not None and b <= _MAX_BROADCAST_PROBE_DOCS
-    d = _shingles(t(spark, sf_dir, "documents")).distinct()
-    sizes = d.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # r12 (guide §2.3/§2.4): the (doc_id, shingle) DISTINCT is per-doc
+    # by construction (the key includes doc_id), so it is computed
+    # MAP-LOCALLY in one mapInPandas stage that also emits each doc's
+    # distinct-shingle count — the 2.5M-string-row distinct shuffle and
+    # the sizes aggregate are gone outright.  The stage output is
+    # lazily localCheckpoint-ed so the probe branch reads the one
+    # materialization instead of re-running the stage (the pre-r12 plan
+    # reused the distinct's exchange the same way).  n_a / n_b ride the
+    # rows as constant-per-doc grouping keys — zero extra joins.
+    import pandas as pd
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
+
+    def shingle_sets(batches):
+        w_ = _SHINGLE_W
+        for pdf in batches:
+            ids, shs, ns = [], [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                w = text.split(" ")
+                n = len(w) - w_ + 1
+                if n <= 0:
+                    continue
+                uniq = {" ".join(w[i:i + w_]) for i in range(n)}
+                ids.extend([did] * len(uniq))
+                shs.extend(uniq)
+                ns.extend([len(uniq)] * len(uniq))
+            yield pd.DataFrame({"doc_id": ids, "shingle": shs, "n_sh": ns})
+
+    d = (docs.mapInPandas(shingle_sets,
+                          "doc_id long, shingle string, n_sh long")
+         .localCheckpoint(eager=False))
     probes = d.where(F.col("doc_id") % 97 == 0).select(
-        F.col("doc_id").alias("probe_id"), "shingle")
-    pa = sizes.select(F.col("doc_id").alias("probe_id"), F.col("n_sh").alias("n_a"))
+        F.col("doc_id").alias("probe_id"), "shingle",
+        F.col("n_sh").alias("n_a"))
     if broadcast_probes:
-        probes, pa = F.broadcast(probes), F.broadcast(pa)
-    inter = (
+        probes = F.broadcast(probes)
+    return (
         d.join(probes, "shingle")
         .where(F.col("probe_id") != F.col("doc_id"))
-        .groupBy("probe_id", "doc_id")
+        .groupBy("probe_id", "doc_id", "n_a", "n_sh")
         .agg(F.count("*").alias("n_common"))
-    )
-    pb = sizes.select(F.col("doc_id").alias("doc_id"), F.col("n_sh").alias("n_b"))
-    return (
-        inter.join(pa, "probe_id").join(pb, "doc_id")
         .where(F.col("n_common") >= 1)
         .select("probe_id", "doc_id", "n_common",
-                (F.col("n_a") + F.col("n_b") - F.col("n_common")).alias("n_union"))
+                (F.col("n_a") + F.col("n_sh") - F.col("n_common"))
+                .alias("n_union"))
     )
 
 
@@ -4238,25 +4267,44 @@ def _repetition_frame(d):
     formula, ONE definition shared by q_text_repetition (its own
     pruned+repartitioned scan) and the one-pass signal frame
     (job._doc_signals_build, over the cached projection).  Docs with
-    fewer than 2 words have no bigram and are absent."""
-    bg = (d.select("doc_id", F.split("text", " ").alias("w"))
-           .where(F.size("w") >= 2)
-           .select("doc_id",
-                   F.size("w").alias("n_words"),
-                   F.size(F.array_distinct("w")).alias("n_distinct_words"),
-                   F.explode(F.expr(
-                       "transform(sequence(1, size(w) - 1), "
-                       "i -> concat_ws(' ', element_at(w, i), "
-                       "element_at(w, i + 1)))")).alias("g")))
-    counts = (bg.groupBy("doc_id", "n_words", "n_distinct_words", "g")
-                .agg(F.count("*").alias("c")))
-    return (counts.groupBy("doc_id", "n_words", "n_distinct_words")
-            .agg(F.max("c").alias("top_bigram_n"),
-                 F.sum("c").alias("n_bigrams"))
-            .withColumn("rep_bp",
-                        F.expr("top_bigram_n * 10000 DIV n_bigrams"))
-            .select("doc_id", "n_words", "n_distinct_words", "n_bigrams",
-                    "top_bigram_n", "rep_bp"))
+    fewer than 2 words have no bigram and are absent.
+
+    r12 (guide §2.4): every output depends only on the doc's own text,
+    so the bigram explode and its two keyed shuffles collapse into ONE
+    map-local mapInPandas stage — exact integer counts, identical
+    values (bigram identity via word tuples == concat on the split
+    character, which words cannot contain; rep_bp floor division
+    unchanged)."""
+    import pandas as pd
+
+    def rep(batches):
+        from collections import Counter
+
+        for pdf in batches:
+            ids, nw, nd, nb, tb = [], [], [], [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                w = text.split(" ")
+                if len(w) < 2:
+                    continue
+                c = Counter(zip(w, w[1:]))
+                ids.append(did)
+                nw.append(len(w))
+                nd.append(len(set(w)))
+                nb.append(len(w) - 1)
+                tb.append(max(c.values()))
+            yield pd.DataFrame({
+                "doc_id": pd.array(ids, dtype="int64"),
+                "n_words": pd.array(nw, dtype="int32"),
+                "n_distinct_words": pd.array(nd, dtype="int32"),
+                "n_bigrams": pd.array(nb, dtype="int64"),
+                "top_bigram_n": pd.array(tb, dtype="int64"),
+                "rep_bp": pd.array([t * 10000 // b
+                                    for t, b in zip(tb, nb)], dtype="int64"),
+            })
+
+    return d.select("doc_id", "text").mapInPandas(
+        rep, "doc_id long, n_words int, n_distinct_words int, "
+             "n_bigrams long, top_bigram_n long, rep_bp long")
 
 
 SQL_TEXT_REPETITION = """
@@ -7058,9 +7106,31 @@ def _lm_frames_over(d):
     """(tf, cf) over an arbitrary (doc_id, text) frame — the scan-
     agnostic core of _unigram_lm_frames, shared with the one-pass
     signal frame (job._doc_signals_build reads the cached projection
-    instead of its own documents scan)."""
-    w = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-    tf = w.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    instead of its own documents scan).
+
+    r12 (guide §2.4): tf is per-doc term counting — map-local — so the
+    term explode and the (doc_id, term) keyed aggregate collapse into
+    one mapInPandas stage emitting the already-aggregated tf rows; cf
+    stays the distributed corpus aggregate over them (exact integer
+    sums, unchanged)."""
+    import pandas as pd
+
+    def tfmap(batches):
+        from collections import Counter
+
+        for pdf in batches:
+            ids, terms, tfs = [], [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                for term, n in Counter(text.split(" ")).items():
+                    ids.append(did)
+                    terms.append(term)
+                    tfs.append(n)
+            yield pd.DataFrame({"doc_id": pd.array(ids, dtype="int64"),
+                                "term": terms,
+                                "tf": pd.array(tfs, dtype="int64")})
+
+    tf = d.select("doc_id", "text").mapInPandas(
+        tfmap, "doc_id long, term string, tf long")
     cf = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
     return tf, cf
 

@@ -215,10 +215,11 @@ def _parse_docs(spark, sf_dir, pre: str, post: str) -> DataFrame:
     wrap stays in the scan stage."""
     import pandas as pd
 
-    docs = t(spark, sf_dir, "documents").select(
+    docs = _fan_out(t(spark, sf_dir, "documents").select(
         "doc_id",
         F.concat(F.lit(pre), F.col("text"), F.lit(post)).alias("page"),
-    )
+    ))  # r12: the sandbox documents table is ONE split — without the
+    #     guard the whole Python parse ran in a single task at sf1.0
 
     def run(batches):
         from .extract import extract_doc
@@ -294,8 +295,9 @@ def q_html_node_table(spark, sf_dir):
     import pandas as pd
 
     pre, post = _WRAP_NODETAB
-    docs = t(spark, sf_dir, "documents").select(
-        "doc_id", F.concat(F.lit(pre), F.col("text"), F.lit(post)).alias("page"))
+    docs = _fan_out(t(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.lit(pre), F.col("text"),
+                           F.lit(post)).alias("page")))
 
     def run(batches):
         from .parser import Parser
@@ -363,8 +365,9 @@ def q_html_sax_events(spark, sf_dir):
     import pandas as pd
 
     pre, post = _WRAP_NODETAB
-    docs = t(spark, sf_dir, "documents").select(
-        "doc_id", F.concat(F.lit(pre), F.col("text"), F.lit(post)).alias("page"))
+    docs = _fan_out(t(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.lit(pre), F.col("text"),
+                           F.lit(post)).alias("page")))
 
     def run(batches):
         import htmpark
@@ -442,8 +445,9 @@ def q_html_outlinks(spark, sf_dir):
     import pandas as pd
 
     pre, post = _WRAP_LINKS
-    docs = t(spark, sf_dir, "documents").select(
-        "doc_id", F.concat(F.lit(pre), F.col("text"), F.lit(post)).alias("page"))
+    docs = _fan_out(t(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.lit(pre), F.col("text"),
+                           F.lit(post)).alias("page")))
 
     def run(batches):
         from .extract import extract_doc
@@ -481,8 +485,9 @@ def q_html_meta(spark, sf_dir):
     import pandas as pd
 
     pre, post = _WRAP_META
-    docs = t(spark, sf_dir, "documents").select(
-        "doc_id", F.concat(F.lit(pre), F.col("text"), F.lit(post)).alias("page"))
+    docs = _fan_out(t(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.lit(pre), F.col("text"),
+                           F.lit(post)).alias("page")))
 
     def run(batches):
         from .extract import extract_doc
@@ -1390,7 +1395,7 @@ def q_pdf_parse_extract(spark, sf_dir):
     salting/partitioning rules inherited from the pipeline."""
     import pandas as pd
 
-    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _fan_out(t(spark, sf_dir, "documents").select("doc_id", "text"))
 
     def run(batches):
         from .pdftext import extract_pdf_text, synthesize_pdf
@@ -2695,11 +2700,16 @@ def _token_windows(spark, sf_dir, w: int) -> DataFrame:
          .select("doc_id", F.split("text", " ").alias("w"))
          .where(F.size("w") >= w)
          .repartition(spark.sparkContext.defaultParallelism))
+    # r12 (guide §2.3, narrower types): carry the md5 as its 16 RAW
+    # bytes (unhex) instead of the 32-char hex string — the SAME
+    # identity bijectively, half the bytes through every downstream
+    # exchange (owners aggregate + ownership join / probe broadcast)
     return d.select(
         "doc_id",
         F.explode(F.expr(
             f"transform(sequence(1, size(w) - {w} + 1), "
-            f"i -> md5(array_join(slice(w, i, {w}), ' ')))")).alias("h"))
+            f"i -> unhex(md5(array_join(slice(w, i, {w}), ' '))))"))
+        .alias("h"))
 
 
 # default window width for substring-level ops; the oracle SQLs below are
@@ -3958,7 +3968,7 @@ def q_text_bpe_tokens(spark, sf_dir):
     is the distinct vocabulary); the engine path has no such bound."""
     import pandas as pd
 
-    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _fan_out(t(spark, sf_dir, "documents").select("doc_id", "text"))
 
     def run(batches):
         from .bpe import encode_text
@@ -4534,8 +4544,8 @@ def q_mm_binary_meta(spark, sf_dir):
     htmpark.multimodal."""
     import pandas as pd
 
-    d = t(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "UTF-8").alias("payload"))
+    d = _fan_out(t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")))
 
     def meta(batches):
         for pdf in batches:
@@ -4569,8 +4579,8 @@ def q_mm_frame_sample(spark, sf_dir):
     documented stub."""
     import pandas as pd
 
-    d = t(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "UTF-8").alias("payload"))
+    d = _fan_out(t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")))
 
     def run(batches):
         from .multimodal import frame_sample_indices
@@ -4669,7 +4679,7 @@ def q_mm_decode(spark, sf_dir):
     payload column and nothing else changes."""
     import pandas as pd
 
-    d = t(spark, sf_dir, "documents").select("doc_id")
+    d = _fan_out(t(spark, sf_dir, "documents").select("doc_id"))
 
     def run(batches):
         from .multimodal import decode_audio, decode_image, sniff_mime
@@ -4762,38 +4772,78 @@ def q_dedup_winnowing(spark, sf_dir, k: int = _WIN_K, w: int = _WIN_W,
     set checksums (bit_xor + min over int64 hashes) — the driver hash
     pins the SELECTED SET, not just its size.
 
-    Scale shape: pre-explode repartition, then ONE window pass partitioned
-    on doc_id (grams of one doc are array-local by the same bounded-doc
-    contract as dedup_substring), distinct + partial-agg to one row per
-    doc.  Hashes use the md5-prefix int64 idiom shared with minhash —
-    engine-exact, no float anywhere."""
-    from pyspark.sql.window import Window
+    Scale shape (r12, guide §2.4): the whole selection — k-gram hash,
+    sliding-window min, per-doc distinct — depends only on the doc's
+    own tokens, so it runs in ONE map-local mapInPandas stage (the
+    pre-r12 plan exploded ~50x gram rows through a doc-keyed window
+    shuffle plus a distinct shuffle).  Hashes keep the md5-prefix int64
+    idiom shared with minhash — engine-exact, no float anywhere; the
+    per-doc aggregate (count / bit_xor / min over int64) is exact
+    integer arithmetic in either engine."""
+    import pandas as pd
 
     d = (t(spark, sf_dir, "documents")
-         .select("doc_id", F.split("text", " ").alias("toks"))
-         .where(F.size("toks") >= k + w - 1)
-         .repartition(spark.sparkContext.defaultParallelism))
-    g = d.select(
-        "doc_id", (F.size("toks") - (k - 1)).cast("long").alias("n_grams"),
-        F.posexplode(F.expr(
-            f"transform(sequence(1, size(toks) - {k - 1}), "
-            f"i -> concat_ws(' ', slice(toks, i, {k})))"))
-        .alias("pos", "gram"))
-    h = F.conv(F.substring(F.md5(F.col("gram").cast("binary")), 1, 15),
-               16, 10).cast("long")
-    wn = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
-    sel = (g.select("doc_id", "n_grams", "pos", h.alias("h"))
-           .withColumn("wmin", F.min("h").over(wn))
-           .where(F.col("pos") <= F.col("n_grams") - w)
-           .select("doc_id", "n_grams", "wmin").distinct())
+         .select("doc_id", "text")
+         .where(F.size(F.split("text", " ")) >= k + w - 1))
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
+
+    def winnow(batches):
+        import hashlib
+
+        import numpy as np
+
+        for pdf in batches:
+            rows_d, rows_g, rows_f, rows_x, rows_m = [], [], [], [], []
+            fp_d, fp_g, fp_w = [], [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = text.split(" ")
+                n_grams = len(toks) - (k - 1)
+                if n_grams < w:  # matches size >= k + w - 1
+                    continue
+                hs = np.fromiter(
+                    (int(hashlib.md5(
+                        " ".join(toks[i:i + k]).encode("utf-8")
+                     ).hexdigest()[:15], 16) for i in range(n_grams)),
+                    dtype=np.int64, count=n_grams)
+                wm = np.lib.stride_tricks.sliding_window_view(
+                    hs, w).min(axis=1)
+                sel = np.unique(wm)  # per-doc distinct selected hashes
+                if fingerprint_rows:
+                    fp_d.extend([did] * len(sel))
+                    fp_g.extend([n_grams] * len(sel))
+                    fp_w.extend(sel.tolist())
+                else:
+                    x = 0
+                    for v in sel.tolist():
+                        x ^= v
+                    rows_d.append(did)
+                    rows_g.append(n_grams)
+                    rows_f.append(len(sel))
+                    rows_x.append(x)
+                    rows_m.append(int(sel[0]))
+            if fingerprint_rows:
+                yield pd.DataFrame({
+                    "doc_id": pd.array(fp_d, dtype="int64"),
+                    "n_grams": pd.array(fp_g, dtype="int64"),
+                    "wmin": pd.array(fp_w, dtype="int64")})
+            else:
+                yield pd.DataFrame({
+                    "doc_id": pd.array(rows_d, dtype="int64"),
+                    "n_grams": pd.array(rows_g, dtype="int64"),
+                    "n_fp": pd.array(rows_f, dtype="int64"),
+                    "fp_xor": pd.array(rows_x, dtype="int64"),
+                    "fp_min": pd.array(rows_m, dtype="int64")})
+
     if fingerprint_rows:
         # the pairing consumer's surface: one row per selected hash —
         # join docs on wmin to find winnowing-overlap candidates
-        return sel
-    return (sel.groupBy("doc_id", "n_grams")
-            .agg(F.count("*").alias("n_fp"),
-                 F.bit_xor("wmin").alias("fp_xor"),
-                 F.min("wmin").alias("fp_min")))
+        return d.mapInPandas(
+            winnow, "doc_id long, n_grams long, wmin long")
+    return d.mapInPandas(
+        winnow, "doc_id long, n_grams long, n_fp long, fp_xor long, "
+                "fp_min long")
 
 
 SQL_DEDUP_WINNOWING = f"""
@@ -5116,7 +5166,8 @@ def q_web_url_canonical(spark, sf_dir):
         F.when(F.col("doc_id") % 6 == 0, F.lit("#frag")).otherwise(F.lit("")))
     # the pre-stage rewrites ``url`` (its consumers canonicalize); the
     # gate output reports the ORIGINAL spelling next to its canon key
-    u = d.select("doc_id", url.alias("url"), url.alias("_orig_url"))
+    u = _fan_out(d.select("doc_id", url.alias("url"),
+                          url.alias("_orig_url")))
     return (_with_canon_url(idn_ascii_urls(u))
             .select("doc_id", F.col("_orig_url").alias("url"),
                     "canon_url", "surt_key"))

@@ -833,7 +833,11 @@ def q_rel_events_minutely(spark, sf_dir):
     events.ts is parquet TIMESTAMP_NTZ, and Spark's date_trunc converts NTZ
     to session-timezone LTZ while DuckDB stays naive — a string cut from the
     NTZ value is timezone-independent and engine-exact."""
-    e = t(spark, sf_dir, "events")
+    # r12: the sandbox events table is ONE parquet row group — project
+    # the four needed columns and re-parallelize so the cast-heavy
+    # partial aggregate runs on every core, not one scan task
+    e = _fan_out(t(spark, sf_dir, "events")
+                 .select("ts", "event_type", "value", "user_id"))
     minute = F.substring(F.col("ts").cast("string"), 1, 16)
     return (
         e.groupBy(minute.alias("minute"), F.col("event_type"))
@@ -1066,7 +1070,10 @@ def q_rel_events_json(spark, sf_dir):
     rows before the exchange.  For wide payloads at 10^12 rows prefer
     ``from_json`` with an explicit schema: one parse feeding many
     columns instead of one parse per path."""
-    e = t(spark, sf_dir, "events")
+    # r12: one-row-group input — re-parallelize the narrow projection so
+    # the per-row JSON path extraction runs on every core (same guard as
+    # the parse stages; no-op on a multi-split production scan)
+    e = _fan_out(t(spark, sf_dir, "events").select("event_type", "props"))
     k = F.get_json_object("props", "$.k").cast("bigint")
     return (e.select("event_type", k.alias("k"))
              .groupBy("event_type")
@@ -1494,14 +1501,18 @@ def q_stream_windowed_counts(spark, sf_dir):
                     "event_type", "n_events", "value_cents"))
 
 
-def _stream_parts(spark, parts: int = 8):
+def _stream_parts(spark, parts: int = 4):
     """Context for the gate/bench streaming queries: a stateful streaming
     query creates one state-store instance per shuffle partition at its
     FIRST micro-batch (fixed for the checkpoint's lifetime), and per-batch
     store open/commit dominates tiny bounded replays — A/B at sf0.1:
     32→8 partitions cuts the stream-stream join 5.8s→2.5s and the
-    windowed agg 3.6s→1.8s with identical results.  Production sizing is
-    the opposite concern (partitions ~ stream volume / state per task);
+    windowed agg 3.6s→1.8s with identical results; the r12 sf1.0 A/B
+    (8/4/2) put the knee at 4 (windowed 2.1→1.8s, join 3.0→2.7s; 2 is
+    worse — state per store starts to dominate), sized by the gate
+    streams' own bounded state (open windows x types / in-horizon users
+    — thousands of rows), not by core count.  Production sizing is the
+    opposite concern (partitions ~ stream volume / state per task);
     these gate queries start a FRESH checkpoint per call, so the scoped
     conf is the per-checkpoint sizing decision, not a global default.
     Same session-global caveat as _no_aqe (registry path is sequential)."""
@@ -2523,7 +2534,12 @@ def q_graph_pagerank(spark, sf_dir, iters: int = _PR_ITERS,
                      .select("id",
                              (F.lit(base).cast("bigint")
                               + F.expr("(85 * coalesce(s, 0)) div 100")).alias("r"))
-                     .localCheckpoint(eager=True))
+                     # LAZY checkpoint (r12): the plan still truncates at
+                     # each iteration boundary, but materialization rides
+                     # the consumer's own job — the fixed-iteration loop
+                     # has no per-pass action, so eager=True was 5 extra
+                     # jobs whose only purpose was cache-filling
+                     .localCheckpoint(eager=False))
     ed.unpersist()
     verts.unpersist()
     return ranks.select(F.col("id").alias("doc_id"),
@@ -2566,19 +2582,34 @@ SQL_GRAPH_PAGERANK = _pagerank_sql()
 def q_dedup_simhash(spark, sf_dir):
     """16-bit SimHash: per-word md5, bit j = parity of hex char j, majority
     vote per document.  Pure string/integer ops -> engine-exact.
-    Re-parallelized before the ~100x word explode (same rule as _shingles)."""
-    d = t(spark, sf_dir, "documents")
-    d = d.repartition(spark.sparkContext.defaultParallelism)
-    w = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
-    w = w.withColumn("h", F.md5("word"))
-    votes = [F.sum(F.ascii(F.substring("h", j + 1, 1)) % 2 * 2 - 1).alias(f"v{j}")
-             for j in range(16)]
-    agg = w.groupBy("doc_id").agg(*votes)
-    bits = sum(
-        (F.when(F.col(f"v{j}") > 0, 1 << j).otherwise(0) for j in range(16)),
-        F.lit(0),
-    )
-    return agg.select("doc_id", bits.cast("int").alias("simhash16"))
+
+    r12 (guide §2.4): the vote is per-document, so the ~100x word
+    explode and the 16-sum groupBy shuffle collapse into ONE map-local
+    mapInPandas stage — md5 per DISTINCT word per doc weighted by its
+    count (identical integer votes: sum over occurrences of
+    ascii-parity ±1 == count-weighted sum over distinct words)."""
+    import pandas as pd
+
+    d = _fan_out(t(spark, sf_dir, "documents").select("doc_id", "text"))
+
+    def simhash(batches):
+        import hashlib
+        from collections import Counter
+
+        for pdf in batches:
+            ids, sims = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                votes = [0] * 16
+                for word, n in Counter(text.split(" ")).items():
+                    h = hashlib.md5(word.encode("utf-8")).hexdigest()
+                    for j in range(16):
+                        votes[j] += n * ((ord(h[j]) % 2) * 2 - 1)
+                ids.append(did)
+                sims.append(sum(1 << j for j in range(16) if votes[j] > 0))
+            yield pd.DataFrame({"doc_id": pd.array(ids, dtype="int64"),
+                                "simhash16": pd.array(sims, dtype="int32")})
+
+    return d.mapInPandas(simhash, "doc_id long, simhash16 int")
 
 
 SQL_DEDUP_SIMHASH = """
@@ -2731,19 +2762,23 @@ def q_dedup_substring(spark, sf_dir, w: int = _SUBSTR_W):
     projection (``transform`` over ``sequence`` + ``slice``), so the token
     array is never duplicated per position; only the fixed-width md5
     strings explode.  Pre-explode repartition (same rule as _shingles).
-    ``groupBy(h)`` gets map-side partial min; the windows→owners join
-    hash-partitions both sides on the high-cardinality window hash and
-    reuses the aggregate's exchange; the per-doc rollup is one more
-    partial-aggregated shuffle on doc_id.  No task ever holds more than
-    one doc's token array — every stage survives 10^12 docs.  Docs
-    shorter than w tokens are skipped (no window exists)."""
+    The min-owner verdict is ONE analytic window over the h-partitioned
+    rows (r12, guide §2.4: the old aggregate-then-join-back shape
+    shuffled the window rows twice on h; min(doc_id) OVER (PARTITION BY
+    h) needs them once — measured 4.6s -> 2.5s at sf1.0, identical
+    rows); the per-doc rollup is one more partial-aggregated shuffle on
+    doc_id.  No task ever holds more than one doc's token array —
+    every stage survives 10^12 docs.  Docs shorter than w tokens are
+    skipped (no window exists)."""
+    from pyspark.sql.window import Window
+
     win = _token_windows(spark, sf_dir, w)
-    owners = win.groupBy("h").agg(F.min("doc_id").alias("own_doc"))
-    dup = F.when(F.col("own_doc") < F.col("doc_id"), 1).otherwise(0)
-    return (win.join(owners, "h")
+    wnd = Window.partitionBy("h")
+    dup = F.when(F.min("doc_id").over(wnd) < F.col("doc_id"), 1).otherwise(0)
+    return (win.select("doc_id", dup.alias("dup"))
                .groupBy("doc_id")
                .agg(F.count("*").alias("n_windows"),
-                    F.sum(dup).alias("n_dup_windows"))
+                    F.sum("dup").alias("n_dup_windows"))
                .withColumn("dup_bp",
                            F.expr("n_dup_windows * 10000 DIV n_windows")))
 
@@ -4177,11 +4212,12 @@ def q_text_inverted_index(spark, sf_dir, n_salts: int = _IDX_SALTS):
     tests/test_queries.py::test_registry_outputs_are_scalar."""
     from pyspark.sql.window import Window
 
-    d = t(spark, sf_dir, "documents")
-    d = d.repartition(spark.sparkContext.defaultParallelism)
-    w = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-    pairs = (w.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
-             .withColumn("_salt", F.pmod(F.col("doc_id"), F.lit(n_salts))))
+    # r12: (term, doc_id) term frequencies are per-doc — the canonical
+    # map-local tf stage (_lm_frames_over) replaces the token explode
+    # plus its keyed aggregate; everything downstream is unchanged
+    d = _fan_out(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    tf, _cf = _lm_frames_over(d)
+    pairs = tf.withColumn("_salt", F.pmod(F.col("doc_id"), F.lit(n_salts)))
     gate = Window.partitionBy("term", "_salt").orderBy("doc_id")
     local = (pairs.withColumn("_rn", F.row_number().over(gate))
              .groupBy("term", "_salt")

@@ -41,9 +41,12 @@ def main(names):
     spark.sparkContext.setLogLevel("ERROR")
 
     # the IDENTICAL warmup sequence bench.py runs (shared helper —
-    # comparability is the whole point), minus any head-of-line entry
-    # that is itself under measurement
-    warm_session(spark, sf_dir, exclude=names)
+    # comparability is the whole point).  Measured queries are NOT
+    # excluded (r11 ADVICE): bench.py warm-runs registry-head entries
+    # untimed before timing them, so a head entry's driver-comparable
+    # reading is plan-warm — excluding it here made rep 0 read cold-plan
+    # and a re-measure could fail to settle a mover it should settle.
+    warm_session(spark, sf_dir)
     # memo dependencies built UNTIMED, exactly as the driver bench times
     # them on their own attribution lines before the per-query loop
     candidate_pairs(spark, sf_dir)

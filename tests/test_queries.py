@@ -142,17 +142,17 @@ def test_explode_queries_repartition_before_expansion(spark):
     import htmpark.queries as Q
 
     plans = {name: REGISTRY[name][0](spark, SF)
-             for name in ("dedup_simhash", "dedup_substring",
-                          "text_decontamination")}
+             for name in ("dedup_substring", "text_decontamination")}
     for name, df in plans.items():
         plan = df._jdf.queryExecution().executedPlan().toString()
         gen = plan.index("Generate explode")
         rr = plan.index("RoundRobinPartitioning")
         assert rr > gen, f"{name}: repartition must feed the explode (below it)"
-    # dedup_minhash_sig and standalone text_repetition have no explode
-    # since r12 (map-local stages); the same rule holds as
-    # repartition-below-the-row-expanding MAP stage
+    # dedup_minhash_sig, dedup_simhash and standalone text_repetition
+    # have no explode since r12 (map-local stages); the same rule holds
+    # as repartition-below-the-row-expanding MAP stage
     maps = {"dedup_minhash_sig": REGISTRY["dedup_minhash_sig"][0](spark, SF),
+            "dedup_simhash": REGISTRY["dedup_simhash"][0](spark, SF),
             "text_repetition": Q.q_text_repetition(spark, SF, signals=False)}
     for name, df in maps.items():
         plan = df._jdf.queryExecution().executedPlan().toString()

@@ -75,7 +75,15 @@ def build_session(master: str | None = None, shuffle_partitions: int = 32,
         # stays well inside executor memory even with MB-sized outliers
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        .config("spark.driver.memory", os.environ.get("HTMPARK_DRIVER_MEM", "8g"))
+        # local-mode default raised 8g -> 16g in r12: the one driver JVM
+        # hosts all 32 task slots PLUS every session-lifetime
+        # materialization (signal frame, pair/label/frontier memos,
+        # broadcast scorer sides), and late-session queries showed
+        # one-off multi-second GC episodes at 8g (an untouched rollup
+        # read 10.9s once vs its 1.8-3.7s isolated band).  Cluster
+        # deployments size executors separately and keep overriding this
+        # via HTMPARK_DRIVER_MEM / --conf, as before.
+        .config("spark.driver.memory", os.environ.get("HTMPARK_DRIVER_MEM", "16g"))
     )
     if master:
         b = b.master(master)
